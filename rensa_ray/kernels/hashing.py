@@ -1,0 +1,336 @@
+"""Bit-exact hash / PRNG kernels.
+
+These reproduce the reference's math exactly so that LSH collisions — and
+therefore duplicate flags and cluster assignments — are reproducible:
+
+- ``fxhash64``            — FxHasher-compatible token hash
+                            (reference: src/utils.rs:129-185, rustc-hash 2.x
+                            ``hash_bytes`` + final multiply/rotate).
+- ``fxhash64_flat``       — the same hash vectorized with numpy over many
+                            variable-length byte strings stored in one flat
+                            buffer (grouped by length; the reference gets its
+                            speed from Rust+SIMD, we get ours from batching).
+- ``splitmix64`` / ``Xoshiro256PlusPlus`` — rand_xoshiro 0.7-compatible PRNG;
+                            ``seed_from_u64`` uses SplitMix64 seeding
+                            (reference: src/rminhash.rs:142 via rand_xoshiro).
+- ``build_rmin_permutations`` — (a|1, b) pairs (src/rminhash.rs:138-150).
+- ``CMinParams``          — sigma/pi parameters (src/cminhash.rs:69-86).
+- ``permute_hash`` / ``permute_hash_matrix`` — ((a*h+b) >> 32) as u32
+                            (src/utils.rs:189-191).
+- ``band_hash`` / ``band_hash_matrix`` — FxHasher polynomial over u32 bands
+                            (src/utils.rs:195-223).
+
+All wrapping u64 arithmetic; numpy unsigned ints wrap natively.  Scalar
+(python-int) versions exist for every kernel and are the ground truth for the
+vectorized versions' parity tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+
+# rustc-hash 2.x constants (reference src/utils.rs:2-17, 64-bit target).
+_K = 0xF1357AEA2E62A9C5
+_ROTATE = 26
+_SEED1 = 0x243F6A8885A308D3
+_SEED2 = 0x13198A2E03707344
+_PREVENT_TRIVIAL_ZERO_COLLAPSE = 0xA4093822299F31D0
+
+U64 = np.uint64
+_NK = U64(_K)
+_NSEED1 = U64(_SEED1)
+_NSEED2 = U64(_SEED2)
+_NPTZC = U64(_PREVENT_TRIVIAL_ZERO_COLLAPSE)
+_N32 = U64(32)
+_M32 = U64(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# scalar kernels (python ints, masked to 64 bits)
+# ---------------------------------------------------------------------------
+
+def _rotl64(v: int, r: int) -> int:
+    return ((v << r) | (v >> (64 - r))) & _M64
+
+
+def _multiply_mix(x: int, y: int) -> int:
+    full = x * y
+    return (full & _M64) ^ (full >> 64)
+
+
+def _hash_bytes(data: bytes) -> int:
+    ln = len(data)
+    s0 = _SEED1
+    s1 = _SEED2
+    if ln <= 16:
+        if ln >= 8:
+            s0 ^= int.from_bytes(data[0:8], "little")
+            s1 ^= int.from_bytes(data[ln - 8 : ln], "little")
+        elif ln >= 4:
+            s0 ^= int.from_bytes(data[0:4], "little")
+            s1 ^= int.from_bytes(data[ln - 4 : ln], "little")
+        elif ln > 0:
+            lo = data[0]
+            mid = data[ln // 2]
+            hi = data[ln - 1]
+            s0 ^= lo
+            s1 ^= (hi << 8) | mid
+    else:
+        off = 0
+        while off < ln - 16:
+            x = int.from_bytes(data[off : off + 8], "little")
+            y = int.from_bytes(data[off + 8 : off + 16], "little")
+            t = _multiply_mix(s0 ^ x, _PREVENT_TRIVIAL_ZERO_COLLAPSE ^ y)
+            s0 = s1
+            s1 = t
+            off += 16
+        s0 ^= int.from_bytes(data[ln - 16 : ln - 8], "little")
+        s1 ^= int.from_bytes(data[ln - 8 : ln], "little")
+    return _multiply_mix(s0, s1) ^ ln
+
+
+def fxhash64(data: bytes) -> int:
+    """FxHasher-compatible u64 hash of a byte string (scalar)."""
+    compressed = _hash_bytes(bytes(data))
+    return _rotl64((compressed * _K) & _M64, _ROTATE)
+
+
+def band_hash(band) -> int:
+    """FxHasher polynomial over a sequence of u32 values (scalar).
+
+    Packs pairs of u32 into u64 writes exactly like the reference
+    (src/utils.rs:195-223); remainder values written as u32.
+    """
+    h = 0
+    i = 0
+    n = len(band)
+    while i + 4 <= n:
+        val1 = (int(band[i]) | (int(band[i + 1]) << 32)) & _M64
+        val2 = (int(band[i + 2]) | (int(band[i + 3]) << 32)) & _M64
+        h = ((h + val1) * _K) & _M64
+        h = ((h + val2) * _K) & _M64
+        i += 4
+    while i < n:
+        h = ((h + int(band[i])) * _K) & _M64
+        i += 1
+    return _rotl64(h, _ROTATE)
+
+
+def permute_hash(h: int, a: int, b: int) -> int:
+    """One R-MinHash permutation: ((a*h + b) >> 32) as u32 (scalar)."""
+    return ((a * h + b) & _M64) >> 32
+
+
+def splitmix64_next(state: int) -> tuple[int, int]:
+    """One SplitMix64 step; returns (new_state, output)."""
+    state = (state + 0x9E3779B97F4A7C15) & _M64
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    z ^= z >> 31
+    return state, z
+
+
+class Xoshiro256PlusPlus:
+    """xoshiro256++ with rand_xoshiro-compatible SplitMix64 u64 seeding."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, seed: int):
+        state = seed & _M64
+        s = []
+        for _ in range(4):
+            state, z = splitmix64_next(state)
+            s.append(z)
+        self.s = s
+
+    def next_u64(self) -> int:
+        s = self.s
+        result = (_rotl64((s[0] + s[3]) & _M64, 23) + s[0]) & _M64
+        t = (s[1] << 17) & _M64
+        s[2] ^= s[0]
+        s[3] ^= s[1]
+        s[1] ^= s[2]
+        s[0] ^= s[3]
+        s[2] ^= t
+        s[3] = _rotl64(s[3], 45)
+        return result
+
+
+def build_rmin_permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a|1, b) permutation pairs as uint64 arrays (src/rminhash.rs:138-150)."""
+    if num_perm <= 0:
+        raise ValueError("num_perm must be greater than 0")
+    rng = Xoshiro256PlusPlus(seed)
+    a = np.empty(num_perm, dtype=np.uint64)
+    b = np.empty(num_perm, dtype=np.uint64)
+    for i in range(num_perm):
+        a[i] = rng.next_u64() | 1
+        b[i] = rng.next_u64()
+    return a, b
+
+
+@dataclass(frozen=True)
+class CMinParams:
+    """C-MinHash sigma/pi parameters (src/cminhash.rs:60-86)."""
+
+    num_perm: int
+    seed: int
+    sigma_a: int = field(init=False, default=0)
+    sigma_b: int = field(init=False, default=0)
+    pi_c: int = field(init=False, default=0)
+    pi_d: int = field(init=False, default=0)
+
+    def __post_init__(self):
+        if self.num_perm <= 0:
+            raise ValueError("num_perm must be greater than 0")
+        rng = Xoshiro256PlusPlus(self.seed)
+        object.__setattr__(self, "sigma_a", rng.next_u64() | 1)
+        object.__setattr__(self, "sigma_b", rng.next_u64())
+        object.__setattr__(self, "pi_c", rng.next_u64() | 1)
+        object.__setattr__(self, "pi_d", rng.next_u64())
+
+    def pi_precomputed(self) -> np.ndarray:
+        """pi_c * k + pi_d for k in 0..num_perm (src/cminhash/core.rs:38-46)."""
+        k = np.arange(self.num_perm, dtype=np.uint64)
+        return U64(self.pi_c) * k + U64(self.pi_d)
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernels
+# ---------------------------------------------------------------------------
+
+def _mulmix_vec(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized multiply_mix: lo64(x*y) ^ hi64(x*y) via 32-bit limbs."""
+    lo = x * y
+    xl = x & _M32
+    xh = x >> _N32
+    yl = y & _M32
+    yh = y >> _N32
+    ll = xl * yl
+    lh = xl * yh
+    hl = xh * yl
+    hh = xh * yh
+    carry = ((ll >> _N32) + (lh & _M32) + (hl & _M32)) >> _N32
+    hi = hh + (lh >> _N32) + (hl >> _N32) + carry
+    return lo ^ hi
+
+
+def rotl64_vec(v: np.ndarray, r: int) -> np.ndarray:
+    return (v << U64(r)) | (v >> U64(64 - r))
+
+
+def _read_u64_cols(m: np.ndarray, off: int) -> np.ndarray:
+    """Little-endian u64 read at a fixed column offset of a (k, L) u8 matrix."""
+    v = m[:, off].astype(np.uint64)
+    for j in range(1, 8):
+        v |= m[:, off + j].astype(np.uint64) << U64(8 * j)
+    return v
+
+
+def _read_u32_cols(m: np.ndarray, off: int) -> np.ndarray:
+    v = m[:, off].astype(np.uint64)
+    for j in range(1, 4):
+        v |= m[:, off + j].astype(np.uint64) << U64(8 * j)
+    return v
+
+
+def _hash_bytes_fixed_len(m: np.ndarray) -> np.ndarray:
+    """Vectorized _hash_bytes for k byte strings of identical length L."""
+    k, ln = m.shape
+    s0 = np.full(k, _NSEED1, dtype=np.uint64)
+    s1 = np.full(k, _NSEED2, dtype=np.uint64)
+    if ln <= 16:
+        if ln >= 8:
+            s0 ^= _read_u64_cols(m, 0)
+            s1 ^= _read_u64_cols(m, ln - 8)
+        elif ln >= 4:
+            s0 ^= _read_u32_cols(m, 0)
+            s1 ^= _read_u32_cols(m, ln - 4)
+        elif ln > 0:
+            s0 ^= m[:, 0].astype(np.uint64)
+            s1 ^= (m[:, ln - 1].astype(np.uint64) << U64(8)) | m[:, ln // 2].astype(np.uint64)
+    else:
+        off = 0
+        while off < ln - 16:
+            x = _read_u64_cols(m, off)
+            y = _read_u64_cols(m, off + 8)
+            t = _mulmix_vec(s0 ^ x, _NPTZC ^ y)
+            s0 = s1
+            s1 = t
+            off += 16
+        s0 = s0 ^ _read_u64_cols(m, ln - 16)
+        s1 = s1 ^ _read_u64_cols(m, ln - 8)
+    return _mulmix_vec(s0, s1) ^ U64(ln)
+
+
+def fxhash64_flat(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized fxhash64 over variable-length slices of one flat u8 buffer.
+
+    ``flat`` is a uint8 array; item i is ``flat[starts[i] : starts[i]+lengths[i]]``.
+    Items are grouped by length so each group hashes as a dense (k, L) matrix;
+    word-shingle workloads have few distinct lengths, so the python-level loop
+    is ~tens of iterations per batch regardless of item count.
+    """
+    n = len(starts)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    for ln in np.unique(lengths):
+        idx = np.flatnonzero(lengths == ln)
+        ln = int(ln)
+        if ln == 0:
+            m = np.empty((len(idx), 0), dtype=np.uint8)
+        else:
+            m = flat[starts[idx][:, None] + np.arange(ln)]
+        h = _hash_bytes_fixed_len(m)
+        out[idx] = rotl64_vec(h * _NK, _ROTATE)
+    return out
+
+
+def fxhash64_bytes_list(items: list[bytes]) -> np.ndarray:
+    """Vectorized fxhash64 over a python list of byte strings."""
+    if not items:
+        return np.empty(0, dtype=np.uint64)
+    lengths = np.fromiter((len(b) for b in items), count=len(items), dtype=np.int64)
+    starts = np.zeros(len(items), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    flat = np.frombuffer(b"".join(items), dtype=np.uint8)
+    return fxhash64_flat(flat, starts, lengths)
+
+
+def permute_hash_matrix(hashes: np.ndarray, a: np.ndarray, b: np.ndarray,
+                        out: np.ndarray | None = None) -> np.ndarray:
+    """(T, P) u32 matrix of permuted hashes: ((a*h + b) >> 32) as u32."""
+    hashes = np.asarray(hashes, dtype=np.uint64)
+    full = hashes[:, None] * a[None, :] + b[None, :]
+    res = (full >> _N32).astype(np.uint32)
+    if out is not None:
+        out[:] = res
+        return out
+    return res
+
+
+def band_hash_matrix(bands: np.ndarray) -> np.ndarray:
+    """Vectorized band_hash over a (n, band_size) uint32 matrix → (n,) uint64."""
+    bands = np.asarray(bands, dtype=np.uint32)
+    n, bs = bands.shape
+    h = np.zeros(n, dtype=np.uint64)
+    i = 0
+    while i + 4 <= bs:
+        val1 = bands[:, i].astype(np.uint64) | (bands[:, i + 1].astype(np.uint64) << _N32)
+        val2 = bands[:, i + 2].astype(np.uint64) | (bands[:, i + 3].astype(np.uint64) << _N32)
+        h = (h + val1) * _NK
+        h = (h + val2) * _NK
+        i += 4
+    while i < bs:
+        h = (h + bands[:, i].astype(np.uint64)) * _NK
+        i += 1
+    return rotl64_vec(h, _ROTATE)

@@ -1,0 +1,201 @@
+"""MinHash sketch kernels: batched R-MinHash and C-MinHash over CSR token sets.
+
+The native input layout is CSR — a flat ``uint64`` token-hash array plus row
+offsets — which is exactly a pyarrow ``list<uint64>`` array's
+(values, offsets) representation (reference: the flat fast path
+src/rminhash/pipeline.rs:294-368, exposed as
+``digest_matrix_from_flat_token_hashes`` in src/rminhash/py.rs:298-316).
+
+Semantics (bit-exact vs the reference):
+
+- R-MinHash slot k of a document = min over token hashes h of
+  ``((a_k*h + b_k) >> 32) as u32``; empty document → all ``u32::MAX``
+  (src/rminhash.rs:104-112, src/simd/dispatch.rs:197-345).
+- C-MinHash slot k = min over h of ``pi_c*(sigma_a*h + sigma_b) + (pi_c*k +
+  pi_d)`` in wrapping u64; empty → all ``u64::MAX``; the u32 digest view is
+  ``v >> 32`` (src/cminhash/core.rs:104-222, src/cminhash/py.rs:155-167).
+- Duplicate tokens are harmless (min-fold) and order is irrelevant, so we
+  deduplicate token hashes per batch (np.unique) and share the permuted
+  matrix across documents — the same result, far less work on zipfian text.
+
+Scalar reference implementations (``rmin_digest_scalar`` / ``cmin_digest_scalar``)
+are the parity ground truth for tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import CMinParams, U64, _M64, build_rmin_permutations, permute_hash
+
+RMIN_EMPTY = np.uint32(0xFFFFFFFF)
+CMIN_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+_N32 = np.uint64(32)
+
+# Bound the (tokens × num_perm) broadcast tile to ~64 MiB of u64.
+_TOKEN_TILE_ELEMS = 8 * 1024 * 1024
+
+
+def validate_offsets(offsets: np.ndarray, total: int) -> None:
+    """CSR offset validation (src/rminhash/pipeline.rs:273-292)."""
+    offsets = np.asarray(offsets)
+    if len(offsets) == 0 or offsets[0] != 0 or offsets[-1] != total:
+        raise ValueError(
+            "row_offsets must start at 0, be non-decreasing, and end at token_hashes length"
+        )
+    if len(offsets) > 1 and (np.diff(offsets) < 0).any():
+        raise ValueError(
+            "row_offsets must start at 0, be non-decreasing, and end at token_hashes length"
+        )
+
+
+def segmented_min(values: np.ndarray, offsets: np.ndarray, empty_value) -> np.ndarray:
+    """Per-segment column-wise min of a (T, P) matrix; empty segments → empty_value.
+
+    ``offsets`` is an (n+1,) int array with offsets[0]==0, offsets[-1]==T.
+    Uses ``np.minimum.reduceat`` over the starts of non-empty segments (empty
+    segments contribute no rows, so non-empty starts are exact boundaries).
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    p = values.shape[1]
+    out = np.full((n, p), empty_value, dtype=values.dtype)
+    sizes = offsets[1:] - offsets[:-1]
+    nonempty = np.flatnonzero(sizes > 0)
+    if len(nonempty) == 0:
+        return out
+    starts = offsets[:-1][nonempty]
+    out[nonempty] = np.minimum.reduceat(values, starts, axis=0)
+    return out
+
+
+def _doc_chunks(offsets: np.ndarray, num_perm: int):
+    """Yield (doc_lo, doc_hi) slices so each gathered tile stays bounded."""
+    n = len(offsets) - 1
+    max_tokens = max(_TOKEN_TILE_ELEMS // max(num_perm, 1), 1024)
+    lo = 0
+    while lo < n:
+        hi = int(np.searchsorted(offsets, offsets[lo] + max_tokens, side="left"))
+        hi = max(hi, lo + 1)
+        hi = min(hi, n)
+        yield lo, hi
+        lo = hi
+
+
+def rmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
+                       num_perm: int, seed: int,
+                       perms: tuple[np.ndarray, np.ndarray] | None = None) -> np.ndarray:
+    """R-MinHash signatures for n CSR documents → (n, num_perm) uint32."""
+    token_hashes = np.asarray(token_hashes, dtype=np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    validate_offsets(offsets, len(token_hashes))
+    a, b = perms if perms is not None else build_rmin_permutations(num_perm, seed)
+    n = len(offsets) - 1
+    out = np.full((n, num_perm), RMIN_EMPTY, dtype=np.uint32)
+    if len(token_hashes) == 0:
+        return out
+    uniq, inv = np.unique(token_hashes, return_inverse=True)
+    phi = _permute_u32_chunked(uniq, a, b)
+    for lo, hi in _doc_chunks(offsets, num_perm):
+        s, e = offsets[lo], offsets[hi]
+        if e == s:
+            continue
+        tile = phi[inv[s:e]]
+        out[lo:hi] = segmented_min(tile, offsets[lo : hi + 1] - s, RMIN_EMPTY)
+    return out
+
+
+def _permute_u32_chunked(uniq: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """((a*h+b) >> 32) u32 matrix for unique hashes, chunked to bound memory."""
+    num_perm = len(a)
+    out = np.empty((len(uniq), num_perm), dtype=np.uint32)
+    step = max(_TOKEN_TILE_ELEMS // max(num_perm, 1), 1024)
+    for s in range(0, len(uniq), step):
+        h = uniq[s : s + step]
+        full = h[:, None] * a[None, :] + b[None, :]
+        out[s : s + step] = (full >> _N32).astype(np.uint32)
+    return out
+
+
+def cmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
+                       num_perm: int, seed: int,
+                       params: CMinParams | None = None) -> np.ndarray:
+    """C-MinHash u64 signatures for n CSR documents → (n, num_perm) uint64."""
+    token_hashes = np.asarray(token_hashes, dtype=np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    validate_offsets(offsets, len(token_hashes))
+    p = params if params is not None else CMinParams(num_perm, seed)
+    n = len(offsets) - 1
+    out = np.full((n, num_perm), CMIN_EMPTY, dtype=np.uint64)
+    if len(token_hashes) == 0:
+        return out
+    uniq, inv = np.unique(token_hashes, return_inverse=True)
+    sigma = U64(p.sigma_a) * uniq + U64(p.sigma_b)
+    base = U64(p.pi_c) * sigma  # (U,)
+    pi_pre = p.pi_precomputed()  # (P,)
+    step = max(_TOKEN_TILE_ELEMS // max(num_perm, 1), 1024)
+    phi = np.empty((len(uniq), num_perm), dtype=np.uint64)
+    for s in range(0, len(uniq), step):
+        phi[s : s + step] = base[s : s + step, None] + pi_pre[None, :]
+    for lo, hi in _doc_chunks(offsets, num_perm):
+        s, e = offsets[lo], offsets[hi]
+        if e == s:
+            continue
+        tile = phi[inv[s:e]]
+        out[lo:hi] = segmented_min(tile, offsets[lo : hi + 1] - s, CMIN_EMPTY)
+    return out
+
+
+def cmin_digest_u32(digest_u64: np.ndarray) -> np.ndarray:
+    """32-bit digest view of a C-MinHash u64 signature (v >> 32)."""
+    return (np.asarray(digest_u64, dtype=np.uint64) >> _N32).astype(np.uint32)
+
+
+def jaccard_from_signatures(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Fraction of equal signature slots (src/rminhash.rs:266-294)."""
+    sig_a = np.asarray(sig_a)
+    sig_b = np.asarray(sig_b)
+    if sig_a.shape != sig_b.shape:
+        raise ValueError(
+            f"num_perm mismatch: left is {sig_a.shape[-1]}, right is {sig_b.shape[-1]}"
+        )
+    if sig_a.size == 0:
+        return 0.0
+    return float(np.mean(sig_a == sig_b))
+
+
+def pairwise_jaccard(sigs_a: np.ndarray, sigs_b: np.ndarray) -> np.ndarray:
+    """Row-wise signature Jaccard for two aligned (n, P) matrices → (n,) float64."""
+    return np.mean(sigs_a == sigs_b, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# scalar reference paths (parity ground truth for tests)
+# ---------------------------------------------------------------------------
+
+def rmin_digest_scalar(token_hashes, num_perm: int, seed: int) -> list[int]:
+    """Straight transliteration of the reference per-document min-fold."""
+    a, b = build_rmin_permutations(num_perm, seed)
+    sig = [0xFFFFFFFF] * num_perm
+    for h in token_hashes:
+        h = int(h)
+        for k in range(num_perm):
+            v = permute_hash(h, int(a[k]), int(b[k]))
+            if v < sig[k]:
+                sig[k] = v
+    return sig
+
+
+def cmin_digest_scalar(token_hashes, num_perm: int, seed: int) -> list[int]:
+    """Scalar C-MinHash (src/cminhash/core.rs:104-222)."""
+    p = CMinParams(num_perm, seed)
+    sig = [_M64] * num_perm
+    pi_pre = [((p.pi_c * k) + p.pi_d) & _M64 for k in range(num_perm)]
+    for h in token_hashes:
+        sigma = (p.sigma_a * int(h) + p.sigma_b) & _M64
+        base = (p.pi_c * sigma) & _M64
+        for k in range(num_perm):
+            v = (base + pi_pre[k]) & _M64
+            if v < sig[k]:
+                sig[k] = v
+    return sig
