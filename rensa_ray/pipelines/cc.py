@@ -1,0 +1,132 @@
+"""Distributed connected components via iterative min-label propagation.
+
+Cluster semantics generalize the reference README recipe (README.md:94-123,
+"keep the smaller doc id") to full transitive closure: every node's label
+converges to the minimum doc id reachable through candidate edges.
+
+Formulation (all partition-wise, no per-key python):
+
+    labels(node, label) ← nodes(edges), label = node
+    repeat:
+        messages  = for each edge (u, v): (v, label(u)) and (u, label(v))
+        labels'   = min over {labels, messages} grouped by node
+    until no label changed (sum of changes == 0) or max_rounds
+
+Each round is two hash-partitioned shuffles over (|V| + 2|E|) rows.  Rounds
+grow with component diameter; LSH candidate graphs are star-heavy so this
+converges in a handful of rounds.  ``checkpoint_dir`` writes labels per round
+so a killed run resumes from the last completed round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .common import np_col, partitionwise, run_ids
+
+
+def _distinct_nodes(edges, num_parts: int):
+    both = edges.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()])}),
+        batch_format="pyarrow")
+
+    def _uniq(g: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.unique(np_col(g, "node")))})
+
+    return partitionwise(both, _uniq, "node", num_parts)
+
+
+def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
+                         checkpoint_dir: str | None = None):
+    """edges(src, dst) → labels(node, label) with label = min reachable node.
+
+    Only nodes that appear in some edge are labeled (isolated docs default to
+    self-labels at attach time, see ``near_dup_clusters``).
+    """
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return edges.map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["dst"]}),
+            batch_format="pyarrow")
+
+    labels = _distinct_nodes(edges, num_parts).map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+        batch_format="pyarrow").materialize()
+
+    for rnd in range(max_rounds):
+        new_labels, changed = _propagate_round(edges, labels, num_parts)
+        labels = new_labels.materialize()
+        if checkpoint_dir is not None:
+            labels.write_parquet(f"{checkpoint_dir}/cc_round={rnd}")
+        if changed == 0:
+            break
+    return labels
+
+
+def _propagate_round(edges, labels, num_parts: int):
+    """One min-label round; returns (new_labels, #nodes whose label changed)."""
+    # join labels onto edge endpoints partition-wise:
+    # rows kind 0: (key=node, a=label, b=-)      — label records
+    # rows kind 1: (key=src,  a=dst,   b=-)      — edge, forward
+    # rows kind 2: (key=dst,  a=src,   b=-)      — edge, backward
+    lab_rows = labels.map_batches(
+        lambda b: pa.table({"key": b["node"], "val": b["label"],
+                            "kind": pa.array(np.zeros(len(b), np.int8))}),
+        batch_format="pyarrow")
+    fwd = edges.map_batches(
+        lambda b: pa.table({"key": b["src"], "val": b["dst"],
+                            "kind": pa.array(np.ones(len(b), np.int8))}),
+        batch_format="pyarrow")
+    bwd = edges.map_batches(
+        lambda b: pa.table({"key": b["dst"], "val": b["src"],
+                            "kind": pa.array(np.ones(len(b), np.int8))}),
+        batch_format="pyarrow")
+
+    def _emit_messages(g: pa.Table) -> pa.Table:
+        key = np_col(g, "key")
+        val = np_col(g, "val")
+        kind = np_col(g, "kind")
+        is_lab = kind == 0
+        lk, lv = key[is_lab], val[is_lab]
+        o = np.argsort(lk, kind="stable")
+        lk, lv = lk[o], lv[o]
+        ek, ev = key[~is_lab], val[~is_lab]
+        # label of each edge endpoint (every edge node has a label row)
+        pos = np.searchsorted(lk, ek)
+        msg_label = lv[pos] if len(ek) else ev[:0]
+        # messages to neighbors + existing labels (keeps labels monotone)
+        node = np.concatenate([ev, lk])
+        lab = np.concatenate([msg_label, lv])
+        return pa.table({"node": pa.array(node), "lab": pa.array(lab),
+                         "old": pa.array(np.concatenate(
+                             [np.full(len(ev), -1, np.int64), lv.astype(np.int64)]))})
+
+    messages = partitionwise(lab_rows.union(fwd).union(bwd), _emit_messages,
+                             "key", num_parts)
+
+    def _min_label(g: pa.Table) -> pa.Table:
+        node = np_col(g, "node")
+        lab = np_col(g, "lab").astype(np.uint64)
+        old = np_col(g, "old")
+        if len(node) == 0:
+            return pa.table({"node": pa.array(node),
+                             "label": pa.array(lab.astype(node.dtype)),
+                             "changed": pa.array([], pa.int64())})
+        order, gid, counts = run_ids(node.astype(np.uint64))
+        first = np.zeros(len(gid), dtype=bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        newlab = np.full(len(counts), np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(newlab, gid, lab[order])
+        oldlab = np.full(len(counts), -1, np.int64)
+        np.maximum.at(oldlab, gid, old[order])
+        changed = (newlab.astype(np.int64) != oldlab).astype(np.int64)
+        return pa.table({"node": pa.array(node[order][first]),
+                         "label": pa.array(newlab.astype(node.dtype)),
+                         "changed": pa.array(changed)})
+
+    merged = partitionwise(messages, _min_label, "node", num_parts).materialize()
+    changed = merged.sum("changed", ignore_nulls=True) or 0
+    return merged.select_columns(["node", "label"]), changed

@@ -1,0 +1,85 @@
+"""Partition-wise shuffle helpers.
+
+Ray Data's per-group ``groupby().aggregate`` / ``map_groups`` call Python once
+per group — ruinous for LSH band tables where group cardinality ≈ rows.  The
+scale idiom used throughout this package is instead:
+
+1. ``map_batches`` adds an explicit ``part = hash(key) % P`` column,
+2. ``groupby("part").map_groups(kernel)`` shuffles once and hands each of the
+   P partitions to a **vectorized** numpy/pyarrow kernel (P python calls
+   total, not one per key group).
+
+Keys are co-located, the kernel sorts/segments inside the partition, and P is
+the only knob that must scale with cluster size (rule of thumb: 2–4× total
+cores; each partition must fit in a worker's heap).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+PART_COL = "__part"
+
+
+def np_col(batch: pa.Table, name: str) -> np.ndarray:
+    """Column → numpy (zero-copy when possible)."""
+    return batch[name].to_numpy(zero_copy_only=False)
+
+
+def add_part_from_uint(ds, key_col: str, num_parts: int):
+    """Append ``part = key % num_parts`` (key already hash-distributed)."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        key = np_col(batch, key_col).astype(np.uint64)
+        part = (key % np.uint64(num_parts)).astype(np.int32)
+        return batch.append_column(PART_COL, pa.array(part, pa.int32()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def partitionwise(ds, kernel: Callable[[pa.Table], pa.Table], key_col: str,
+                  num_parts: int, drop_part: bool = True):
+    """Hash-partition ``ds`` on ``key_col`` and apply a vectorized kernel per partition.
+
+    ``kernel`` receives one pyarrow.Table holding ALL rows whose key hashes to
+    the same partition and returns a pyarrow.Table.  This is the package's
+    standard formulation of every keyed wide operation.
+    """
+    parted = add_part_from_uint(ds, key_col, num_parts)
+
+    def _run(group: pa.Table) -> pa.Table:
+        if drop_part and PART_COL in group.column_names:
+            group = group.drop_columns([PART_COL])
+        return kernel(group)
+
+    return parted.groupby(PART_COL).map_groups(_run, batch_format="pyarrow")
+
+
+def run_ids(*key_arrays: np.ndarray,
+            n_group_keys: int | None = None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort rows by composite key and label equal-key runs.
+
+    Returns ``(order, gid, counts)``: ``order`` sorts the rows, ``gid[i]`` is
+    the run id of sorted row i, ``counts[g]`` the run size.  Rows sort by ALL
+    ``key_arrays`` but group by only the first ``n_group_keys`` of them
+    (default: all) — pass trailing tie-break keys (e.g. doc id) to make the
+    first row of each run the group minimum.  Vectorized replacement for
+    per-key grouping.
+    """
+    n = len(key_arrays[0])
+    if n == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.int64),)
+    order = np.lexsort(tuple(reversed(key_arrays)))
+    if n_group_keys is None:
+        n_group_keys = len(key_arrays)
+    boundary = np.zeros(n, dtype=bool)
+    boundary[0] = True
+    for arr in key_arrays[:n_group_keys]:
+        s = arr[order]
+        boundary[1:] |= s[1:] != s[:-1]
+    gid = np.cumsum(boundary) - 1
+    counts = np.bincount(gid)
+    return order, gid, counts

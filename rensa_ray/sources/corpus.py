@@ -1,0 +1,189 @@
+"""Deterministic synthetic Common-Crawl-style web corpus (FIXTURES.md F1).
+
+Schema matches BASELINE.json ``input_hint``:
+
+    url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string
+
+``html`` is a fixed deterministic wrapper around ``text`` and
+``extract_text_from_html`` inverts it byte-identically (the per-row invariant:
+extracted text per url == generated text).  A sidecar ground-truth table
+records each doc's planted cluster root and its TRUE word-3-gram Jaccard to
+the root, giving exact dup-pair recall measurement at any threshold.
+
+Content plan (seed-deterministic, no external data):
+  ~60% unique zipfian docs, ~20% exact duplicates, ~15% near-duplicate
+  clusters (word edits targeting Jaccard bands around 0.8), ~5% adversarial
+  (empty / tiny / boilerplate-prefix / exotic UTF-8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HTML_PREFIX = b'<html><head><title>t</title></head><body><p>'
+HTML_SUFFIX = b"</p></body></html>"
+
+_EPOCH_2026 = np.datetime64("2026-01-01T00:00:00", "us")
+
+
+def wrap_html(text: str) -> bytes:
+    return HTML_PREFIX + text.encode("utf-8") + HTML_SUFFIX
+
+
+def extract_text_from_html(html: bytes) -> str:
+    """Inverse of ``wrap_html`` — byte-identical extraction."""
+    if not (html.startswith(HTML_PREFIX) and html.endswith(HTML_SUFFIX)):
+        raise ValueError("not a corpus-wrapped html payload")
+    return html[len(HTML_PREFIX) : len(html) - len(HTML_SUFFIX)].decode("utf-8")
+
+
+def _zipf_vocab(rng: np.random.Generator, size: int = 8000) -> np.ndarray:
+    return np.array([f"w{i}" for i in range(size)])
+
+
+def _shingles(words: list[str], n: int = 3) -> set[str]:
+    if len(words) < n:
+        return set(words)
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+def generate_corpus(n_docs: int = 10_000, seed: int = 42):
+    """Returns (corpus: pa.Table, truth: pa.Table).
+
+    truth columns: url, root_url, kind(unique|exact|near|adv),
+    true_jaccard_to_root (word-3-gram Jaccard vs the cluster root's text).
+    """
+    rng = np.random.default_rng(seed)
+    vocab = _zipf_vocab(rng)
+    nv = len(vocab)
+    # zipfian word distribution
+    ranks = np.arange(1, nv + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+
+    n_unique = int(n_docs * 0.60)
+    n_exact = int(n_docs * 0.20)
+    n_adv = max(int(n_docs * 0.05), 6)
+    n_near = n_docs - n_unique - n_exact - n_adv
+
+    texts: list[str] = []
+    kinds: list[str] = []
+    roots: list[int] = []
+    jaccs: list[float] = []
+
+    def _add(text: str, kind: str, root: int | None, jac: float):
+        texts.append(text)
+        kinds.append(kind)
+        roots.append(len(texts) - 1 if root is None else root)
+        jaccs.append(jac)
+
+    # unique base docs
+    for _ in range(n_unique):
+        n_words = int(rng.integers(30, 400))
+        words = vocab[rng.choice(nv, size=n_words, p=probs)]
+        _add(" ".join(words), "unique", None, 1.0)
+
+    # exact duplicates of earlier unique docs
+    for _ in range(n_exact):
+        src = int(rng.integers(0, n_unique))
+        _add(texts[src], "exact", src, 1.0)
+
+    # near duplicates: clusters of 2-8 edits of a base doc
+    jband = [0.95, 0.9, 0.85, 0.8, 0.7, 0.5]
+    added = 0
+    while added < n_near:
+        src = int(rng.integers(0, n_unique))
+        base_words = texts[src].split()
+        base_sh = _shingles(base_words)
+        csize = int(rng.integers(1, 8))
+        for _ in range(min(csize, n_near - added)):
+            target = jband[int(rng.integers(0, len(jband)))]
+            # each edited word kills ~ngram shingles: edits ≈ |S|(1-j)/(1+j)/n
+            k = max(1, int(round(len(base_sh) * (1 - target) / (1 + target) / 3)))
+            words = list(base_words)
+            for _ in range(k):
+                op = int(rng.integers(0, 3))
+                pos = int(rng.integers(0, max(len(words), 1)))
+                w = str(vocab[int(rng.choice(nv, p=probs))])
+                if op == 0 and len(words) > 4:
+                    del words[min(pos, len(words) - 1)]
+                elif op == 1:
+                    words.insert(pos, w)
+                elif words:
+                    words[min(pos, len(words) - 1)] = w
+            text = " ".join(words)
+            jac = _jaccard(base_sh, _shingles(words))
+            _add(text, "near", src, jac)
+            added += 1
+
+    # adversarial
+    adv_samples = ["", "   ", "one", "one two",
+                   "common boilerplate prefix " * 4 + "tail",
+                   "ünïcödé tökens   mixed 　 whitespace"]
+    for i in range(n_adv):
+        if i < len(adv_samples):
+            _add(adv_samples[i], "adv", None, 1.0)
+        else:
+            n_words = int(rng.integers(1, 4))
+            words = vocab[rng.choice(nv, size=n_words, p=probs)]
+            _add(" ".join(words), "adv", None, 1.0)
+
+    n = len(texts)
+    # deterministic shuffle so duplicates aren't adjacent on disk
+    perm = rng.permutation(n)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+
+    urls = np.array([f"https://example-{inv[i]:08d}.test/p/{kinds[i][0]}" for i in range(n)])
+    lang_pool = np.array(["en"] * 17 + ["de", "fr", "es"])
+    langs = lang_pool[rng.integers(0, len(lang_pool), size=n)]
+    ts = _EPOCH_2026 + (inv * np.timedelta64(1, "s")).astype("timedelta64[us]")
+
+    order = np.argsort(inv, kind="stable")  # rows ordered by shuffled position
+    corpus = pa.table({
+        "url": pa.array(urls[order]),
+        "warc_ts": pa.array(ts[order]),
+        "html": pa.array([wrap_html(texts[i]) for i in order], pa.binary()),
+        "text": pa.array([texts[i] for i in order]),
+        "lang": pa.array(langs[order]),
+    })
+    truth = pa.table({
+        "url": pa.array(urls[order]),
+        "root_url": pa.array([urls[roots[i]] for i in order]),
+        "kind": pa.array([kinds[i] for i in order]),
+        "true_jaccard_to_root": pa.array([jaccs[i] for i in order], pa.float64()),
+    })
+    return corpus, truth
+
+
+def write_corpus(out_dir: str, n_docs: int = 10_000, seed: int = 42,
+                 n_shards: int = 8) -> tuple[str, str]:
+    """Write a sharded corpus + truth sidecar; returns (corpus_dir, truth_path).
+
+    Sharded layout (one file per shard) is what makes downstream runs
+    resumable / partition-parallel.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    corpus, truth = generate_corpus(n_docs, seed)
+    cdir = os.path.join(out_dir, "corpus")
+    os.makedirs(cdir, exist_ok=True)
+    n = corpus.num_rows
+    per = (n + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        shard = corpus.slice(s * per, per)
+        if shard.num_rows:
+            pq.write_table(shard, os.path.join(cdir, f"part-{s:05d}.parquet"))
+    tpath = os.path.join(out_dir, "truth.parquet")
+    pq.write_table(truth, tpath)
+    return cdir, tpath

@@ -1,0 +1,102 @@
+"""Signature stages — stateful actor-pool callables for ``map_batches``.
+
+The signer holds the (seed-derived) permutation constants and emits one
+MinHash signature row per input document.  Setup runs once per actor in
+``__init__``; ``__call__`` is fully vectorized per batch.
+
+Reference semantics: ``RMinHash.digest_matrix_from_token_sets`` and the
+C-MinHash batch builders (src/rminhash/pipeline.rs:370-640,
+src/cminhash/batch.rs:127-191), with the benchmark shingler
+(benchmarks/full_benchmark.py:306-310) fused in front.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.hashing import CMinParams, build_rmin_permutations
+from ..kernels.shingle import batch_shingle_hashes
+from ..kernels.sketch import cmin_digest_matrix, rmin_digest_matrix
+
+SIG_COL = "sig"
+
+
+def sig_to_arrow(sig: np.ndarray) -> pa.FixedSizeListArray:
+    """(n, P) signature matrix → Arrow fixed_size_list column (zero-copy)."""
+    n, p = sig.shape
+    values = pa.array(sig.reshape(-1), type=pa.from_numpy_dtype(sig.dtype))
+    return pa.FixedSizeListArray.from_arrays(values, p)
+
+
+def sig_from_arrow(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow fixed_size_list column → (n, P) numpy matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    p = col.type.list_size
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, p)
+
+
+class MinHashSigner:
+    """Actor-pool signature stage: (id, text) batches → (id, sig) batches.
+
+    Args:
+        num_perm: signature width (reference default 128).
+        seed: permutation seed — any worker rebuilds identical permutations
+            from (num_perm, seed), which is what makes the stage stateless
+            across retries (src/rminhash.rs:121-134).
+        ngram_size: word-shingle width (3 = reference benchmark default).
+        algo: "rmin" (u32 digests) or "cmin" (u64 digests).
+        id_col / text_col: input column names; only ``id_col`` and ``sig``
+            are emitted (keep payload columns out of the shuffle).
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42, ngram_size: int = 3,
+                 algo: str = "rmin", id_col: str = "doc_id", text_col: str = "text"):
+        if algo not in ("rmin", "cmin"):
+            raise ValueError(f"unknown algo {algo!r}")
+        self.num_perm = num_perm
+        self.seed = seed
+        self.ngram_size = ngram_size
+        self.algo = algo
+        self.id_col = id_col
+        self.text_col = text_col
+        if algo == "rmin":
+            self._perms = build_rmin_permutations(num_perm, seed)
+            self._params = None
+        else:
+            self._perms = None
+            self._params = CMinParams(num_perm, seed)
+
+    def sign_texts(self, texts: list[str]) -> np.ndarray:
+        hashes, offsets = batch_shingle_hashes(texts, self.ngram_size)
+        if self.algo == "rmin":
+            return rmin_digest_matrix(hashes, offsets, self.num_perm, self.seed,
+                                      perms=self._perms)
+        return cmin_digest_matrix(hashes, offsets, self.num_perm, self.seed,
+                                  params=self._params)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        texts = ["" if t is None else t for t in texts]
+        sig = self.sign_texts(texts)
+        return pa.table({self.id_col: batch[self.id_col], SIG_COL: sig_to_arrow(sig)})
+
+
+class TokenHasher:
+    """Tokenize-only stage: text → ``token_hashes: list<uint64>`` (reference
+    ``RMinHash.hash_token_sets``, src/rminhash/py.rs:175-182).  Useful to
+    share shingling between R- and C-MinHash stages."""
+
+    def __init__(self, ngram_size: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+        self.ngram_size = ngram_size
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        texts = ["" if t is None else t for t in texts]
+        hashes, offsets = batch_shingle_hashes(texts, self.ngram_size)
+        col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       pa.array(hashes, pa.uint64()))
+        return pa.table({self.id_col: batch[self.id_col], "token_hashes": col})

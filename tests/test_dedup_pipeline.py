@@ -1,0 +1,145 @@
+"""End-to-end near-dup pipeline tests vs an in-process brute-force oracle.
+
+The oracle recomputes one-shot duplicate flags (src/lsh/one_shot.rs:294-332
+semantics) and union-find clusters directly from the scalar kernels, so the
+Ray pipeline's shuffle formulation is checked against an independent
+implementation of the same math.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rensa_ray.kernels.shingle import shingle_hashes_scalar
+from rensa_ray.kernels.sketch import rmin_digest_scalar, jaccard_from_signatures
+from rensa_ray.kernels.hashing import band_hash
+from rensa_ray.pipelines.dedup import (
+    DedupConfig, compute_signatures, duplicate_flags, near_dup_clusters, dedup,
+)
+
+CFG = DedupConfig(num_perm=32, num_bands=8, threshold=0.8, seed=42,
+                  ngram_size=3, num_parts=8, batch_size=64, concurrency=2)
+
+
+def make_corpus():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    # unique docs
+    for i in range(120):
+        words = rng.choice(vocab, size=rng.integers(10, 60))
+        docs.append(" ".join(words))
+    # exact duplicates
+    for i in range(30):
+        docs.append(docs[i])
+    # near duplicates: single-word edits
+    for i in range(30, 70):
+        words = docs[i].split()
+        j = int(rng.integers(0, len(words)))
+        words[j] = "edited"
+        docs.append(" ".join(words))
+    # adversarial
+    docs += ["", "   ", "one", "one two", "common prefix " * 5]
+    return docs
+
+
+def oracle(docs, cfg: DedupConfig):
+    """Brute-force flags + union-find clusters with scalar kernels."""
+    sigs = [rmin_digest_scalar(shingle_hashes_scalar(t, cfg.ngram_size),
+                               cfg.num_perm, cfg.seed) for t in docs]
+    band_size = cfg.num_perm // cfg.num_bands
+    n = len(docs)
+    flags = [False] * n
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for b in range(cfg.num_bands):
+        buckets = {}
+        for i in range(n):
+            h = band_hash(sigs[i][b * band_size:(b + 1) * band_size])
+            buckets.setdefault(h, []).append(i)
+        for members in buckets.values():
+            if len(members) >= 2:
+                for m in members:
+                    flags[m] = True
+                    union(members[0], m)
+    clusters = [find(i) for i in range(n)]
+    return flags, clusters, sigs
+
+
+@pytest.fixture(scope="module")
+def corpus_and_oracle():
+    docs = make_corpus()
+    flags, clusters, sigs = oracle(docs, CFG)
+    return docs, flags, clusters, sigs
+
+
+def _ds_from_docs(docs):
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    return rd.from_arrow(t).repartition(4)
+
+
+def test_signatures_match_scalar(ray_session, corpus_and_oracle):
+    docs, _, _, sigs = corpus_and_oracle
+    ds = _ds_from_docs(docs)
+    out = compute_signatures(ds, CFG).to_pandas().sort_values("doc_id")
+    for i, row in zip(out["doc_id"], out["sig"]):
+        assert list(row) == sigs[int(i)], f"sig mismatch doc {i}"
+
+
+def test_duplicate_flags_match_oracle(ray_session, corpus_and_oracle):
+    docs, flags, _, _ = corpus_and_oracle
+    ds = _ds_from_docs(docs)
+    out = duplicate_flags(ds, CFG).to_pandas().sort_values("doc_id")
+    assert len(out) == len(docs)
+    got = out["is_dup"].tolist()
+    assert got == flags
+
+
+def test_clusters_match_oracle(ray_session, corpus_and_oracle):
+    docs, _, clusters, _ = corpus_and_oracle
+    ds = _ds_from_docs(docs)
+    out = near_dup_clusters(ds, CFG).to_pandas().sort_values("doc_id")
+    assert len(out) == len(docs)
+    got = out["cluster_id"].tolist()
+    assert got == clusters
+
+
+def test_dedup_keeps_cluster_minima(ray_session, corpus_and_oracle):
+    docs, _, clusters, _ = corpus_and_oracle
+    ds = _ds_from_docs(docs)
+    kept = dedup(ds, CFG).to_pandas().sort_values("doc_id")
+    expected = sorted(set(clusters))
+    assert kept["doc_id"].tolist() == expected
+    # payload preserved
+    for i, t in zip(kept["doc_id"], kept["text"]):
+        assert t == docs[int(i)]
+
+
+def test_verify_gate_removes_low_jaccard_pairs(ray_session):
+    # two docs that collide in some band but with jaccard < 1: with a very
+    # high threshold the verified clustering must keep them separate while
+    # the unverified one merges them.
+    docs = ["a b c d e f g h i j", "a b c d e f g h i j", "z y x w v u t s r q"]
+    ds = _ds_from_docs(docs)
+    cfg = DedupConfig(num_perm=32, num_bands=8, threshold=1.01, seed=42,
+                      num_parts=4, batch_size=8, concurrency=1, verify=True)
+    # jaccard(exact dup) == 1.0 < 1.01 → the verify gate cuts every edge
+    out = near_dup_clusters(ds, cfg).to_pandas().sort_values("doc_id")
+    assert out["cluster_id"].tolist() == [0, 1, 2]
+    cfg2 = DedupConfig(num_perm=32, num_bands=8, threshold=0.99, seed=42,
+                       num_parts=4, batch_size=8, concurrency=1, verify=True)
+    out2 = near_dup_clusters(ds, cfg2).to_pandas().sort_values("doc_id")
+    assert out2["cluster_id"].tolist() == [0, 0, 2]
