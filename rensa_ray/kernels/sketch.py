@@ -86,6 +86,9 @@ def rmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
                        num_perm: int, seed: int,
                        perms: tuple[np.ndarray, np.ndarray] | None = None) -> np.ndarray:
     """R-MinHash signatures for n CSR documents → (n, num_perm) uint32."""
+    from .hashing import tune_allocator
+
+    tune_allocator()
     token_hashes = np.asarray(token_hashes, dtype=np.uint64)
     offsets = np.asarray(offsets, dtype=np.int64)
     validate_offsets(offsets, len(token_hashes))
@@ -121,6 +124,9 @@ def cmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
                        num_perm: int, seed: int,
                        params: CMinParams | None = None) -> np.ndarray:
     """C-MinHash u64 signatures for n CSR documents → (n, num_perm) uint64."""
+    from .hashing import tune_allocator
+
+    tune_allocator()
     token_hashes = np.asarray(token_hashes, dtype=np.uint64)
     offsets = np.asarray(offsets, dtype=np.int64)
     validate_offsets(offsets, len(token_hashes))

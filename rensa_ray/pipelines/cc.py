@@ -38,18 +38,63 @@ def _distinct_nodes(edges, num_parts: int):
     return partitionwise(both, _uniq, "node", num_parts)
 
 
+def local_min_labels(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory CC: vectorized min-label propagation with pointer jumping.
+
+    Returns (nodes, labels) where labels[i] = min node id reachable from
+    nodes[i].  O((V+E) · log) fully-numpy; used when the candidate-edge set
+    fits one machine (edges are a tiny fraction of the corpus — the knob
+    ``driver_cc_threshold`` bounds the driver's memory).
+    """
+    both = np.concatenate([src, dst])
+    nodes, idx = np.unique(both, return_inverse=True)
+    m = len(src)
+    s, d = idx[:m], idx[m:]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        l2 = label.copy()
+        np.minimum.at(l2, d, label[s])
+        np.minimum.at(l2, s, label[d])
+        while True:
+            l3 = l2[l2]
+            if np.array_equal(l3, l2):
+                break
+            l2 = l3
+        if np.array_equal(l2, label):
+            break
+        label = l2
+    return nodes, nodes[label]
+
+
 def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         driver_cc_threshold: int = 5_000_000):
     """edges(src, dst) → labels(node, label) with label = min reachable node.
 
     Only nodes that appear in some edge are labeled (isolated docs default to
-    self-labels at attach time, see ``near_dup_clusters``).
+    self-labels at attach time, see ``near_dup_clusters``).  Edge sets up to
+    ``driver_cc_threshold`` rows collapse on the driver (they are ~pairs of
+    near-dups, a small fraction of the corpus); larger graphs run the
+    distributed label-propagation loop.
     """
     edges = edges.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return edges.map_batches(
             lambda b: pa.table({"node": b["src"], "label": b["dst"]}),
             batch_format="pyarrow")
+
+    if n_edges <= driver_cc_threshold:
+        import ray
+        import ray.data as rd
+
+        tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+        nodes, labels = local_min_labels(src, dst)
+        out = pa.table({"node": pa.array(nodes, tbl.schema.field("src").type),
+                        "label": pa.array(labels, tbl.schema.field("src").type)})
+        return rd.from_arrow(out)
 
     labels = _distinct_nodes(edges, num_parts).map_batches(
         lambda b: pa.table({"node": b["node"], "label": b["node"]}),
