@@ -1,44 +1,357 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup pipeline on sf0.001; ``queries()``
+exposes one callable per implemented operator (SURVEY.md §2 + the
+training-data-pipeline extensions); ``oracle_sql()`` pairs each
+SQL-expressible one with DuckDB SQL over the same parquet views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in rensa_ray) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Every callable returns a pyarrow.Table with a pinned schema (results at
+sf0.01 are small; the heavy lifting runs inside Ray Data) so empty results
+keep their schema for the driver's column-wise comparison.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyarrow as pa  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+I64, F64, STR, BOOL, U64 = pa.int64(), pa.float64(), pa.string(), pa.bool_(), pa.uint64()
+TS = pa.timestamp("us")
+
+
+def _to_table(res) -> pa.Table:
+    import pandas as pd
+
+    try:
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            import ray
+
+            tables = ray.get(res.to_arrow_refs())
+            tables = [t for t in tables if t.num_rows > 0]
+            if not tables:
+                return pa.table({})
+            return pa.concat_tables(tables, promote_options="permissive")
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    return res
+
+
+def _fin(res, schema: pa.Schema) -> pa.Table:
+    """Materialize + pin schema (empty results keep columns/types)."""
+    tbl = _to_table(res)
+    if tbl.num_rows == 0:
+        return schema.empty_table()
+    tbl = tbl.select(schema.names)
+    return tbl.cast(schema)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Near-dup clustering flagship on sf0.001 documents:
+    (doc_id, cluster_id, is_dup) for every document."""
+    import numpy as np
+    import ray.data as rd
 
+    from rensa_ray.pipelines.common import np_col, partitionwise, run_ids
+    from rensa_ray.pipelines.dedup import DedupConfig, near_dup_clusters
+
+    cfg = DedupConfig(num_parts=16, concurrency=2)
+    ds = rd.read_parquet(f"{SF0001}/documents.parquet", columns=["doc_id", "text"])
+    clusters = near_dup_clusters(ds, cfg)
+
+    def _sizes(g: pa.Table) -> pa.Table:
+        cl = np_col(g, "cluster_id")
+        ids = np_col(g, "doc_id")
+        order, gid, counts = run_ids(cl.astype(np.uint64))
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "cluster_id": pa.array(cl[order], pa.int64()),
+                         "is_dup": pa.array(counts[gid] >= 2)})
+
+    return partitionwise(clusters, _sizes, "cluster_id", cfg.num_parts)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rensa_ray.pipelines import knn, simjoin, textops
+    from rensa_ray.pipelines.dedup import DedupConfig, duplicate_flags, near_dup_clusters
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs_ds(sf_dir):
+        import ray.data as rd
 
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def minhash_dup_flags(sf_dir):
+        cfg = DedupConfig(num_parts=16, concurrency=2)
+        return _fin(duplicate_flags(_docs_ds(sf_dir), cfg),
+                    pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
+
+    def cminhash_dup_flags(sf_dir):
+        cfg = DedupConfig(num_parts=16, concurrency=2, algo="cmin")
+        return _fin(duplicate_flags(_docs_ds(sf_dir), cfg),
+                    pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
+
+    def minhash_clusters(sf_dir):
+        cfg = DedupConfig(num_parts=16, concurrency=2)
+        return _fin(near_dup_clusters(_docs_ds(sf_dir), cfg),
+                    pa.schema([("doc_id", I64), ("cluster_id", I64)]))
+
+    def minhash_clusters_verified(sf_dir):
+        cfg = DedupConfig(num_parts=16, concurrency=2, verify=True)
+        return _fin(near_dup_clusters(_docs_ds(sf_dir), cfg),
+                    pa.schema([("doc_id", I64), ("cluster_id", I64)]))
+
+    def minhash_dedup_kept(sf_dir):
+        from rensa_ray.pipelines.dedup import dedup
+
+        cfg = DedupConfig(num_parts=16, concurrency=2)
+        kept = dedup(_docs_ds(sf_dir), cfg).select_columns(["doc_id"])
+        return _fin(kept, pa.schema([("doc_id", I64)]))
+
+    q: dict[str, Callable[[str], Any]] = {
+        # exact dedup family -------------------------------------------------
+        "exact_dup_groups": lambda sf: _fin(
+            textops.exact_dup_groups(sf),
+            pa.schema([("text_md5", STR), ("keep_id", I64), ("group_size", I64)])),
+        "exact_dedup_kept": lambda sf: _fin(
+            textops.exact_dedup_kept(sf), pa.schema([("doc_id", I64)])),
+        "exact_dup_pairs": lambda sf: _fin(
+            textops.exact_dup_pairs(sf),
+            pa.schema([("id_a", I64), ("id_b", I64)])),
+        # near-dup (MinHash / SimHash / set-similarity) ----------------------
+        "minhash_dup_flags": minhash_dup_flags,
+        "cminhash_dup_flags": cminhash_dup_flags,
+        "minhash_clusters": minhash_clusters,
+        "minhash_clusters_verified": minhash_clusters_verified,
+        "minhash_dedup_kept": minhash_dedup_kept,
+        "simhash_sketches": lambda sf: _fin(
+            simjoin.simhash_sketches(sf),
+            pa.schema([("doc_id", I64), ("simhash", U64)])),
+        "simhash_dup_flags": lambda sf: _fin(
+            simjoin.simhash_dup_flags(sf),
+            pa.schema([("doc_id", I64), ("is_dup", BOOL)])),
+        "ngram_jaccard_pairs": lambda sf: _fin(
+            simjoin.ngram_jaccard_pairs(sf, threshold=0.5),
+            pa.schema([("id_a", I64), ("id_b", I64)])),
+        # similarity search --------------------------------------------------
+        "cosine_topk": lambda sf: _fin(
+            knn.cosine_topk(sf, k=5, num_queries=10),
+            pa.schema([("query_id", I64), ("neighbor_id", I64), ("rank", I64)])),
+        "cosine_pairs": lambda sf: _fin(
+            knn.cosine_pairs(sf, threshold=0.9),
+            pa.schema([("id_a", I64), ("id_b", I64)])),
+        "cosine_pairs_lsh": lambda sf: _fin(
+            knn.cosine_pairs_lsh(sf, threshold=0.9),
+            pa.schema([("id_a", I64), ("id_b", I64)])),
+        "embedding_label_centroids": lambda sf: _fin(
+            knn.embedding_label_centroids(sf),
+            pa.schema([("label", I64), ("n_vecs", I64), ("centroid_norm", F64)])),
+        # text analysis ------------------------------------------------------
+        "doc_token_counts": lambda sf: _fin(
+            textops.doc_token_counts(sf),
+            pa.schema([("doc_id", I64), ("n_tokens", I64), ("n_shingles", I64)])),
+        "doc_stats_by_lang": lambda sf: _fin(
+            textops.doc_stats_by_lang(sf),
+            pa.schema([("lang", STR), ("n_docs", I64), ("total_chars", I64),
+                       ("avg_chars", F64)])),
+        "lang_counts": lambda sf: _fin(
+            textops.lang_counts(sf), pa.schema([("lang", STR), ("n_docs", I64)])),
+        "filter_english_long": lambda sf: _fin(
+            textops.filter_english_long(sf),
+            pa.schema([("doc_id", I64), ("n_chars", I64)])),
+        "top_longest": lambda sf: _fin(
+            textops.top_longest(sf),
+            pa.schema([("doc_id", I64), ("n_chars", I64)])),
+        "length_histogram": lambda sf: _fin(
+            textops.length_histogram(sf),
+            pa.schema([("bucket_lo", I64), ("n_docs", I64)])),
+        "top_tokens": lambda sf: _fin(
+            textops.top_tokens(sf, k=20),
+            pa.schema([("token", STR), ("cnt", I64)])),
+        "distinct_token_count": lambda sf: _fin(
+            textops.distinct_token_count(sf),
+            pa.schema([("n_distinct", I64)])),
+        "total_token_count": lambda sf: _fin(
+            textops.total_token_count(sf),
+            pa.schema([("total_tokens", I64)])),
+        "doc_quality": lambda sf: _fin(
+            textops.doc_quality(sf),
+            pa.schema([("doc_id", I64), ("word_count", I64),
+                       ("mean_word_len", F64), ("stopword_ratio", F64),
+                       ("alnum_ratio", F64)])),
+        "doc_lang_pred": lambda sf: _fin(
+            textops.doc_lang_pred(sf),
+            pa.schema([("doc_id", I64), ("lang_pred", STR)])),
+        "doc_fingerprint": lambda sf: _fin(
+            textops.doc_fingerprint(sf),
+            pa.schema([("doc_id", I64), ("fp", U64)])),
+        # events (grouped / windowed aggregates) -----------------------------
+        "events_by_type": lambda sf: _fin(
+            textops.events_by_type(sf),
+            pa.schema([("event_type", STR), ("n_events", I64),
+                       ("total_value", F64)])),
+        "events_hourly": lambda sf: _fin(
+            textops.events_hourly(sf),
+            pa.schema([("event_type", STR), ("hour", TS), ("n_events", I64)])),
+        "user_sessions": lambda sf: _fin(
+            textops.user_sessions(sf),
+            pa.schema([("user_id", I64), ("n_sessions", I64), ("n_events", I64)])),
+    }
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered on the same parquet)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS group_size
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2""",
+        "exact_dedup_kept": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
+        "exact_dup_pairs": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b
+              ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""",
+        "ngram_jaccard_pairs": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_transform(
+                              generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          ELSE w END AS sh
+              FROM t),
+            e AS (
+              SELECT DISTINCT doc_id, s
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+            co AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b
+            FROM co JOIN sz sa ON sa.doc_id = co.id_a
+                    JOIN sz sb ON sb.doc_id = co.id_b
+            WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""",
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 10),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS score
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            r AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM s)
+            SELECT query_id, neighbor_id, rank::BIGINT AS rank
+            FROM r WHERE rank <= 5""",
+        "cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.9""",
+        "embedding_label_centroids": """
+            WITH d AS (
+              SELECT label, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding::DOUBLE[]) AS v
+              FROM embeddings),
+            c AS (
+              SELECT label, i, SUM(v) / COUNT(*) AS cv
+              FROM d GROUP BY label, i),
+            n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+            SELECT n.label::BIGINT AS label, n.n_vecs,
+                   ROUND(sqrt(SUM(c.cv * c.cv)), 6) AS centroid_norm
+            FROM c JOIN n ON c.label = n.label
+            GROUP BY n.label, n.n_vecs""",
+        "doc_token_counts": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                         AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens >= 3 THEN n_tokens - 2 ELSE n_tokens END
+                       AS n_shingles
+            FROM t""",
+        "doc_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(n_chars)::BIGINT AS total_chars,
+                   ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 6) AS avg_chars
+            FROM documents GROUP BY lang""",
+        "lang_counts": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang""",
+        "filter_english_long": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars >= 500""",
+        "top_longest": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20""",
+        "length_histogram": """
+            SELECT (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs
+            FROM documents GROUP BY (n_chars // 100) * 100""",
+        "top_tokens": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> '')
+            SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+            ORDER BY cnt DESC, token ASC LIMIT 20""",
+        "distinct_token_count": """
+            SELECT COUNT(DISTINCT token) AS n_distinct FROM (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> '')""",
+        "total_token_count": """
+            SELECT SUM(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END)::BIGINT AS total_tokens
+            FROM documents""",
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY event_type""",
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "user_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events)
+            SELECT user_id,
+                   SUM(CASE WHEN prev IS NULL
+                             OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM o GROUP BY user_id""",
+    }

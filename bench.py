@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: time the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: run the flagship web-corpus dedup twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for N vs
+4N Ray nodes) and report both throughputs + scaling efficiency.
+
+``--worker CPUS`` (internal): one flagship run in this process; prints JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+WEB_DOCS = int(os.environ.get("RENSA_BENCH_WEB_DOCS", "50000"))
+CORPUS_SEED = 12345
+
+
+def _corpus_dir(n_docs: int) -> str:
+    """Deterministic synthetic web corpus, generated once and cached."""
+    base = f"/tmp/rensa_bench/corpus_{n_docs}_{CORPUS_SEED}"
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        from rensa_ray.sources.corpus import write_corpus
+
+        shutil.rmtree(base, ignore_errors=True)
+        write_corpus(base, n_docs=n_docs, seed=CORPUS_SEED, n_shards=64)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(base, "corpus")
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _flagship_webdedup(num_cpus: int, n_docs: int) -> dict:
+    """Full web dedup (sign → band shuffle → edges → CC → assignments)."""
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.pipelines.webdedup import run_web_dedup
+
+    cdir = _corpus_dir(n_docs)
+    out = f"/tmp/rensa_bench/out_{n_docs}_{num_cpus}_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    # leave CPU headroom for the read/write tasks feeding the actor pool —
+    # an actor pool sized to the whole cluster deadlocks the upstream read
+    cfg = DedupConfig(id_col="uid", num_parts=max(2 * num_cpus, 16),
+                      concurrency=max(2, num_cpus - 4), batch_size=2048)
+    t0 = time.time()
+    assignments, manifest = run_web_dedup(cdir, out, cfg=cfg, checkpoint=True)
+    rows = assignments.count()
+    wall = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return {"rows": rows, "sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "stages": {k: v["wall_sec"] for k, v in manifest["stages"].items()}}
+
+
+def run_suite() -> dict:
+    _init_ray(NUM_CPUS)
+    import __ray_entry__ as mod
+
+    qfns = mod.queries()
+    headline = [
+        "minhash_dup_flags", "minhash_clusters", "cminhash_dup_flags",
+        "simhash_dup_flags", "exact_dedup_kept", "ngram_jaccard_pairs",
+        "cosine_pairs_lsh", "cosine_topk", "top_tokens", "user_sessions",
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        qfns[name](SF_DIR)
+        times[name] = round(time.time() - t0, 3)
+
+    web = _flagship_webdedup(NUM_CPUS, WEB_DOCS)
+    times["webcorpus_dedup"] = web["sec"]
+
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "dedup+ops suite wall time (flagship: 50k-doc web corpus near-dup dedup)",
+        "value": total, "unit": "sec", "queries": times,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "web_docs": WEB_DOCS, "web_docs_per_sec": web["docs_per_sec"],
+        "web_stage_sec": web["stages"],
+    }
+
+
+def run_worker(num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    web = _flagship_webdedup(num_cpus, WEB_DOCS)
+    return {"num_cpus": num_cpus, **web}
+
+
+def run_scaling() -> dict:
+    """Same flagship job at 8 and 32 CPUs in fresh processes."""
+    _corpus_dir(WEB_DOCS)  # generate once, outside the timed runs
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True, text=True, timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    speedup = t32 / t8
+    efficiency = speedup / (32 / 8)
+    return {
+        "metric": "flagship web dedup scaling 8→32 cpus (stand-in for N→4N nodes)",
+        "value": round(efficiency, 3), "unit": "scaling_efficiency",
+        "queries": {"docs_per_sec_8cpu": t8, "docs_per_sec_32cpu": t32,
+                    "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],
+                    "speedup": round(speedup, 3)},
+        "sf": f"synthetic web corpus n={WEB_DOCS}", "num_cpus": 32,
+    }
+
+
+def main():
+    import ray
+
+    if "--worker" in sys.argv:
+        out = run_worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+    elif "--scaling" in sys.argv:
+        out = run_scaling()
+    else:
+        out = run_suite()
+    print(json.dumps(out))
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

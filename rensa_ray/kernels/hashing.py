@@ -251,17 +251,13 @@ def rotl64_vec(v: np.ndarray, r: int) -> np.ndarray:
 
 def _read_u64_cols(m: np.ndarray, off: int) -> np.ndarray:
     """Little-endian u64 read at a fixed column offset of a (k, L) u8 matrix."""
-    v = m[:, off].astype(np.uint64)
-    for j in range(1, 8):
-        v |= m[:, off + j].astype(np.uint64) << U64(8 * j)
-    return v
+    sub = np.ascontiguousarray(m[:, off : off + 8])
+    return sub.view("<u8").reshape(len(m)).astype(np.uint64, copy=False)
 
 
 def _read_u32_cols(m: np.ndarray, off: int) -> np.ndarray:
-    v = m[:, off].astype(np.uint64)
-    for j in range(1, 4):
-        v |= m[:, off + j].astype(np.uint64) << U64(8 * j)
-    return v
+    sub = np.ascontiguousarray(m[:, off : off + 4])
+    return sub.view("<u4").reshape(len(m)).astype(np.uint64)
 
 
 def _hash_bytes_fixed_len(m: np.ndarray) -> np.ndarray:
@@ -309,11 +305,18 @@ def fxhash64_flat(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> 
     flat = np.ascontiguousarray(flat, dtype=np.uint8)
     starts = np.asarray(starts, dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
-    for ln in np.unique(lengths):
-        idx = np.flatnonzero(lengths == ln)
-        ln = int(ln)
+    # one argsort groups all equal-length items (avoids a full lengths==ln
+    # scan per distinct length)
+    order = np.argsort(lengths, kind="stable")
+    ls = lengths[order]
+    bounds = np.flatnonzero(np.diff(ls)) + 1
+    group_starts = np.concatenate([[0], bounds, [n]])
+    for g in range(len(group_starts) - 1):
+        lo, hi = group_starts[g], group_starts[g + 1]
+        idx = order[lo:hi]
+        ln = int(ls[lo])
         if ln == 0:
-            m = np.empty((len(idx), 0), dtype=np.uint8)
+            m = np.empty((hi - lo, 0), dtype=np.uint8)
         else:
             m = flat[starts[idx][:, None] + np.arange(ln)]
         h = _hash_bytes_fixed_len(m)
@@ -360,3 +363,18 @@ def band_hash_matrix(bands: np.ndarray) -> np.ndarray:
         h = (h + bands[:, i].astype(np.uint64)) * _NK
         i += 1
     return rotl64_vec(h, _ROTATE)
+
+
+def splitmix64_stream(seed: int, n: int) -> np.ndarray:
+    """Vectorized stateless SplitMix64 stream: out[i] = mix(seed + (i+1)*GAMMA).
+
+    Counter-mode form of SplitMix64 (identical mixer constants to
+    ``splitmix64_next``); any worker regenerates the stream from (seed, n).
+    Used for deterministic auxiliary randomness (e.g. LSH hyperplanes).
+    """
+    gamma = np.uint64(0x9E3779B97F4A7C15)
+    idx = np.arange(1, n + 1, dtype=np.uint64)
+    z = np.uint64(seed) + idx * gamma
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))

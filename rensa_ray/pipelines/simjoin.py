@@ -1,0 +1,220 @@
+"""Set-similarity join and SimHash near-dup pipelines over the documents table.
+
+- ``ngram_jaccard_pairs`` — exact n-gram-set Jaccard self-join via an
+  inverted shingle index: explode (shingle_hash, doc_id), co-occurrence
+  counts per doc pair inside one hash-partitioned shuffle, then
+  jaccard = c / (|A| + |B| - c) with per-doc distinct-shingle sizes joined
+  in the same shuffle.  Exact (modulo 2⁻⁶⁴ shingle-hash collisions) and
+  SQL-checkable; at web scale the MinHash-LSH pipeline (pipelines.dedup) is
+  the approximate fast path and this is the verify lane.
+- ``simhash_sketches`` / ``simhash_dup_flags`` — 64-bit Charikar SimHash
+  with pigeonhole banding: docs within Hamming distance < num_bands collide
+  on ≥1 exact band, reusing the (band_id, band_hash) shuffle shape from the
+  MinHash pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.simhash import simhash64, simhash_bands
+from ..kernels.shingle import batch_shingle_hashes
+from .common import np_col, partitionwise, run_ids
+
+DOC_FILE = "documents.parquet"
+
+
+def _read_docs(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{DOC_FILE}", columns=columns)
+
+
+def _explode_distinct_shingles(batch: pa.Table, ngram_size: int) -> pa.Table:
+    """(doc_id, shingle_hash, doc_size) rows — one per DISTINCT shingle."""
+    texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+    hashes, offsets = batch_shingle_hashes(texts, ngram_size)
+    ids = np_col(batch, "doc_id")
+    out_h, out_d = [], []
+    sizes = np.zeros(len(ids), np.int64)
+    for i in range(len(ids)):
+        u = np.unique(hashes[offsets[i] : offsets[i + 1]])
+        sizes[i] = len(u)
+        out_h.append(u)
+        out_d.append(np.full(len(u), ids[i], ids.dtype))
+    h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+    d = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+    sz = np.repeat(sizes, sizes) if len(ids) else np.empty(0, np.int64)
+    return pa.table({"shingle": pa.array(h, pa.uint64()),
+                     "doc_id": pa.array(d, pa.int64()),
+                     "doc_size": pa.array(sz, pa.int64())})
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3,
+                        num_parts: int = 32):
+    """All doc pairs with n-gram-set Jaccard ≥ threshold → (id_a, id_b).
+
+    Shuffle 1: inverted index partitioned by shingle hash → per-bucket
+    co-occurring (id_a < id_b, partial co-count, sizes).  Shuffle 2: sum
+    co-counts per pair → jaccard gate.  Pair fan-out is quadratic in a
+    shingle's document frequency — acceptable for true n-grams (df is tiny
+    for 3-word shingles); boilerplate-heavy corpora should pre-filter
+    stop-shingles upstream.
+    """
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _explode_distinct_shingles(b, ngram_size),
+        batch_format="pyarrow")
+
+    def _co_pairs(g: pa.Table) -> pa.Table:
+        sh = np_col(g, "shingle").astype(np.uint64)
+        ids = np_col(g, "doc_id")
+        sz = np_col(g, "doc_size")
+        order, gid, counts = run_ids(sh, ids.astype(np.uint64), n_group_keys=1)
+        ids_s, sz_s = ids[order], sz[order]
+        a_o, b_o, sa_o, sb_o = [], [], [], []
+        start = 0
+        for c in counts:
+            if c >= 2:
+                bi = ids_s[start : start + c]
+                bs = sz_s[start : start + c]
+                iu, ju = np.triu_indices(c, k=1)
+                a_o.append(bi[iu]); b_o.append(bi[ju])
+                sa_o.append(bs[iu]); sb_o.append(bs[ju])
+            start += c
+        if not a_o:
+            z = pa.array([], pa.int64())
+            return pa.table({"id_a": z, "id_b": z, "co": z, "sz": z})
+        a = np.concatenate(a_o); b = np.concatenate(b_o)
+        sa = np.concatenate(sa_o); sb = np.concatenate(sb_o)
+        # aggregate within partition (combiner): count co-occurrences per pair
+        order2, gid2, counts2 = run_ids(a.astype(np.uint64), b.astype(np.uint64))
+        first = np.zeros(len(gid2), bool)
+        if len(gid2):
+            first[0] = True
+            first[1:] = gid2[1:] != gid2[:-1]
+        return pa.table({"id_a": pa.array(a[order2][first], pa.int64()),
+                         "id_b": pa.array(b[order2][first], pa.int64()),
+                         "co": pa.array(counts2, pa.int64()),
+                         "sz": pa.array((sa + sb)[order2][first], pa.int64())})
+
+    partial = partitionwise(ds, _co_pairs, "shingle", num_parts)
+
+    def _sum_and_gate(g: pa.Table) -> pa.Table:
+        a = np_col(g, "id_a"); b = np_col(g, "id_b")
+        co = np_col(g, "co"); sz = np_col(g, "sz")
+        if len(a) == 0:
+            return pa.table({"id_a": pa.array(a, pa.int64()),
+                             "id_b": pa.array(b, pa.int64())})
+        order, gid, counts = run_ids(a.astype(np.uint64), b.astype(np.uint64))
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        tot = np.zeros(len(counts), np.int64)
+        np.add.at(tot, gid, co[order])
+        jac = tot / (sz[order][first] - tot)
+        keep = jac >= threshold
+        return pa.table({"id_a": pa.array(a[order][first][keep], pa.int64()),
+                         "id_b": pa.array(b[order][first][keep], pa.int64())})
+
+    return partitionwise(partial, _sum_and_gate, "id_a", num_parts)
+
+
+class SimHashStage:
+    """map_batches stage: (doc_id, text) → (doc_id, simhash uint64)."""
+
+    def __init__(self, ngram_size: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.ngram_size = ngram_size
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
+        s = simhash64(texts, self.ngram_size)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "simhash": pa.array(s, pa.uint64())})
+
+
+def simhash_sketches(sf_dir: str, ngram_size: int = 3):
+    """(doc_id, simhash) for every document."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SimHashStage(ngram_size), batch_format="pyarrow", batch_size=2048)
+
+
+def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
+                      ngram_size: int = 3, num_parts: int = 32):
+    """(doc_id, is_dup): docs sharing a simhash band AND within Hamming
+    distance ≤ max_hamming of a band-mate.  Pigeonhole guarantee: any pair
+    within distance < num_bands shares ≥1 exact band."""
+    from ..functions.simhash import hamming_distance
+
+    sk = simhash_sketches(sf_dir, ngram_size)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        s = np_col(batch, "simhash").astype(np.uint64)
+        ids = np_col(batch, "doc_id")
+        bands = simhash_bands(s, num_bands)
+        n = len(s)
+        rep = np.repeat(np.arange(n), num_bands)
+        band_id = np.tile(np.arange(num_bands, dtype=np.uint64), n)
+        key = bands.reshape(-1) | (band_id << np.uint64(60))
+        return pa.table({"band_key": pa.array(key, pa.uint64()),
+                         "doc_id": pa.array(ids[rep], pa.int64()),
+                         "simhash": pa.array(s[rep], pa.uint64())})
+
+    exploded = sk.map_batches(_explode, batch_format="pyarrow")
+
+    def _flag_members(g: pa.Table) -> pa.Table:
+        key = np_col(g, "band_key").astype(np.uint64)
+        ids = np_col(g, "doc_id")
+        sh = np_col(g, "simhash").astype(np.uint64)
+        order, gid, counts = run_ids(key, ids.astype(np.uint64), n_group_keys=1)
+        ids_s, sh_s = ids[order], sh[order]
+        out = []
+        start = 0
+        for c in counts:
+            if c >= 2:
+                block = sh_s[start : start + c]
+                bids = ids_s[start : start + c]
+                iu, ju = np.triu_indices(c, k=1)
+                d = hamming_distance(block[iu], block[ju])
+                hit = d <= max_hamming
+                out.append(bids[iu[hit]])
+                out.append(bids[ju[hit]])
+            start += c
+        flagged = (np.unique(np.concatenate(out)) if out
+                   else np.empty(0, np.int64))
+        return pa.table({"doc_id": pa.array(flagged, pa.int64())})
+
+    members = partitionwise(exploded, _flag_members, "band_key", num_parts)
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.array(np.unique(np_col(g, "doc_id")),
+                                            pa.int64())})
+
+    flagged = partitionwise(members, _distinct, "doc_id", num_parts)
+
+    all_ids = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        lambda b: b.append_column("__f", pa.array(np.zeros(len(b), np.int8))),
+        batch_format="pyarrow")
+    hits = flagged.map_batches(
+        lambda b: b.append_column("__f", pa.array(np.ones(len(b), np.int8))),
+        batch_format="pyarrow")
+
+    def _merge(g: pa.Table) -> pa.Table:
+        ids = np_col(g, "doc_id")
+        f = np_col(g, "__f")
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "is_dup": pa.array([], pa.bool_())})
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        flag = np.zeros(len(counts), np.int8)
+        np.maximum.at(flag, gid, f[order])
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        return pa.table({"doc_id": pa.array(ids[order][first], pa.int64()),
+                         "is_dup": pa.array(flag > 0)})
+
+    return partitionwise(all_ids.union(hits), _merge, "doc_id", num_parts)

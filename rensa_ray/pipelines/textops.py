@@ -1,0 +1,309 @@
+"""Text/table operators over the driver testdata schema.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / pyarrow Table whose
+column names exactly match the paired SQL in ``__ray_entry__.oracle_sql()``.
+Wide operations use the partition-wise idiom (pipelines.common) with pyarrow
+``group_by`` (C++) inside each partition; small-cardinality aggregations use
+Ray's builtin groupby aggregates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textstats import md5_hex, token_counts
+from ..kernels.hashing import fxhash64_bytes_list
+from .common import np_col, partitionwise
+
+DEFAULT_PARTS = 16
+
+
+def _docs(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _events(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _with_md5(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    md5s = md5_hex(texts)
+    key = fxhash64_bytes_list([m.encode() for m in md5s])
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text_md5": pa.array(md5s, pa.string()),
+        "__key": pa.array(key, pa.uint64()),
+    })
+
+
+def exact_dup_groups(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Exact-duplicate text groups (size >= 2): text_md5, keep_id, group_size."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_with_md5, batch_format="pyarrow")
+
+    def _groups(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "text_md5").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        agg = agg.rename_columns(["text_md5", "keep_id", "group_size"])
+        return agg.filter(pc.greater_equal(agg["group_size"], 2))
+
+    out = partitionwise(ds, _groups, "__key", num_parts)
+    return out.map_batches(
+        lambda b: pa.table({"text_md5": b["text_md5"], "keep_id": b["keep_id"],
+                            "group_size": b["group_size"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def exact_dedup_kept(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """One kept doc (min doc_id) per distinct text: doc_id."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_with_md5, batch_format="pyarrow")
+
+    def _kept(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "text_md5").aggregate([("doc_id", "min")])
+        return pa.table({"doc_id": agg["doc_id_min"]})
+
+    return partitionwise(ds, _kept, "__key", num_parts)
+
+
+def exact_dup_pairs(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """All pairs (id_a < id_b) sharing identical text."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_with_md5, batch_format="pyarrow")
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        from .common import run_ids
+
+        key = np_col(g, "__key").astype(np.uint64)
+        ids = np_col(g, "doc_id")
+        md5s = g["text_md5"].to_numpy(zero_copy_only=False)
+        order, gid, counts = run_ids(key, ids.astype(np.uint64), n_group_keys=1)
+        ids_s, md5_s = ids[order], md5s[order]
+        a_out, b_out = [], []
+        start = 0
+        for c in counts:
+            if c >= 2:
+                # fxhash64 partition key may (rarely) collide: re-check md5
+                grp_ids = ids_s[start : start + c]
+                grp_md5 = md5_s[start : start + c]
+                for i in range(c):
+                    for j in range(i + 1, c):
+                        if grp_md5[i] == grp_md5[j]:
+                            a_out.append(grp_ids[i])
+                            b_out.append(grp_ids[j])
+            start += c
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
+
+    return partitionwise(ds, _pairs, "__key", num_parts)
+
+
+def doc_token_counts(sf_dir: str):
+    """Per-doc whitespace token count and reference-rule 3-gram shingle count."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _count(b: pa.Table) -> pa.Table:
+        n_tok, n_sh = token_counts(b["text"].to_pylist())
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_shingles": pa.array(n_sh, pa.int64())})
+
+    return ds.map_batches(_count, batch_format="pyarrow")
+
+
+def doc_stats_by_lang(sf_dir: str):
+    """lang, n_docs, total_chars, avg_chars (round 6)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs"),
+                                       Sum("n_chars", alias_name="total_chars"))
+
+    def _avg(b: pa.Table) -> pa.Table:
+        avg = np.round(np_col(b, "total_chars") / np_col(b, "n_docs"), 6)
+        return b.append_column("avg_chars", pa.array(avg, pa.float64()))
+
+    return out.map_batches(_avg, batch_format="pyarrow")
+
+
+def filter_english_long(sf_dir: str, min_chars: int = 500):
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b["lang"], "en"),
+                                   pc.greater_equal(b["n_chars"], min_chars))
+                           ).select(["doc_id", "n_chars"]),
+        batch_format="pyarrow")
+
+
+def top_longest(sf_dir: str, k: int = 20):
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def length_histogram(sf_dir: str):
+    """bucket_lo = (n_chars // 100) * 100, n_docs."""
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["n_chars"])
+    bucketed = ds.map_batches(
+        lambda b: pa.table({"bucket_lo": pc.multiply(
+            pc.divide(b["n_chars"], 100), 100)}),
+        batch_format="pyarrow")
+    return bucketed.groupby("bucket_lo").aggregate(Count(alias_name="n_docs"))
+
+
+def lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def _explode_token_counts(b: pa.Table) -> pa.Table:
+    """Per-batch partial: (token, cnt) — map-side pre-aggregation."""
+    toks: list[str] = []
+    for t in b["text"].to_pylist():
+        toks.extend(t.split())
+    if not toks:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "__key": pa.array([], pa.uint64())})
+    arr = np.array(toks)
+    uniq, counts = np.unique(arr, return_counts=True)
+    key = fxhash64_bytes_list([u.encode() for u in uniq.tolist()])
+    return pa.table({"token": pa.array(uniq), "cnt": pa.array(counts, pa.int64()),
+                     "__key": pa.array(key, pa.uint64())})
+
+
+def _sum_by_token(g: pa.Table) -> pa.Table:
+    agg = pa.TableGroupBy(g, "token").aggregate([("cnt", "sum")])
+    return agg.rename_columns(["token", "cnt"])
+
+
+def top_tokens(sf_dir: str, k: int = 20, num_parts: int = DEFAULT_PARTS):
+    """Top-k tokens by global count (ties → token asc)."""
+    ds = _docs(sf_dir, ["text"]).map_batches(_explode_token_counts,
+                                             batch_format="pyarrow")
+    summed = partitionwise(ds, _sum_by_token, "__key", num_parts)
+    return summed.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def distinct_token_count(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    ds = _docs(sf_dir, ["text"]).map_batches(_explode_token_counts,
+                                             batch_format="pyarrow")
+    summed = partitionwise(ds, _sum_by_token, "__key", num_parts)
+    n = summed.count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def total_token_count(sf_dir: str):
+    ds = doc_token_counts(sf_dir)
+    total = ds.sum("n_tokens")
+    return pa.table({"total_tokens": pa.array([int(total)], pa.int64())})
+
+
+def doc_quality(sf_dir: str):
+    """Per-doc heuristic quality features (word_count, mean_word_len,
+    stopword_ratio, alnum_ratio) — actor-pool batch stage."""
+    from ..functions.textstats import quality_scores
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _q(b: pa.Table) -> pa.Table:
+        qs = quality_scores(["" if t is None else t for t in b["text"].to_pylist()])
+        cols = {"doc_id": b["doc_id"]}
+        cols.update({k: pa.array(v) for k, v in qs.items()})
+        return pa.table(cols)
+
+    return ds.map_batches(_q, batch_format="pyarrow", batch_size=2048)
+
+
+def doc_lang_pred(sf_dir: str):
+    """Heuristic language-ID per doc: (doc_id, lang_pred)."""
+    from ..functions.textstats import lang_id
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "lang_pred": pa.array(lang_id(
+                                ["" if t is None else t
+                                 for t in b["text"].to_pylist()]), pa.string())}),
+        batch_format="pyarrow", batch_size=2048)
+
+
+def doc_fingerprint(sf_dir: str):
+    """Order-sensitive 64-bit rolling fingerprint per doc: (doc_id, fp)."""
+    from ..functions.textstats import doc_fingerprints
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "fp": pa.array(doc_fingerprints(
+                                ["" if t is None else t
+                                 for t in b["text"].to_pylist()]), pa.uint64())}),
+        batch_format="pyarrow", batch_size=2048)
+
+
+def events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(Count(alias_name="n_events"),
+                                             Sum("value", alias_name="sum_value"))
+    return out.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"],
+                            "n_events": b["n_events"],
+                            "total_value": pa.array(
+                                np.round(np_col(b, "sum_value"), 4), pa.float64())}),
+        batch_format="pyarrow")
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30, num_parts: int = DEFAULT_PARTS):
+    """Sessionize events per user (a new session starts after a ``gap_minutes``
+    silence): user_id, n_sessions, n_events.
+
+    Windowed/stateful aggregate expressed as one hash-partitioned shuffle on
+    user_id + a vectorized sort/diff kernel per partition — the same shape a
+    streaming watermark-window would take in micro-batches.
+    """
+    ds = _events(sf_dir, ["user_id", "ts"])
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def _sessions(g: pa.Table) -> pa.Table:
+        uid = np_col(g, "user_id")
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        if len(uid) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "n_sessions": z, "n_events": z})
+        order = np.lexsort((ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        new_user = np.zeros(len(u_s), bool)
+        new_user[0] = True
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        gap = np.zeros(len(u_s), bool)
+        gap[1:] = (t_s[1:] - t_s[:-1]) > gap_us
+        starts = new_user | gap
+        gid = np.cumsum(new_user) - 1
+        n_users = gid[-1] + 1
+        n_sessions = np.zeros(n_users, np.int64)
+        np.add.at(n_sessions, gid, starts.astype(np.int64))
+        n_events = np.bincount(gid, minlength=n_users).astype(np.int64)
+        return pa.table({"user_id": pa.array(u_s[new_user], pa.int64()),
+                         "n_sessions": pa.array(n_sessions),
+                         "n_events": pa.array(n_events)})
+
+    return partitionwise(ds, _sessions, "user_id", num_parts)
+
+
+def events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _events(sf_dir, ["event_type", "ts"])
+    trunc = ds.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"],
+                            "hour": pc.floor_temporal(b["ts"], unit="hour")}),
+        batch_format="pyarrow")
+    return trunc.groupby(["event_type", "hour"]).aggregate(Count(alias_name="n_events"))

@@ -88,11 +88,11 @@ class _Checkpointer:
         return rd.read_parquet(self._stage_dir(name))
 
     def save(self, name: str, ds, t0: float):
-        import ray
-
         path = self._stage_dir(name)
         ds.write_parquet(path)
-        rows = ds.count()
+        # count from the WRITTEN parquet (metadata-only) — counting the live
+        # dataset would re-execute the whole upstream pipeline a second time
+        rows = self.load(name).count()
         wall = time.time() - t0
         with open(os.path.join(path, "_SUCCESS"), "w") as f:
             f.write("ok")

@@ -1,0 +1,138 @@
+"""Ray-side tests: streaming dedup stage, incremental checkpoint dedup,
+similarity search (LSH recall vs brute force), simhash pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _mk_docs_table(tmp_path, texts, name="documents.parquet"):
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / name))
+    return str(tmp_path)
+
+
+NEAR_A = " ".join(f"w{i}" for i in range(120))
+NEAR_B = " ".join(f"w{i}" for i in range(119)) + " zz"
+UNIQ = [" ".join(f"u{i}_{j}" for i in range(60)) for j in range(6)]
+
+
+def test_streaming_dedup_stage_first_wins(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rensa_ray.state.stream import StreamingDedupStage
+
+    texts = [NEAR_A, UNIQ[0], NEAR_B, UNIQ[1], NEAR_A]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    out = ds.map_batches(
+        StreamingDedupStage, fn_constructor_kwargs={"threshold": 0.8},
+        batch_format="pyarrow", batch_size=None, concurrency=1,
+    ).to_pandas().sort_values("doc_id")
+    # arrival order: doc0 kept, doc2 (near-dup) flagged, doc4 (exact) flagged
+    assert out["is_dup"].tolist() == [False, False, True, False, True]
+
+
+def test_incremental_checkpoint_dedup(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.state.stream import incremental_dedup_against_checkpoint
+
+    cfg = DedupConfig(num_parts=4, concurrency=1)
+    ck = str(tmp_path / "bands")
+
+    batch1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([NEAR_A, UNIQ[0]])}))
+    r1 = incremental_dedup_against_checkpoint(batch1, ck, cfg).to_pandas()
+    assert sorted(r1["doc_id"]) == [0, 1]
+    assert not r1["is_dup"].any()
+
+    # second micro-batch: near-dup of historical doc 0 + one new unique
+    batch2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array([NEAR_B, UNIQ[1]])}))
+    r2 = incremental_dedup_against_checkpoint(
+        batch2, ck, cfg).to_pandas().sort_values("doc_id")
+    assert r2["is_dup"].tolist() == [True, False]
+
+
+def _write_embeddings(tmp_path, n=200, dim=16, n_dup_pairs=5, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant near-dup pairs: vec n-1-i ≈ vec i
+    for i in range(n_dup_pairs):
+        m[n - 1 - i] = m[i] + rng.normal(scale=0.01, size=dim).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v for v in m.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path), m
+
+
+def test_cosine_pairs_lsh_recall_vs_brute(ray_session, tmp_path):
+    from rensa_ray.pipelines.knn import cosine_pairs, cosine_pairs_lsh
+
+    sf_dir, m = _write_embeddings(tmp_path)
+    brute = cosine_pairs(sf_dir, threshold=0.9).to_pandas()
+    truth = {tuple(r) for r in brute[["id_a", "id_b"]].itertuples(index=False)}
+    assert len(truth) >= 5  # planted pairs found by brute force
+    lsh = cosine_pairs_lsh(sf_dir, threshold=0.9, num_bits=10, num_tables=8,
+                           num_parts=4).to_pandas()
+    got = {tuple(r) for r in lsh[["id_a", "id_b"]].itertuples(index=False)}
+    assert got <= truth  # verify step: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99, f"LSH recall {recall}"
+
+
+def test_cosine_topk_self_excluded_and_ranked(ray_session, tmp_path):
+    from rensa_ray.pipelines.knn import cosine_topk
+
+    sf_dir, m = _write_embeddings(tmp_path)
+    out = cosine_topk(sf_dir, k=3, num_queries=4).to_pandas()
+    assert set(out["query_id"]) == {0, 1, 2, 3}
+    assert (out.groupby("query_id")["rank"].apply(
+        lambda s: sorted(s) == [1, 2, 3])).all()
+    assert not ((out["query_id"] == out["neighbor_id"]).any())
+    # brute-force check for query 0
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    scores = mn @ mn[0]
+    scores[0] = -np.inf
+    want_top1 = int(np.argmax(scores))
+    got_top1 = int(out[(out.query_id == 0) & (out["rank"] == 1)].neighbor_id.iloc[0])
+    assert got_top1 == want_top1
+
+
+def test_simhash_pipeline_flags_near_dups(ray_session, tmp_path):
+    from rensa_ray.pipelines.simjoin import simhash_dup_flags
+
+    texts = [NEAR_A, NEAR_B] + UNIQ
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    # fixture pair is at Hamming distance 4; 8 bands pigeonhole-covers ≤7
+    out = simhash_dup_flags(sf_dir, num_bands=8, max_hamming=6).to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["is_dup"].tolist()[:2] == [True, True]
+    assert not out["is_dup"].tolist()[2:] == []
+    assert sum(out["is_dup"].tolist()[2:]) == 0
+
+
+def test_ngram_jaccard_pairs_exact(ray_session, tmp_path):
+    from rensa_ray.pipelines.simjoin import ngram_jaccard_pairs
+
+    texts = [NEAR_A, NEAR_B, NEAR_A] + UNIQ
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    out = ngram_jaccard_pairs(sf_dir, threshold=0.5).to_pandas()
+    got = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
+    # true jaccard(0,1) = 115/121 ≈ 0.95; (0,2) identical = 1.0
+    assert got == {(0, 1), (0, 2), (1, 2)}

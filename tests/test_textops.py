@@ -1,0 +1,216 @@
+"""Tests for text analysis functions and the textops table operators.
+
+Oracle lane: DuckDB over the same parquet (mirrors the driver's
+CORRECTNESS check at sf=0.01; here we use sf0.001 for speed).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rensa_ray.functions.simhash import hamming_distance, simhash64, simhash_bands
+from rensa_ray.functions.textstats import (
+    content_hash_u64,
+    doc_fingerprints,
+    lang_id,
+    md5_hex,
+    quality_scores,
+    token_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _to_table(res) -> pa.Table:
+    import pandas as pd
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    if isinstance(res, pd.DataFrame):
+        return pa.Table.from_pandas(res, preserve_index=False)
+    return res
+
+
+def assert_matches_sql(res, sql: str, sf_dir: str = SF_DIR):
+    """Order-insensitive comparison of a Ray result against DuckDB."""
+    tbl = _to_table(res)
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    want = con.execute(sql).arrow()
+    got_df = tbl.to_pandas()
+    want_df = want.to_pandas()
+    if len(got_df) == 0 and len(want_df) == 0:
+        return  # schema of empties is pinned by __ray_entry__._fin, not here
+    assert sorted(got_df.columns) == sorted(want_df.columns), (
+        got_df.columns, want_df.columns)
+    cols = sorted(got_df.columns)
+    got_df = got_df[cols].sort_values(cols).reset_index(drop=True)
+    want_df = want_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got_df) == len(want_df), (len(got_df), len(want_df))
+    for c in cols:
+        g, w = got_df[c].to_numpy(), want_df[c].to_numpy()
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            np.testing.assert_allclose(
+                g.astype(float), w.astype(float), rtol=1e-9, atol=1e-9)
+        else:
+            assert (g == w).all(), c
+
+
+# ---------------------------------------------------------------- functions
+
+def test_md5_matches_duckdb():
+    texts = ["hello world", "", "√unicode ⊕ text", "a b  c"]
+    want = [duckdb.sql("SELECT md5(?::VARCHAR)", params=[t]).fetchone()[0]
+            for t in texts]
+    assert md5_hex(texts) == want
+
+
+def test_token_counts_rules():
+    n_tok, n_sh = token_counts(["a b c d", "a b", "", "x"])
+    assert n_tok.tolist() == [4, 2, 0, 1]
+    # >=3 tokens -> n-2 shingles; shorter docs fall back to unigrams
+    assert n_sh.tolist() == [2, 2, 0, 1]
+
+
+def test_quality_scores_shapes():
+    qs = quality_scores(["The quick brown fox", "", "the the the"])
+    assert qs["word_count"].tolist() == [4, 0, 3]
+    assert qs["stopword_ratio"][2] == 1.0
+    assert qs["alnum_ratio"][1] == 0.0
+
+
+def test_lang_id_heuristic():
+    out = lang_id(["the cat is on the mat and it is good",
+                   "der hund ist nicht ein problem und die katze",
+                   "", "你好世界你好世界你好"])
+    assert out[0] == "en" and out[1] == "de"
+    assert out[2] == "unk" and out[3] == "zh"
+
+
+def test_fingerprint_order_sensitive():
+    fp = doc_fingerprints(["a b c", "c b a", "a b c", ""])
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]
+    assert fp[3] == 0
+
+
+def test_content_hash_matches_fxhash():
+    from rensa_ray.kernels.hashing import fxhash64
+
+    texts = ["abc", ""]
+    out = content_hash_u64(texts)
+    assert out[0] == fxhash64(b"abc")
+    assert out[1] == fxhash64(b"")
+
+
+# ----------------------------------------------------------------- simhash
+
+def test_simhash_near_dup_properties():
+    base = " ".join(f"w{i}" for i in range(200))
+    near = " ".join(f"w{i}" for i in range(199)) + " zz"
+    far = " ".join(f"v{i}" for i in range(200))
+    s = simhash64([base, near, far, ""])
+    d_near = hamming_distance(s[:1], s[1:2])[0]
+    d_far = hamming_distance(s[:1], s[2:3])[0]
+    assert d_near < 8 < d_far
+    assert s[3] == 0
+    # deterministic
+    s2 = simhash64([base, near, far, ""])
+    assert (s == s2).all()
+
+
+def test_simhash_bands_reassemble():
+    s = simhash64(["some doc with several words here"])
+    bands = simhash_bands(s, num_bands=4)
+    w = np.uint64(16)
+    rebuilt = np.zeros_like(s)
+    for b in range(4):
+        rebuilt |= bands[:, b] << (np.uint64(b) * w)
+    assert (rebuilt == s).all()
+    with pytest.raises(ValueError):
+        simhash_bands(s, num_bands=5)
+
+
+# ------------------------------------------------------- table ops vs SQL
+
+def test_exact_dup_groups_vs_sql(ray_session):
+    from rensa_ray.pipelines.textops import exact_dup_groups
+
+    assert_matches_sql(
+        exact_dup_groups(SF_DIR),
+        """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+                  COUNT(*) AS group_size
+           FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2""")
+
+
+def test_exact_dedup_kept_vs_sql(ray_session):
+    from rensa_ray.pipelines.textops import exact_dedup_kept
+
+    assert_matches_sql(
+        exact_dedup_kept(SF_DIR),
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)")
+
+
+def test_exact_dup_pairs_vs_sql(ray_session):
+    from rensa_ray.pipelines.textops import exact_dup_pairs
+
+    assert_matches_sql(
+        exact_dup_pairs(SF_DIR),
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM documents a JOIN documents b
+             ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id""")
+
+
+def test_doc_stats_by_lang_vs_sql(ray_session):
+    from rensa_ray.pipelines.textops import doc_stats_by_lang
+
+    assert_matches_sql(
+        doc_stats_by_lang(SF_DIR),
+        """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                  ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 6) AS avg_chars
+           FROM documents GROUP BY lang""")
+
+
+def test_top_tokens_vs_sql(ray_session):
+    from rensa_ray.pipelines.textops import top_tokens
+
+    assert_matches_sql(
+        top_tokens(SF_DIR, k=20),
+        """WITH toks AS (
+             SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+             FROM documents WHERE trim(text) <> '')
+           SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+           ORDER BY cnt DESC, token ASC LIMIT 20""")
+
+
+def test_doc_token_counts_vs_sql(ray_session):
+    from rensa_ray.pipelines.textops import doc_token_counts
+
+    assert_matches_sql(
+        doc_token_counts(SF_DIR),
+        """SELECT doc_id,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                      AS n_tokens,
+                  CASE WHEN trim(text) = '' THEN 0
+                       WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+                       THEN len(string_split_regex(trim(text), '\\s+')) - 2
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                      AS n_shingles
+           FROM documents""")
+
+
+def test_events_hourly_vs_sql(ray_session):
+    from rensa_ray.pipelines.textops import events_hourly
+
+    assert_matches_sql(
+        events_hourly(SF_DIR),
+        """SELECT event_type, date_trunc('hour', ts) AS hour,
+                  COUNT(*) AS n_events
+           FROM events GROUP BY event_type, date_trunc('hour', ts)""")
