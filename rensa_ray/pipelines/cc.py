@@ -88,7 +88,9 @@ def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
         import ray
         import ray.data as rd
 
-        tbl = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        # empty blocks may carry a column-less schema — drop them before concat
+        tbl = pa.concat_tables(
+            [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0])
         src = tbl["src"].to_numpy(zero_copy_only=False)
         dst = tbl["dst"].to_numpy(zero_copy_only=False)
         nodes, labels = local_min_labels(src, dst)

@@ -83,3 +83,45 @@ def run_ids(*key_arrays: np.ndarray,
     gid = np.cumsum(boundary) - 1
     counts = np.bincount(gid)
     return order, gid, counts
+
+
+def pairs_within_runs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered within-run pairs, fully vectorized.
+
+    Given run sizes ``counts`` (for rows laid out run-contiguously, as after
+    ``run_ids``), returns global row indices ``(i_idx, j_idx)`` enumerating
+    every pair (i < j by sorted position) inside each run — the vectorized
+    replacement for a python loop of ``np.triu_indices`` per bucket (the
+    loop dominates when there are millions of small buckets).
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    pair_counts = counts * (counts - 1) // 2
+    total = int(pair_counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    run_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pair_start = np.concatenate([[0], np.cumsum(pair_counts)[:-1]])
+    run_of = np.repeat(np.arange(len(counts)), pair_counts)
+    p = np.arange(total, dtype=np.int64) - pair_start[run_of]
+    c = counts[run_of]
+    # invert the triangular layout: i = row within run, via float sqrt with
+    # integer boundary correction (float error is at most ±1 row)
+    cf = c.astype(np.float64)
+    i = np.floor(((2 * cf - 1) - np.sqrt((2 * cf - 1) ** 2 - 8 * p)) / 2
+                 ).astype(np.int64)
+    np.clip(i, 0, c - 2, out=i)
+    before = i * c - i * (i + 1) // 2
+    over = before > p
+    while over.any():
+        i[over] -= 1
+        before = i * c - i * (i + 1) // 2
+        over = before > p
+    nxt = (i + 1) * c - (i + 1) * (i + 2) // 2
+    under = nxt <= p
+    while under.any():
+        i[under] += 1
+        before = i * c - i * (i + 1) // 2
+        nxt = (i + 1) * c - (i + 1) * (i + 2) // 2
+        under = nxt <= p
+    j = i + 1 + (p - before)
+    return run_start[run_of] + i, run_start[run_of] + j

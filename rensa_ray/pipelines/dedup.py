@@ -54,10 +54,25 @@ class DedupConfig:
 
 
 def compute_signatures(ds, cfg: DedupConfig):
-    """(id, text) dataset → (id, sig) dataset via the actor-pool signer."""
+    """(id, text) dataset → (id, sig) dataset via the signer stage.
+
+    ``cfg.concurrency = N`` → actor pool of N signers (state built once per
+    actor).  ``cfg.concurrency = None`` → task pool: a PREBUILT signer
+    instance is the UDF — its permutation arrays (2·num_perm u64, ~2 KB)
+    ship by value in the task spec, so tasks keep the precomputed state but
+    schedule onto every free CPU.  The task pool avoids the fixed-pool
+    sizing pathologies on small clusters (a pool sized to the cluster
+    starves/deadlocks the upstream read; an undersized pool idles cores),
+    and is the default for the bench's scaling runs.
+    """
     signer_kwargs = dict(num_perm=cfg.num_perm, seed=cfg.seed,
                          ngram_size=cfg.ngram_size, algo=cfg.algo,
                          id_col=cfg.id_col, text_col=cfg.text_col)
+    if cfg.concurrency is None:
+        return ds.map_batches(
+            MinHashSigner(**signer_kwargs),
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+        )
     return ds.map_batches(
         MinHashSigner, fn_constructor_kwargs=signer_kwargs,
         batch_format="pyarrow", batch_size=cfg.batch_size,

@@ -204,6 +204,8 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
         bucket_exploder, batch_format="pyarrow", batch_size=4096)
 
     def _bucket_pairs(g: pa.Table) -> pa.Table:
+        from .common import pairs_within_runs
+
         bucket = np_col(g, "bucket").astype(np.uint64)
         ids = np_col(g, "vec_id")
         emb = g["emb"].combine_chunks()
@@ -212,23 +214,14 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
         m = _normalize(m.astype(np.float64))
         order, gid, counts = run_ids(bucket, ids.astype(np.uint64), n_group_keys=1)
         ids_s, m_s = ids[order], m[order]
-        a_out, b_out = [], []
-        start = 0
-        for c in counts:
-            if 2 <= c:
-                block = m_s[start : start + c]
-                bids = ids_s[start : start + c]
-                s = block @ block.T
-                iu, ju = np.triu_indices(c, k=1)
-                hit = s[iu, ju] >= threshold
-                a_out.append(bids[iu[hit]])
-                b_out.append(bids[ju[hit]])
-            start += c
-        if not a_out:
+        ii, jj = pairs_within_runs(counts)
+        if len(ii) == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
-        a = np.concatenate(a_out)
-        b = np.concatenate(b_out)
+        # exact verify per candidate pair — row-wise dot, fully vectorized
+        cos = np.einsum("ij,ij->i", m_s[ii], m_s[jj])
+        hit = cos >= threshold
+        a, b = ids_s[ii[hit]], ids_s[jj[hit]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": pa.array(lo, pa.int64()),
                          "id_b": pa.array(hi, pa.int64())})

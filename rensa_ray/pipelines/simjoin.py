@@ -32,23 +32,28 @@ def _read_docs(sf_dir: str, columns: list[str]):
 
 
 def _explode_distinct_shingles(batch: pa.Table, ngram_size: int) -> pa.Table:
-    """(doc_id, shingle_hash, doc_size) rows — one per DISTINCT shingle."""
+    """(doc_id, shingle_hash, doc_size) rows — one per DISTINCT shingle.
+
+    Fully vectorized: one lexsort over (doc, hash) dedupes every document's
+    shingle set in a single pass (no per-doc python)."""
     texts = ["" if t is None else t for t in batch["text"].to_pylist()]
     hashes, offsets = batch_shingle_hashes(texts, ngram_size)
     ids = np_col(batch, "doc_id")
-    out_h, out_d = [], []
-    sizes = np.zeros(len(ids), np.int64)
-    for i in range(len(ids)):
-        u = np.unique(hashes[offsets[i] : offsets[i + 1]])
-        sizes[i] = len(u)
-        out_h.append(u)
-        out_d.append(np.full(len(u), ids[i], ids.dtype))
-    h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
-    d = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
-    sz = np.repeat(sizes, sizes) if len(ids) else np.empty(0, np.int64)
-    return pa.table({"shingle": pa.array(h, pa.uint64()),
-                     "doc_id": pa.array(d, pa.int64()),
-                     "doc_size": pa.array(sz, pa.int64())})
+    n = len(ids)
+    if len(hashes) == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({"shingle": pa.array([], pa.uint64()),
+                         "doc_id": z, "doc_size": z})
+    doc_idx = np.repeat(np.arange(n), offsets[1:] - offsets[:-1])
+    order = np.lexsort((hashes, doc_idx))
+    d_s, h_s = doc_idx[order], hashes[order]
+    keep = np.ones(len(h_s), bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    d_u, h_u = d_s[keep], h_s[keep]
+    sizes = np.bincount(d_u, minlength=n)
+    return pa.table({"shingle": pa.array(h_u, pa.uint64()),
+                     "doc_id": pa.array(ids[d_u], pa.int64()),
+                     "doc_size": pa.array(sizes[d_u], pa.int64())})
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3,
@@ -67,26 +72,19 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3
         batch_format="pyarrow")
 
     def _co_pairs(g: pa.Table) -> pa.Table:
+        from .common import pairs_within_runs
+
         sh = np_col(g, "shingle").astype(np.uint64)
         ids = np_col(g, "doc_id")
         sz = np_col(g, "doc_size")
         order, gid, counts = run_ids(sh, ids.astype(np.uint64), n_group_keys=1)
         ids_s, sz_s = ids[order], sz[order]
-        a_o, b_o, sa_o, sb_o = [], [], [], []
-        start = 0
-        for c in counts:
-            if c >= 2:
-                bi = ids_s[start : start + c]
-                bs = sz_s[start : start + c]
-                iu, ju = np.triu_indices(c, k=1)
-                a_o.append(bi[iu]); b_o.append(bi[ju])
-                sa_o.append(bs[iu]); sb_o.append(bs[ju])
-            start += c
-        if not a_o:
+        ii, jj = pairs_within_runs(counts)
+        if len(ii) == 0:
             z = pa.array([], pa.int64())
             return pa.table({"id_a": z, "id_b": z, "co": z, "sz": z})
-        a = np.concatenate(a_o); b = np.concatenate(b_o)
-        sa = np.concatenate(sa_o); sb = np.concatenate(sb_o)
+        a, b = ids_s[ii], ids_s[jj]
+        sa, sb = sz_s[ii], sz_s[jj]
         # aggregate within partition (combiner): count co-occurrences per pair
         order2, gid2, counts2 = run_ids(a.astype(np.uint64), b.astype(np.uint64))
         first = np.zeros(len(gid2), bool)
@@ -166,25 +164,18 @@ def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
     exploded = sk.map_batches(_explode, batch_format="pyarrow")
 
     def _flag_members(g: pa.Table) -> pa.Table:
+        from .common import pairs_within_runs
+
         key = np_col(g, "band_key").astype(np.uint64)
         ids = np_col(g, "doc_id")
         sh = np_col(g, "simhash").astype(np.uint64)
         order, gid, counts = run_ids(key, ids.astype(np.uint64), n_group_keys=1)
         ids_s, sh_s = ids[order], sh[order]
-        out = []
-        start = 0
-        for c in counts:
-            if c >= 2:
-                block = sh_s[start : start + c]
-                bids = ids_s[start : start + c]
-                iu, ju = np.triu_indices(c, k=1)
-                d = hamming_distance(block[iu], block[ju])
-                hit = d <= max_hamming
-                out.append(bids[iu[hit]])
-                out.append(bids[ju[hit]])
-            start += c
-        flagged = (np.unique(np.concatenate(out)) if out
-                   else np.empty(0, np.int64))
+        ii, jj = pairs_within_runs(counts)
+        if len(ii) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        hit = hamming_distance(sh_s[ii], sh_s[jj]) <= max_hamming
+        flagged = np.unique(np.concatenate([ids_s[ii[hit]], ids_s[jj[hit]]]))
         return pa.table({"doc_id": pa.array(flagged, pa.int64())})
 
     members = partitionwise(exploded, _flag_members, "band_key", num_parts)

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels.hashing import fxhash64_bytes_list
-from .dedup import DedupConfig, compute_signatures, near_dup_clusters
+from .dedup import DedupConfig, compute_signatures
 
 UID_COL = "uid"
 
@@ -64,8 +64,13 @@ def extract_text(ds, html_col: str = "html", text_col: str = "text"):
 class _Checkpointer:
     """Stage-level checkpoint/resume: parquet dir + _SUCCESS + manifest entry."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, num_blocks: int | None = None):
         self.out_dir = out_dir
+        # blocks-per-stage hint: keeping block count ≈ shuffle partition
+        # count (not #files) keeps the sort's map×reduce fan-out quadratic
+        # overhead bounded — at 100 TB the same knob caps block count at
+        # 2-4× cluster cores subject to target_max_block_size
+        self.num_blocks = num_blocks
         os.makedirs(out_dir, exist_ok=True)
         self.manifest_path = os.path.join(out_dir, "manifest.json")
         self.manifest: dict = {"stages": {}}
@@ -85,7 +90,8 @@ class _Checkpointer:
     def load(self, name: str):
         import ray.data as rd
 
-        return rd.read_parquet(self._stage_dir(name))
+        return rd.read_parquet(self._stage_dir(name),
+                               override_num_blocks=self.num_blocks)
 
     def save(self, name: str, ds, t0: float):
         path = self._stage_dir(name)
@@ -117,12 +123,13 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
     cfg = cfg or DedupConfig(id_col=UID_COL, text_col="text")
     if cfg.id_col != UID_COL:
         cfg = DedupConfig(**{**cfg.__dict__, "id_col": UID_COL})
-    ck = _Checkpointer(out_dir) if checkpoint else None
+    ck = _Checkpointer(out_dir, num_blocks=cfg.num_parts) if checkpoint else None
 
     cols = ["url", "html"] if use_html else ["url", "text"]
 
     def _read():
-        ds = rd.read_parquet(input_path, columns=cols)
+        ds = rd.read_parquet(input_path, columns=cols,
+                             override_num_blocks=cfg.num_parts)
         ds = extract_text(ds) if use_html else ds
         return add_uid(ds)
 
@@ -135,22 +142,31 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
         if ck is not None:
             sig_ds = ck.save("signatures", sig_ds, t0)
 
-    # --- cluster ------------------------------------------------------
-    if ck is not None and ck.done("clusters"):
-        clusters = ck.load("clusters")
-    else:
-        t0 = time.time()
-        ids_ds = sig_ds.select_columns([UID_COL])
-        clusters = near_dup_clusters(ids_ds, cfg, sig_ds=sig_ds)
-        if ck is not None:
-            clusters = ck.save("clusters", clusters, t0)
+    # --- labels: band shuffle → candidate edges → connected components.
+    # Only nodes that touch an edge get a label row — a small table, cheap to
+    # checkpoint (full cluster attachment is fused into the assignments join
+    # below, saving one whole all-to-all shuffle over every document).
+    from .dedup import band_table, candidate_edges
 
-    # --- assignments: re-attach url, flag non-representatives ---------
+    if ck is not None and ck.done("labels"):
+        labels = ck.load("labels")
+    else:
+        from .cc import connected_components
+
+        t0 = time.time()
+        bands = band_table(sig_ds, cfg, include_sig=cfg.verify)
+        edges = candidate_edges(bands, cfg, with_sig=cfg.verify)
+        labels = connected_components(edges, num_parts=cfg.num_parts)
+        if ck is not None:
+            labels = ck.save("labels", labels, t0)
+
+    # --- assignments: one shuffle joins (uid → url) with (uid → label) ----
     if ck is not None and ck.done("assignments"):
         out = ck.load("assignments")
     else:
         t0 = time.time()
-        url_map = add_uid(rd.read_parquet(input_path, columns=["url"]))
+        url_map = add_uid(rd.read_parquet(
+            input_path, columns=["url"], override_num_blocks=cfg.num_parts))
 
         from .common import np_col, partitionwise, run_ids
 
@@ -158,12 +174,13 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
             return pa.table({UID_COL: b[UID_COL], "url": b["url"],
                              "cluster_uid": pa.array(np.zeros(len(b), np.uint64))})
 
-        def _mark_cluster(b: pa.Table) -> pa.Table:
-            return pa.table({UID_COL: b[UID_COL], "url": pa.nulls(len(b), pa.string()),
-                             "cluster_uid": b["cluster_id"].cast(pa.uint64())})
+        def _mark_label(b: pa.Table) -> pa.Table:
+            return pa.table({UID_COL: b["node"].cast(pa.uint64()),
+                             "url": pa.nulls(len(b), pa.string()),
+                             "cluster_uid": b["label"].cast(pa.uint64())})
 
         unioned = url_map.map_batches(_mark_url, batch_format="pyarrow").union(
-            clusters.map_batches(_mark_cluster, batch_format="pyarrow"))
+            labels.map_batches(_mark_label, batch_format="pyarrow"))
 
         def _join(g: pa.Table) -> pa.Table:
             uids = np_col(g, UID_COL).astype(np.uint64)
@@ -172,12 +189,17 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
             has_url = pa.compute.is_valid(g["url"].combine_chunks()).to_numpy(
                 zero_copy_only=False)
             order, gid, counts = run_ids(uids)
+            # cluster = CC label where present (label rows), else the doc's
+            # own uid (labels are always <= uid, so max picks the url-row 0
+            # default only when no label row exists... use explicit merge)
             cluster = np.zeros(len(counts), np.uint64)
             np.maximum.at(cluster, gid, cl[order])
             url_rows = np.flatnonzero(has_url[order])
             out_uid = uids[order][url_rows]
             out_url = urls[order][url_rows]
             out_cl = cluster[gid[url_rows]]
+            no_label = out_cl == 0
+            out_cl[no_label] = out_uid[no_label]
             return pa.table({
                 "url": pa.array(out_url, pa.string()),
                 UID_COL: pa.array(out_uid, pa.uint64()),

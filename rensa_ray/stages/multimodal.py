@@ -1,0 +1,159 @@
+"""Multimodal column stages — image/audio/video as opaque binary + metadata.
+
+The decode/codec step is STUBBED (no image/audio libraries in this
+environment): ``decode_fn=None`` uses a deterministic fake decoder so the
+Ray-side plumbing — schema contract, actor-pool stage shape, batch sizing,
+output layout — is real and tested.  Plug a real decoder (PIL/torchaudio/
+ffmpeg) in via the ``decode_fn`` constructor arg on a real deployment.
+
+Design notes for 100 TB media corpora:
+
+- payloads stay in one ``binary`` column; per-batch row counts must be small
+  (``batch_size`` 32–256) so batch × concurrency fits worker heaps;
+- decoders are per-actor state (``__init__`` loads the codec/model once);
+- outputs are fixed-size feature vectors / resized tensors as
+  ``fixed_size_list`` columns — columnar, shuffle-friendly;
+- pass-through of key/metadata columns keeps lineage without a join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _fake_decode(payload: bytes, channels: int = 3) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes → (8, 8, channels) uint8 'image'.
+
+    Derived from sha256 of the payload so tests get stable tensors without
+    any codec dependency.  Replace via ``decode_fn`` in production."""
+    need = 8 * 8 * channels
+    out = bytearray()
+    h = hashlib.sha256(payload).digest()
+    while len(out) < need:
+        out.extend(h)
+        h = hashlib.sha256(h).digest()
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(8, 8, channels)
+
+
+class ImageDecodeStage:
+    """map_batches actor: (key, payload binary) → (key, image fixed_size_list).
+
+    Output column ``image`` is a flattened (H*W*C,) uint8 fixed_size_list,
+    plus ``height``/``width``/``channels`` metadata columns.
+    """
+
+    def __init__(self, key_col: str = "url", payload_col: str = "payload",
+                 decode_fn=None, channels: int = 3):
+        self.key_col = key_col
+        self.payload_col = payload_col
+        self.channels = channels
+        # per-actor setup: real deployments load the codec/model here once
+        self.decode = decode_fn if decode_fn is not None else (
+            lambda b: _fake_decode(b, channels))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        imgs = [self.decode(b"" if p is None else p) for p in payloads]
+        h, w, c = imgs[0].shape if imgs else (8, 8, self.channels)
+        flat = (np.stack(imgs).reshape(len(imgs), -1) if imgs
+                else np.empty((0, h * w * c), np.uint8))
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "image": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat.reshape(-1), pa.uint8()), h * w * c),
+            "height": pa.array(np.full(len(imgs), h, np.int32)),
+            "width": pa.array(np.full(len(imgs), w, np.int32)),
+            "channels": pa.array(np.full(len(imgs), c, np.int32)),
+        })
+
+
+class ImageFeatureStage:
+    """map_batches actor: decoded image column → feature vector column.
+
+    The stub feature is a per-channel byte histogram (deterministic, fully
+    vectorized); a real deployment would run batched model inference here —
+    same signature, same output layout (``fixed_size_list<float>``)."""
+
+    def __init__(self, image_col: str = "image", key_col: str = "url",
+                 bins: int = 16, feature_fn=None):
+        self.image_col = image_col
+        self.key_col = key_col
+        self.bins = bins
+        self.feature_fn = feature_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.image_col].combine_chunks()
+        size = col.type.list_size
+        m = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, size)
+        if self.feature_fn is not None:
+            feats = self.feature_fn(m)
+        else:
+            edges = np.linspace(0, 256, self.bins + 1)
+            idx = np.clip(np.searchsorted(edges, m, side="right") - 1,
+                          0, self.bins - 1)
+            feats = np.zeros((len(m), self.bins), np.float64)
+            rows = np.repeat(np.arange(len(m)), size)
+            np.add.at(feats, (rows, idx.reshape(-1)), 1.0)
+            feats /= max(size, 1)
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.astype(np.float32).reshape(-1), pa.float32()),
+                feats.shape[1]),
+        })
+
+
+class FrameSampleStage:
+    """map_batches stage: (key, video binary) → N deterministic 'frames' per
+    row (flat_map layout: output has more rows than input).
+
+    Real frame extraction (ffmpeg) is stubbed with byte-slicing; the row
+    fan-out, frame_id column and per-frame payloads are the real contract."""
+
+    def __init__(self, key_col: str = "url", payload_col: str = "payload",
+                 num_frames: int = 4, extract_fn=None):
+        self.key_col = key_col
+        self.payload_col = payload_col
+        self.num_frames = num_frames
+        self.extract_fn = extract_fn
+
+    def _frames(self, payload: bytes) -> list[bytes]:
+        if self.extract_fn is not None:
+            return self.extract_fn(payload, self.num_frames)
+        if not payload:
+            return [b""] * self.num_frames
+        step = max(len(payload) // self.num_frames, 1)
+        return [payload[i * step : (i + 1) * step] for i in range(self.num_frames)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_pylist()
+        payloads = batch[self.payload_col].to_pylist()
+        out_keys, out_fid, out_frames = [], [], []
+        for k, p in zip(keys, payloads):
+            for fid, fr in enumerate(self._frames(b"" if p is None else p)):
+                out_keys.append(k)
+                out_fid.append(fid)
+                out_frames.append(fr)
+        return pa.table({
+            self.key_col: pa.array(out_keys, batch[self.key_col].type),
+            "frame_id": pa.array(out_fid, pa.int32()),
+            "frame": pa.array(out_frames, pa.binary()),
+        })
+
+
+def decode_and_featurize(ds, key_col: str = "url", payload_col: str = "payload",
+                         batch_size: int = 128, concurrency=2):
+    """Composed media pipeline: decode (actor pool, small batches for large
+    payloads) → feature extract (actor pool)."""
+    decoded = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"key_col": key_col, "payload_col": payload_col},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        num_cpus=1)
+    return decoded.map_batches(
+        ImageFeatureStage, fn_constructor_kwargs={"key_col": key_col},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        num_cpus=1)

@@ -214,3 +214,28 @@ def test_events_hourly_vs_sql(ray_session):
         """SELECT event_type, date_trunc('hour', ts) AS hour,
                   COUNT(*) AS n_events
            FROM events GROUP BY event_type, date_trunc('hour', ts)""")
+
+
+# -------------------------------------------------------------- metrics (B6)
+
+def test_flag_mismatch_stats():
+    from rensa_ray.functions.metrics import flag_mismatch_stats
+
+    s = flag_mismatch_stats([True, False, True, False],
+                            [True, True, False, False])
+    assert s["n"] == 4 and s["mismatches"] == 2
+    assert s["mismatch_rate"] == 0.5
+    assert s["a_only"] == 1 and s["b_only"] == 1 and s["both_flagged"] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        flag_mismatch_stats([True], [True, False])
+
+
+def test_kept_set_jaccard_and_pair_recall():
+    from rensa_ray.functions.metrics import dup_pair_recall, kept_set_jaccard
+
+    assert kept_set_jaccard([1, 2, 3], [2, 3, 4]) == 0.5
+    assert kept_set_jaccard([], []) == 1.0
+    assert dup_pair_recall([(2, 1), (3, 4)], [(1, 2)]) == 1.0
+    assert dup_pair_recall([], [(1, 2)]) == 0.0
