@@ -92,6 +92,23 @@ def entry() -> Any:
 # queries
 # --------------------------------------------------------------------------
 
+def _curate_query(sf_dir):
+    """Full curation chain (lang+quality filter → exact dedup → near dedup):
+    kept doc ids."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.curate import curate
+    from rensa_ray.pipelines.dedup import DedupConfig
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    cfg = DedupConfig(num_parts=16, concurrency=None)
+    curated, _stats = curate(ds, cfg, langs=("en", "de", "fr", "es", "zh"),
+                             min_words=5)
+    return _fin(curated.select_columns(["doc_id"]),
+                pa.schema([("doc_id", I64)]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rensa_ray.pipelines import knn, simjoin, textops
     from rensa_ray.pipelines.dedup import DedupConfig, duplicate_flags, near_dup_clusters
@@ -206,6 +223,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": lambda sf: _fin(
             textops.doc_fingerprint(sf),
             pa.schema([("doc_id", I64), ("fp", U64)])),
+        "doc_bpe_token_counts": lambda sf: _fin(
+            textops.doc_bpe_token_counts(sf),
+            pa.schema([("doc_id", I64), ("n_bpe_tokens", I64)])),
+        "curate_corpus": _curate_query,
         # events (grouped / windowed aggregates) -----------------------------
         "events_by_type": lambda sf: _fin(
             textops.events_by_type(sf),

@@ -58,3 +58,19 @@ def _register_self_by_value() -> None:
 
 
 _register_self_by_value()
+
+
+_STATE_EXPORTS = {
+    "RMinHash", "CMinHash", "RMinHashDigestMatrix", "RMinHashLSH",
+    "RMinHashDeduplicator", "CMinHashDeduplicator",
+}
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports mirroring the reference's import surface
+    (``from rensa import RMinHash, RMinHashLSH, ...`` — src/lib.rs:35-43)."""
+    if name in _STATE_EXPORTS:
+        from . import state
+
+        return getattr(state, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -128,3 +128,20 @@ def doc_fingerprints(texts: list[str]) -> np.ndarray:
 def content_hash_u64(texts: list[str]) -> np.ndarray:
     """fxhash64 of the raw UTF-8 text — the exact-dedup key."""
     return fxhash64_bytes_list([t.encode("utf-8") for t in texts])
+
+
+# GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit runs,
+# other-symbol runs, whitespace runs — a deterministic stand-in for a real
+# BPE vocab (counts pre-merge word pieces).  Compiled once per process.
+import re
+
+_BPE_SPLIT = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    re.UNICODE)
+
+
+def bpe_token_counts(texts: list[str]) -> np.ndarray:
+    """Per-doc count of GPT-2-style pre-tokens (BPE-ish regex split)."""
+    pat = _BPE_SPLIT
+    return np.fromiter((len(pat.findall(t)) for t in texts),
+                       count=len(texts), dtype=np.int64)

@@ -50,11 +50,22 @@ def local_min_labels(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.n
     nodes, idx = np.unique(both, return_inverse=True)
     m = len(src)
     s, d = idx[:m], idx[m:]
+    # one upfront sort by receiving endpoint turns every iteration's
+    # neighbor-min into a gather + 1-D reduceat (the np.minimum.at scatter
+    # it replaces is an order of magnitude slower per round)
+    recv = np.concatenate([d, s])
+    send = np.concatenate([s, d])
+    order = np.argsort(recv, kind="stable")
+    recv_s = recv[order]
+    send_s = send[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], recv_s[1:] != recv_s[:-1]]))
+    recv_ids = recv_s[starts]
     label = np.arange(len(nodes), dtype=np.int64)
     while True:
+        mins = np.minimum.reduceat(label[send_s], starts)
         l2 = label.copy()
-        np.minimum.at(l2, d, label[s])
-        np.minimum.at(l2, s, label[d])
+        l2[recv_ids] = np.minimum(l2[recv_ids], mins)
         while True:
             l3 = l2[l2]
             if np.array_equal(l3, l2):
@@ -68,12 +79,12 @@ def local_min_labels(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.n
 
 def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
                          checkpoint_dir: str | None = None,
-                         driver_cc_threshold: int = 5_000_000):
+                         driver_cc_threshold: int = 50_000_000):
     """edges(src, dst) → labels(node, label) with label = min reachable node.
 
     Only nodes that appear in some edge are labeled (isolated docs default to
     self-labels at attach time, see ``near_dup_clusters``).  Edge sets up to
-    ``driver_cc_threshold`` rows collapse on the driver (they are ~pairs of
+    ``driver_cc_threshold`` rows (~1.6 GB at 50M pairs) collapse on the driver (they are ~pairs of
     near-dups, a small fraction of the corpus); larger graphs run the
     distributed label-propagation loop.
     """

@@ -44,7 +44,11 @@ class DedupConfig:
     text_col: str = "text"
     # physical knobs — the only things that change between cluster sizes
     num_parts: int = 64          # hash partitions for keyed shuffles (2-4x cores)
-    batch_size: int = 2048       # docs per signature batch (reference chunk size)
+    batch_size: int = 512        # docs per signature batch: keeps the sign
+                                 # kernel's working set (~1 MB uniq+token
+                                 # arrays) L2-resident — 512 measured 2.5×
+                                 # faster than 2048 at 8 concurrent workers
+                                 # (cache contention), 1.4× faster at 1
     concurrency: int | None = 4  # signer actor pool size (None → num_parts tasks)
     verify: bool = False         # exact-Jaccard gate on candidate pairs (README
                                  # recipe semantics; one-shot flags don't verify)
@@ -84,9 +88,11 @@ def band_table(sig_ds, cfg: DedupConfig, include_sig: bool = False):
     """(id, sig) → exploded (id, band_id, band_hash[, sig]) band table."""
     if not include_sig:
         # stateless → task pool (an instance, not a class: no actor needed)
+        # per-block batches: band explode is simple repeat/tile work with no
+        # cache-sized working set — small batches only add per-call overhead
         return sig_ds.map_batches(
             BandExploder(num_bands=cfg.num_bands, id_col=cfg.id_col),
-            batch_format="pyarrow", batch_size=cfg.batch_size,
+            batch_format="pyarrow", batch_size=None,
         )
 
     num_bands, id_col = cfg.num_bands, cfg.id_col
@@ -106,7 +112,7 @@ def band_table(sig_ds, cfg: DedupConfig, include_sig: bool = False):
         })
 
     return sig_ds.map_batches(_explode_with_sig, batch_format="pyarrow",
-                              batch_size=cfg.batch_size)
+                              batch_size=None)
 
 
 def flagged_doc_ids(band_ds, cfg: DedupConfig):
@@ -205,7 +211,26 @@ def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False):
             src, dst = src[o2][fst], dst[o2][fst]
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
-    return partitionwise(band_ds, _edges, "band_hash", cfg.num_parts)
+    edges = partitionwise(band_ds, _edges, "band_hash", cfg.num_parts)
+
+    # global distinct: the same (rep, member) pair surfaces once per
+    # colliding band (different band_hash → different partition above), an
+    # up-to-num_bands× inflation of the CC input — one cheap keyed pass
+    # collapses it before the edge table feeds connected components
+    def _distinct_pairs(g: pa.Table) -> pa.Table:
+        s = np_col(g, "src").astype(np.uint64)
+        d = np_col(g, "dst").astype(np.uint64)
+        if len(s) == 0:
+            return g
+        o, gg, _ = run_ids(s, d)
+        fst = np.zeros(len(gg), dtype=bool)
+        fst[0] = True
+        fst[1:] = gg[1:] != gg[:-1]
+        typ = g.schema.field("src").type
+        return pa.table({"src": pa.array(s[o][fst]).cast(typ),
+                         "dst": pa.array(d[o][fst]).cast(typ)})
+
+    return partitionwise(edges, _distinct_pairs, "src", cfg.num_parts)
 
 
 def near_dup_clusters(ds, cfg: DedupConfig, sig_ds=None):

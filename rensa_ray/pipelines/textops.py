@@ -205,6 +205,19 @@ def total_token_count(sf_dir: str):
     return pa.table({"total_tokens": pa.array([int(total)], pa.int64())})
 
 
+def doc_bpe_token_counts(sf_dir: str):
+    """Per-doc GPT-2-style pre-token count: (doc_id, n_bpe_tokens)."""
+    from ..functions.textstats import bpe_token_counts
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "n_bpe_tokens": pa.array(bpe_token_counts(
+                                ["" if t is None else t
+                                 for t in b["text"].to_pylist()]))}),
+        batch_format="pyarrow", batch_size=2048)
+
+
 def doc_quality(sf_dir: str):
     """Per-doc heuristic quality features (word_count, mean_word_len,
     stopword_ratio, alnum_ratio) — actor-pool batch stage."""

@@ -94,11 +94,14 @@ class _Checkpointer:
                                override_num_blocks=self.num_blocks)
 
     def save(self, name: str, ds, t0: float):
+        import pyarrow.parquet as pq
+
         path = self._stage_dir(name)
         ds.write_parquet(path)
-        # count from the WRITTEN parquet (metadata-only) — counting the live
-        # dataset would re-execute the whole upstream pipeline a second time
-        rows = self.load(name).count()
+        # row count straight from parquet footers — no Ray execution at all
+        # (counting the live dataset would re-run the whole upstream pipeline)
+        rows = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
         wall = time.time() - t0
         with open(os.path.join(path, "_SUCCESS"), "w") as f:
             f.write("ok")

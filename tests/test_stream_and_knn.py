@@ -136,3 +136,61 @@ def test_ngram_jaccard_pairs_exact(ray_session, tmp_path):
     got = {tuple(r) for r in out[["id_a", "id_b"]].itertuples(index=False)}
     # true jaccard(0,1) = 115/121 ≈ 0.95; (0,2) identical = 1.0
     assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_bpe_token_counts():
+    from rensa_ray.functions.textstats import bpe_token_counts
+
+    out = bpe_token_counts(["Hello world", "", "it's 2024!", "aaa   bbb"])
+    assert out[1] == 0
+    # "Hello"," world" → 2; "it","'s"," 2024","!" → 4
+    assert out[0] == 2
+    assert out[2] == 4
+    assert out[3] >= 2
+    # deterministic
+    assert (bpe_token_counts(["Hello world"]) == [2]).all()
+
+
+def test_curate_pipeline(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rensa_ray.pipelines.curate import curate
+    from rensa_ray.pipelines.dedup import DedupConfig
+
+    texts = ([NEAR_A, NEAR_B, NEAR_A] + UNIQ      # near pair + exact dup
+             + ["short", "!!! ??? ###" * 20])     # quality rejects
+    langs = ["en"] * (len(texts) - 1) + ["de"]    # last also lang-rejected
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+    }))
+    cfg = DedupConfig(num_parts=4, concurrency=None)
+    curated, stats = curate(ds, cfg, langs=("en",), min_words=3)
+    kept = sorted(curated.to_pandas()["doc_id"].tolist())
+    # doc2 (exact dup of 0) dropped; doc1 (near dup of 0) dropped; "short"
+    # (1 word) and the symbol doc (lang=de) dropped
+    assert kept == [0] + list(range(3, 3 + len(UNIQ)))
+    assert stats["input"] == len(texts)
+    assert stats["after_filters"] == 3 + len(UNIQ)      # exact dup passes filters
+    assert stats["after_exact_dedup"] == 2 + len(UNIQ)  # doc2 == doc0 dropped
+    assert stats["after_near_dedup"] == 1 + len(UNIQ)   # doc1 near-dup dropped
+
+
+def test_read_corpus_formats(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from rensa_ray.sources.readers import read_corpus, write_corpus_as
+
+    src = rd.from_items([{"url": f"u{i}", "text": f"doc {i} words here"}
+                         for i in range(20)])
+    for fmt in ("parquet", "json", "csv"):
+        d = str(tmp_path / fmt)
+        write_corpus_as(src, d, fmt)
+        back = read_corpus(d, fmt, columns=["url", "text"]).to_pandas()
+        assert len(back) == 20
+        assert sorted(back.columns) == ["text", "url"]
+        assert set(back["url"]) == {f"u{i}" for i in range(20)}
+    with pytest.raises(ValueError):
+        read_corpus("/tmp/x", "xml")
