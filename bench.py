@@ -32,7 +32,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 WEB_DOCS = int(os.environ.get("RENSA_BENCH_WEB_DOCS", "50000"))
 # scaling runs need enough parallel work that fixed per-stage overheads
 # (actor-pool spin-up, checkpoint round-trips, driver CC) don't dominate
-SCALE_DOCS = int(os.environ.get("RENSA_BENCH_SCALE_DOCS", "3000000"))
+SCALE_DOCS = int(os.environ.get("RENSA_BENCH_SCALE_DOCS", "6000000"))
 CORPUS_SEED = 12345
 
 
@@ -135,7 +135,7 @@ def run_scaling() -> dict:
     SMT/bandwidth ceiling rather than pipeline scalability — see BASELINE.md.
     """
     _corpus_dir(SCALE_DOCS)  # generate once, outside the timed runs
-    trials = int(os.environ.get("RENSA_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("RENSA_SCALE_TRIALS", "1"))
     results = {}
     for cpus in (2, 8, 32):
         best = None

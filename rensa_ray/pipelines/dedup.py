@@ -84,8 +84,54 @@ def compute_signatures(ds, cfg: DedupConfig):
     )
 
 
+def with_band_columns(sig_ds, cfg: DedupConfig):
+    """Append per-band hash columns ``bh0..bh{B-1}`` to a (id, sig) dataset.
+
+    Written into the signature checkpoint so the banding stage can read
+    64 B/doc of band hashes (parquet column pruning) instead of re-parsing
+    the full 4·num_perm-byte signature column — at web scale the band table
+    derivation is I/O-bound on exactly this choice.
+    """
+    num_bands = cfg.num_bands
+
+    def _add(batch: pa.Table) -> pa.Table:
+        sig = sig_from_arrow(batch[SIG_COL])
+        u32 = sig if sig.dtype == np.uint32 else (
+            sig >> np.uint64(32)).astype(np.uint32)
+        bh = band_hashes_matrix(u32, num_bands)
+        for b in range(num_bands):
+            batch = batch.append_column(f"bh{b}", pa.array(bh[:, b], pa.uint64()))
+        return batch
+
+    return sig_ds.map_batches(_add, batch_format="pyarrow", batch_size=None)
+
+
+def band_table_from_columns(ds, cfg: DedupConfig):
+    """(id, bh0..bh{B-1}) → exploded (id, band_id, band_hash) band table."""
+    num_bands, id_col = cfg.num_bands, cfg.id_col
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = np_col(batch, id_col)
+        bh = np.empty((n, num_bands), np.uint64)
+        for b in range(num_bands):
+            bh[:, b] = np_col(batch, f"bh{b}").astype(np.uint64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, num_bands)),
+            "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+        })
+
+    return ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+
+
 def band_table(sig_ds, cfg: DedupConfig, include_sig: bool = False):
-    """(id, sig) → exploded (id, band_id, band_hash[, sig]) band table."""
+    """(id, sig) → exploded (id, band_id, band_hash[, sig]) band table.
+
+    Callers holding a checkpoint with precomputed ``bh*`` columns should use
+    ``band_table_from_columns`` directly — sniffing the schema here would
+    trigger a partial execution on lazy inputs.
+    """
     if not include_sig:
         # stateless → task pool (an instance, not a class: no actor needed)
         # per-block batches: band explode is simple repeat/tile work with no

@@ -87,10 +87,10 @@ class _Checkpointer:
     def done(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._stage_dir(name), "_SUCCESS"))
 
-    def load(self, name: str):
+    def load(self, name: str, columns: list | None = None):
         import ray.data as rd
 
-        return rd.read_parquet(self._stage_dir(name),
+        return rd.read_parquet(self._stage_dir(name), columns=columns,
                                override_num_blocks=self.num_blocks)
 
     def save(self, name: str, ds, t0: float):
@@ -137,13 +137,23 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
         return add_uid(ds)
 
     # --- sign ---------------------------------------------------------
+    # the checkpoint carries precomputed band-hash columns so the banding
+    # stage reads 8 uint64/doc (column pruning) instead of the full
+    # 4*num_perm-byte signature column
+    from .dedup import with_band_columns
+
     if ck is not None and ck.done("signatures"):
-        sig_ds = ck.load("signatures")
+        sig_cols = [UID_COL] + [f"bh{b}" for b in range(cfg.num_bands)]
+        sig_ds = ck.load("signatures",
+                         columns=None if cfg.verify else sig_cols)
     else:
         t0 = time.time()
-        sig_ds = compute_signatures(_read(), cfg)
+        sig_ds = with_band_columns(compute_signatures(_read(), cfg), cfg)
         if ck is not None:
-            sig_ds = ck.save("signatures", sig_ds, t0)
+            ck.save("signatures", sig_ds, t0)
+            sig_cols = [UID_COL] + [f"bh{b}" for b in range(cfg.num_bands)]
+            sig_ds = ck.load("signatures",
+                             columns=None if cfg.verify else sig_cols)
 
     # --- labels: band shuffle → candidate edges → connected components.
     # Only nodes that touch an edge get a label row — a small table, cheap to
@@ -157,7 +167,12 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
         from .cc import connected_components
 
         t0 = time.time()
-        bands = band_table(sig_ds, cfg, include_sig=cfg.verify)
+        if cfg.verify:
+            bands = band_table(sig_ds, cfg, include_sig=True)
+        else:
+            from .dedup import band_table_from_columns
+
+            bands = band_table_from_columns(sig_ds, cfg)
         edges = candidate_edges(bands, cfg, with_sig=cfg.verify)
         labels = connected_components(edges, num_parts=cfg.num_parts)
         if ck is not None:
