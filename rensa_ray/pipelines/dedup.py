@@ -173,12 +173,9 @@ def flagged_doc_ids(band_ds, cfg: DedupConfig):
         dup = counts[gid] >= 2
         return pa.table({id_col: pa.array(np.unique(ids[order][dup]))})
 
-    members = partitionwise(band_ds, _dup_members, "band_hash", cfg.num_parts)
-
-    def _distinct(group: pa.Table) -> pa.Table:
-        return pa.table({id_col: pa.array(np.unique(np_col(group, id_col)))})
-
-    return partitionwise(members, _distinct, id_col, cfg.num_parts)
+    # members may repeat a doc id across band partitions — downstream
+    # consumers (the flag merge) group by id anyway, so no distinct pass
+    return partitionwise(band_ds, _dup_members, "band_hash", cfg.num_parts)
 
 
 def duplicate_flags(ds, cfg: DedupConfig, sig_ds=None):

@@ -178,13 +178,9 @@ def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
         flagged = np.unique(np.concatenate([ids_s[ii[hit]], ids_s[jj[hit]]]))
         return pa.table({"doc_id": pa.array(flagged, pa.int64())})
 
-    members = partitionwise(exploded, _flag_members, "band_key", num_parts)
-
-    def _distinct(g: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pa.array(np.unique(np_col(g, "doc_id")),
-                                            pa.int64())})
-
-    flagged = partitionwise(members, _distinct, "doc_id", num_parts)
+    # repeated ids across band partitions are collapsed by the flag merge's
+    # group-by-id below — no separate distinct shuffle needed
+    flagged = partitionwise(exploded, _flag_members, "band_key", num_parts)
 
     all_ids = _read_docs(sf_dir, ["doc_id"]).map_batches(
         lambda b: b.append_column("__f", pa.array(np.zeros(len(b), np.int8))),
