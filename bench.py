@@ -94,6 +94,12 @@ def run_suite() -> dict:
     _init_ray(NUM_CPUS)
     import __ray_entry__ as mod
 
+    # warm Ray Data's executor/worker pool once so the first timed query
+    # doesn't absorb the session's cold-start (~5-10 s on this host)
+    import ray.data as rd
+
+    rd.range(1000).map_batches(lambda b: b).count()
+
     qfns = mod.queries()
     headline = [
         "minhash_dup_flags", "minhash_clusters", "cminhash_dup_flags",
