@@ -216,3 +216,98 @@ def cmin_digest_scalar(token_hashes, num_perm: int, seed: int) -> list[int]:
             if v < sig[k]:
                 sig[k] = v
     return sig
+
+
+# ---------------------------------------------------------------------------
+# One-permutation hashing (OPH) — the O(tokens + num_perm) scale path
+# ---------------------------------------------------------------------------
+#
+# The reference ships "rho", an O(tokens) multi-probe sketch, as its
+# speed-vs-recall alternative to the standard O(tokens × num_perm) digest
+# (src/rho.rs; explicitly non-parity with the standard path).  Our analogue
+# is one-permutation hashing with rotation densification (Li, Owen, Zhang
+# 2012; Shrivastava & Li 2014): each token lands in ONE of num_perm buckets,
+# each bucket keeps the min mixed hash, and empty buckets borrow circularly
+# from the nearest filled bucket to their right.  Like rho, OPH digests are
+# NOT comparable with R-MinHash digests — use one algo per pipeline.
+
+_OPH_SEED_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _oph_mix(h: np.ndarray, seed: int) -> np.ndarray:
+    """SplitMix64 finalizer over (hash ^ f(seed)) — decorrelates runs."""
+    with np.errstate(over="ignore"):  # u64 wrapping is the point
+        z = np.asarray(h, np.uint64) ^ (np.uint64(seed) * _OPH_SEED_MIX)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def oph_digest_scalar(token_hashes, num_perm: int, seed: int) -> list[int]:
+    """Scalar OPH reference (parity ground truth for the batch kernel)."""
+    sig = [int(CMIN_EMPTY)] * num_perm
+    for h in token_hashes:
+        z = int(_oph_mix(np.uint64(int(h)), seed))
+        k = z % num_perm
+        if z < sig[k]:
+            sig[k] = z
+    # rotation densification: empty bucket k copies the nearest filled
+    # bucket at (k + j) % num_perm, smallest j > 0
+    filled = [v != int(CMIN_EMPTY) for v in sig]
+    if not any(filled):
+        return sig
+    out = list(sig)
+    for k in range(num_perm):
+        if not filled[k]:
+            j = 1
+            while not filled[(k + j) % num_perm]:
+                j += 1
+            out[k] = sig[(k + j) % num_perm]
+    return out
+
+
+def oph_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
+                      num_perm: int, seed: int) -> np.ndarray:
+    """OPH signatures for n CSR documents → (n, num_perm) uint64.
+
+    One pass over tokens (sort by doc·P+bucket, reduceat-min), then a fully
+    vectorized circular fill-right densification.  Empty docs stay all
+    sentinel (same convention as C-MinHash).
+    """
+    from .hashing import tune_allocator
+
+    tune_allocator()
+    token_hashes = np.asarray(token_hashes, dtype=np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    validate_offsets(offsets, len(token_hashes))
+    n = len(offsets) - 1
+    P = num_perm
+    out = np.full((n, P), CMIN_EMPTY, dtype=np.uint64)
+    if len(token_hashes) == 0 or n == 0:
+        return out
+    sizes = offsets[1:] - offsets[:-1]
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    z = _oph_mix(token_hashes, seed)
+    bucket = (z % np.uint64(P)).astype(np.int64)
+    slot = doc_of * P + bucket
+    order = np.argsort(slot, kind="stable")
+    slot_s, z_s = slot[order], z[order]
+    starts = np.flatnonzero(np.concatenate([[True], slot_s[1:] != slot_s[:-1]]))
+    mins = np.minimum.reduceat(z_s, starts)
+    out.reshape(-1)[slot_s[starts]] = mins
+    # densification: for each row, empty slots take the value of the nearest
+    # filled slot to the RIGHT (circular).  Scan right-to-left over the row
+    # tiled twice to resolve the wrap-around in one vectorized pass.
+    filled = out != CMIN_EMPTY
+    any_filled = filled.any(axis=1)
+    if not any_filled.all() or not filled.all():
+        twice = np.concatenate([out, out], axis=1)            # (n, 2P)
+        f2 = np.concatenate([filled, filled], axis=1)
+        # index of the next filled column at or after j, scanned from right
+        idx = np.where(f2, np.arange(2 * P)[None, :], 2 * P + 1)
+        nxt = np.minimum.accumulate(idx[:, ::-1], axis=1)[:, ::-1]
+        take = np.clip(nxt[:, :P], 0, 2 * P - 1)
+        dens = np.take_along_axis(twice, take, axis=1)
+        rows = any_filled & ~filled.all(axis=1)
+        out[rows] = np.where(filled[rows], out[rows], dens[rows])
+    return out

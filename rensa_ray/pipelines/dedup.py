@@ -39,7 +39,7 @@ class DedupConfig:
     threshold: float = 0.8
     seed: int = 42
     ngram_size: int = 3
-    algo: str = "rmin"          # "rmin" | "cmin"
+    algo: str = "rmin"          # "rmin" | "cmin" | "oph" (fast scale path)
     id_col: str = "doc_id"
     text_col: str = "text"
     # physical knobs — the only things that change between cluster sizes

@@ -17,7 +17,7 @@ import pyarrow as pa
 
 from ..kernels.hashing import CMinParams, build_rmin_permutations
 from ..kernels.shingle import batch_shingle_hashes
-from ..kernels.sketch import cmin_digest_matrix, rmin_digest_matrix
+from ..kernels.sketch import cmin_digest_matrix, oph_digest_matrix, rmin_digest_matrix
 
 SIG_COL = "sig"
 
@@ -46,14 +46,17 @@ class MinHashSigner:
             from (num_perm, seed), which is what makes the stage stateless
             across retries (src/rminhash.rs:121-134).
         ngram_size: word-shingle width (3 = reference benchmark default).
-        algo: "rmin" (u32 digests) or "cmin" (u64 digests).
+        algo: "rmin" (u32 digests), "cmin" (u64 digests), or "oph"
+            (one-permutation hashing, u64 digests — the O(tokens+num_perm)
+            scale path, ~8× faster than rmin; NOT digest-compatible with
+            the other algos, mirror of the reference's rho speed path).
         id_col / text_col: input column names; only ``id_col`` and ``sig``
             are emitted (keep payload columns out of the shuffle).
     """
 
     def __init__(self, num_perm: int = 128, seed: int = 42, ngram_size: int = 3,
                  algo: str = "rmin", id_col: str = "doc_id", text_col: str = "text"):
-        if algo not in ("rmin", "cmin"):
+        if algo not in ("rmin", "cmin", "oph"):
             raise ValueError(f"unknown algo {algo!r}")
         self.num_perm = num_perm
         self.seed = seed
@@ -64,15 +67,20 @@ class MinHashSigner:
         if algo == "rmin":
             self._perms = build_rmin_permutations(num_perm, seed)
             self._params = None
-        else:
+        elif algo == "cmin":
             self._perms = None
             self._params = CMinParams(num_perm, seed)
+        else:  # oph needs no precomputed state (mixer is seed-derived)
+            self._perms = None
+            self._params = None
 
     def sign_texts(self, texts: list[str]) -> np.ndarray:
         hashes, offsets = batch_shingle_hashes(texts, self.ngram_size)
         if self.algo == "rmin":
             return rmin_digest_matrix(hashes, offsets, self.num_perm, self.seed,
                                       perms=self._perms)
+        if self.algo == "oph":
+            return oph_digest_matrix(hashes, offsets, self.num_perm, self.seed)
         return cmin_digest_matrix(hashes, offsets, self.num_perm, self.seed,
                                   params=self._params)
 

@@ -216,3 +216,59 @@ def test_batch_shingles_match_scalar():
 def test_batch_shingles_empty_batch():
     hashes, offsets = G.batch_shingle_hashes([], 3)
     assert len(hashes) == 0 and offsets.tolist() == [0]
+
+
+# ------------------------------------------------------------------ OPH
+
+def test_oph_batch_matches_scalar():
+    import numpy as np
+
+    from rensa_ray.kernels.sketch import oph_digest_matrix, oph_digest_scalar
+
+    rng = np.random.default_rng(1)
+    docs = [rng.integers(0, 1 << 63, rng.integers(0, 30)).astype(np.uint64)
+            for _ in range(40)]
+    docs[0] = np.empty(0, np.uint64)
+    offsets = np.zeros(len(docs) + 1, np.int64)
+    np.cumsum([len(d) for d in docs], out=offsets[1:])
+    flat = (np.concatenate(docs) if offsets[-1] else np.empty(0, np.uint64))
+    mat = oph_digest_matrix(flat, offsets, 32, 7)
+    for i, d in enumerate(docs):
+        assert mat[i].tolist() == oph_digest_scalar(d.tolist(), 32, 7), i
+
+
+def test_oph_jaccard_estimate_quality():
+    import numpy as np
+
+    from rensa_ray.kernels.sketch import oph_digest_matrix
+
+    rng = np.random.default_rng(2)
+    errs = []
+    for overlap in (0.9, 0.5, 0.2):
+        a = rng.integers(0, 1 << 63, 800).astype(np.uint64)
+        keep = int(800 * overlap)
+        b = np.concatenate([a[:keep],
+                            rng.integers(0, 1 << 63, 800 - keep).astype(np.uint64)])
+        m = oph_digest_matrix(np.concatenate([a, b]),
+                              np.array([0, 800, 1600]), 128, 42)
+        est = float((m[0] == m[1]).mean())
+        true = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+        errs.append(abs(est - true))
+    assert max(errs) < 0.12, errs
+
+
+def test_oph_signer_and_dedup_pipeline(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig, duplicate_flags
+
+    texts = ([" ".join(f"w{i}" for i in range(150))] * 2       # exact dup pair
+             + [" ".join(f"u{i}_{j}" for i in range(80)) for j in range(6)])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    cfg = DedupConfig(algo="oph", num_parts=4, concurrency=None, batch_size=8)
+    out = duplicate_flags(ds, cfg).to_pandas().sort_values("doc_id")
+    assert out["is_dup"].tolist() == [True, True] + [False] * 6
