@@ -52,6 +52,11 @@ class DedupConfig:
     concurrency: int | None = 4  # signer actor pool size (None → num_parts tasks)
     verify: bool = False         # exact-Jaccard gate on candidate pairs (README
                                  # recipe semantics; one-shot flags don't verify)
+    num_salts: int = 1           # >1 splits hot LSH buckets across salted
+                                 # partitions for the clustering path (see
+                                 # candidate_edges) — web-scale boilerplate /
+                                 # empty docs put millions of rows in one
+                                 # (band_id, band_hash) bucket otherwise
 
     def __post_init__(self):
         validate_bands(self.num_perm, self.num_bands)
@@ -221,7 +226,17 @@ def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False):
     With ``with_sig`` the band table carries signatures and pairs are gated by
     exact signature Jaccard ≥ threshold inside the same shuffle (README.md
     recipe semantics: candidates → verify → keep smaller id).
+
+    With ``cfg.num_salts > 1`` (and no verify gate) hot buckets are salted:
+    rows partition on hash(band_hash, id % S), each salted sub-bucket emits
+    its own star, and a second tiny shuffle chains the S sub-bucket
+    representatives of each bucket — connectivity (hence the connected-
+    component clusters) is exactly preserved while no single partition has
+    to hold a whole pathological bucket (all-empty / boilerplate docs at
+    web scale collapse to ONE (band_id, band_hash) otherwise).
     """
+    if cfg.num_salts > 1 and not with_sig:
+        return _candidate_edges_salted(band_ds, cfg)
     id_col, threshold = cfg.id_col, cfg.threshold
 
     def _edges(group: pa.Table) -> pa.Table:
@@ -376,3 +391,98 @@ def attach_and_filter(ds, kept_ids, cfg: DedupConfig):
         return tbl.drop_columns(["__keep"])
 
     return partitionwise(payload.union(keys), _semi, id_col, cfg.num_parts)
+
+
+def _candidate_edges_salted(band_ds, cfg: DedupConfig):
+    """Salted star-edge generation (see candidate_edges docstring)."""
+    id_col, S = cfg.id_col, cfg.num_salts
+    _SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _add_salt_key(batch: pa.Table) -> pa.Table:
+        ids = np_col(batch, id_col).astype(np.uint64)
+        salt = ids % np.uint64(S)
+        bh = np_col(batch, "band_hash").astype(np.uint64)
+        pkey = bh + (salt + np.uint64(1)) * _SALT_MIX  # wrapping spread
+        return pa.table({id_col: batch[id_col],
+                         "band_id": batch["band_id"],
+                         "band_hash": batch["band_hash"],
+                         "__skey": pa.array(pkey, pa.uint64())})
+
+    salted = band_ds.map_batches(_add_salt_key, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def _sub_stars(g: pa.Table) -> pa.Table:
+        bh = np_col(g, "band_hash").astype(np.uint64)
+        bid = np_col(g, "band_id").astype(np.int64)
+        ids = np_col(g, id_col)
+        order, gid, counts = run_ids(bh, bid, ids.astype(np.uint64),
+                                     n_group_keys=2)
+        ids_s = ids[order]
+        first = np.zeros(len(gid), dtype=bool)
+        if len(gid):
+            first[0] = True
+            first[1:] = gid[1:] != gid[:-1]
+        rep_idx = np.flatnonzero(first)
+        rep_of_row = ids_s[rep_idx[gid]] if len(gid) else ids_s[:0]
+        take = (counts[gid] >= 2) & ~first
+        # star edges within the salted sub-bucket
+        src_e, dst_e = rep_of_row[take], ids_s[take]
+        # every sub-bucket's representative, for the cross-salt chain
+        reps = ids_s[rep_idx]
+        rep_bh = bh[order][rep_idx]
+        rep_bid = bid[order][rep_idx]
+        return pa.table({
+            "band_hash": pa.array(np.concatenate([bh[order][take], rep_bh]),
+                                  pa.uint64()),
+            "band_id": pa.array(np.concatenate([bid[order][take], rep_bid]),
+                                pa.int64()),
+            "src": pa.array(np.concatenate([src_e, reps])),
+            "dst": pa.array(np.concatenate([dst_e, reps])),
+            "is_rep": pa.array(np.concatenate(
+                [np.zeros(len(src_e), bool), np.ones(len(reps), bool)])),
+        })
+
+    both = partitionwise(salted, _sub_stars, "__skey", cfg.num_parts)
+
+    edges_a = both.map_batches(
+        lambda b: b.filter(pa.compute.invert(b["is_rep"].combine_chunks())
+                           ).select(["src", "dst"]),
+        batch_format="pyarrow")
+    reps = both.map_batches(
+        lambda b: b.filter(b["is_rep"].combine_chunks()),
+        batch_format="pyarrow")
+
+    def _rep_stars(g: pa.Table) -> pa.Table:
+        bh = np_col(g, "band_hash").astype(np.uint64)
+        bid = np_col(g, "band_id").astype(np.int64)
+        ids = np_col(g, "src")
+        order, gid, counts = run_ids(bh, bid, ids.astype(np.uint64),
+                                     n_group_keys=2)
+        ids_s = ids[order]
+        first = np.zeros(len(gid), dtype=bool)
+        if len(gid):
+            first[0] = True
+            first[1:] = gid[1:] != gid[:-1]
+        rep_idx = np.flatnonzero(first)
+        rep_of_row = ids_s[rep_idx[gid]] if len(gid) else ids_s[:0]
+        take = (counts[gid] >= 2) & ~first
+        return pa.table({"src": pa.array(rep_of_row[take]),
+                         "dst": pa.array(ids_s[take])})
+
+    edges_b = partitionwise(reps, _rep_stars, "band_hash", cfg.num_parts)
+    edges = edges_a.union(edges_b)
+
+    def _distinct_pairs(g: pa.Table) -> pa.Table:
+        s = np_col(g, "src").astype(np.uint64)
+        d = np_col(g, "dst").astype(np.uint64)
+        if len(s) == 0:
+            return pa.table({"src": g["src"], "dst": g["dst"]})
+        o, gg, _ = run_ids(s, d)
+        fst = np.zeros(len(gg), dtype=bool)
+        fst[0] = True
+        fst[1:] = gg[1:] != gg[:-1]
+        typ = g.schema.field("src").type
+        return pa.table({"src": pa.array(s[o][fst]).cast(typ),
+                         "dst": pa.array(d[o][fst]).cast(typ)})
+
+    return partitionwise(edges, _distinct_pairs, "src", cfg.num_parts)

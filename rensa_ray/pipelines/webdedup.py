@@ -106,7 +106,9 @@ class _Checkpointer:
         with open(os.path.join(path, "_SUCCESS"), "w") as f:
             f.write("ok")
         self.manifest["stages"][name] = {
-            "rows": rows, "wall_sec": round(wall, 3), "path": path,
+            "rows": rows, "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "path": path,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         with open(self.manifest_path, "w") as f:

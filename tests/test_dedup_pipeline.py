@@ -143,3 +143,18 @@ def test_verify_gate_removes_low_jaccard_pairs(ray_session):
                        num_parts=4, batch_size=8, concurrency=1, verify=True)
     out2 = near_dup_clusters(ds, cfg2).to_pandas().sort_values("doc_id")
     assert out2["cluster_id"].tolist() == [0, 0, 2]
+
+
+def test_salted_edges_preserve_clusters(ray_session, corpus_and_oracle):
+    """num_salts>1 splits hot buckets but must yield identical clusters."""
+    docs, _, clusters, _ = corpus_and_oracle
+    # amplify skew: append a block of identical docs (one giant bucket)
+    docs = list(docs) + ["hot bucket doc " * 10] * 60
+    ds = _ds_from_docs(docs)
+    base_cfg = CFG
+    from dataclasses import replace
+
+    salted_cfg = replace(base_cfg, num_salts=4)
+    plain = near_dup_clusters(ds, base_cfg).to_pandas().sort_values("doc_id")
+    salted = near_dup_clusters(ds, salted_cfg).to_pandas().sort_values("doc_id")
+    assert plain["cluster_id"].tolist() == salted["cluster_id"].tolist()
