@@ -13,6 +13,7 @@ import hashlib
 import numpy as np
 
 from ..kernels.hashing import fxhash64_bytes_list
+from ..kernels.shingle import batch_shingle_hashes
 
 _NK = np.uint64(0xF1357AEA2E62A9C5)
 
@@ -46,51 +47,126 @@ _STOPWORDS = {
 }
 
 
+_LANGS = tuple(_STOPWORDS)  # ("en", "de", "fr", "es")
+
+
+def _stop_hashes():
+    """fxhash64 of each stopword (lazy; sorted for searchsorted membership)."""
+    global _STOP_HASHES
+    try:
+        return _STOP_HASHES
+    except NameError:
+        _STOP_HASHES = {
+            lg: np.sort(fxhash64_bytes_list([w.encode("utf-8") for w in ws]))
+            for lg, ws in _STOPWORDS.items()}
+        return _STOP_HASHES
+
+
+def _codepoints(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated texts → (uint32 codepoint array, per-doc int64 offsets)."""
+    from ..kernels.hashing import tune_allocator
+
+    tune_allocator()  # this sandbox page-faults fresh mmaps at ~20 MB/s
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts), count=len(texts), dtype=np.int64)
+    offsets = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return cp, offsets
+
+
+_ASCII_ALNUM = np.fromiter((chr(c).isalnum() for c in range(128)), count=128,
+                           dtype=bool)
+_ASCII_SPACE = np.fromiter((chr(c).isspace() for c in range(128)), count=128,
+                           dtype=bool)
+
+
+def _char_class_masks(cp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(is_alnum, is_space) per codepoint: ASCII via a 128-entry table,
+    non-ASCII via one Python ``str`` check per UNIQUE codepoint (web text is
+    overwhelmingly ASCII, so the fallback touches a handful of values)."""
+    is_ascii = cp < 128
+    cpa = np.where(is_ascii, cp, 0)
+    alnum = _ASCII_ALNUM[cpa] & is_ascii
+    space = _ASCII_SPACE[cpa] & is_ascii
+    rest = cp[~is_ascii]
+    if len(rest):
+        u = np.unique(rest)
+        ua = np.fromiter((chr(c).isalnum() for c in u), count=len(u), dtype=bool)
+        us = np.fromiter((chr(c).isspace() for c in u), count=len(u), dtype=bool)
+        idx = np.searchsorted(u, rest)
+        alnum[~is_ascii] = ua[idx]
+        space[~is_ascii] = us[idx]
+    return alnum, space
+
+
+def _segsum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment sums via prefix sums (empty segments → 0)."""
+    cs = np.zeros(len(values) + 1, np.int64)
+    np.cumsum(values, out=cs[1:])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
 def quality_scores(texts: list[str]) -> dict[str, np.ndarray]:
     """Heuristic quality features per doc: word count, mean word length,
-    English-stopword ratio, alphanumeric character ratio."""
+    English-stopword ratio, alphanumeric character ratio.
+
+    Fully vectorized: character classes over a flat codepoint buffer,
+    stopword membership over the vectorized word-hash kernel (the shingler
+    lowercases, so ``ngram_size=1`` hashes are lowered-word fxhash64s).
+    ``mean_word_len = nonspace_chars / word_count`` — identical to averaging
+    ``len(w)`` over ``text.split()``, which partitions the non-whitespace
+    characters exactly.
+    """
     n = len(texts)
-    word_count = np.zeros(n, np.int64)
-    mean_word_len = np.zeros(n, np.float64)
-    stop_ratio = np.zeros(n, np.float64)
-    alnum_ratio = np.zeros(n, np.float64)
-    en_stop = _STOPWORDS["en"]
-    for i, t in enumerate(texts):
-        words = t.lower().split()
-        word_count[i] = len(words)
-        if words:
-            mean_word_len[i] = sum(len(w) for w in words) / len(words)
-            stop_ratio[i] = sum(1 for w in words if w in en_stop) / len(words)
-        if t:
-            alnum_ratio[i] = sum(1 for c in t if c.isalnum()) / len(t)
-    return {"word_count": word_count, "mean_word_len": mean_word_len,
+    cp, offs = _codepoints(texts)
+    alnum, space = _char_class_masks(cp)
+    sizes = offs[1:] - offs[:-1]
+
+    hashes, hoffs = batch_shingle_hashes(texts, 1)
+    word_count = hoffs[1:] - hoffs[:-1]
+    nonspace_cnt = _segsum(~space, offs)
+    alnum_cnt = _segsum(alnum, offs)
+    stop_cnt = _segsum(np.isin(hashes, _stop_hashes()["en"]), hoffs)
+
+    zf = np.zeros(n, np.float64)
+    has_w = word_count > 0
+    mean_word_len = np.divide(nonspace_cnt, word_count, out=zf.copy(), where=has_w)
+    stop_ratio = np.divide(stop_cnt, word_count, out=zf.copy(), where=has_w)
+    alnum_ratio = np.divide(alnum_cnt, sizes, out=zf.copy(), where=sizes > 0)
+    return {"word_count": word_count.astype(np.int64),
+            "mean_word_len": mean_word_len,
             "stopword_ratio": stop_ratio, "alnum_ratio": alnum_ratio}
 
 
 def lang_id(texts: list[str]) -> list[str]:
-    """Tiny n-gram/stopword heuristic language ID over {en,de,fr,es,zh,unk}.
+    """Tiny stopword-profile heuristic language ID over {en,de,fr,es,zh,unk}.
 
-    CJK codepoint share decides "zh"; otherwise the language whose stopword
-    profile matches most tokens wins (ties → "unk").  A deterministic,
-    dependency-free stand-in for a real model; the Ray-side plumbing (batch
-    shape, column contract) is the part that matters at scale.
+    CJK codepoint share decides "zh"; otherwise the language with strictly
+    the most stopword matches wins (ties / zero matches → "unk").  A
+    deterministic, dependency-free stand-in for a real model; vectorized
+    over the batch (membership via word hashes, CJK via codepoint ranges).
     """
-    out = []
-    langs = list(_STOPWORDS)
-    for t in texts:
-        if not t.strip():
-            out.append("unk")
-            continue
-        cjk = sum(1 for c in t if "一" <= c <= "鿿")
-        if cjk / max(len(t), 1) > 0.1:
-            out.append("zh")
-            continue
-        words = t.lower().split()
-        scores = [(sum(1 for w in words if w in _STOPWORDS[lg]), lg) for lg in langs]
-        best, lg = max(scores)
-        second = sorted(s for s, _ in scores)[-2] if len(scores) > 1 else 0
-        out.append(lg if best > 0 and best > second else "unk")
-    return out
+    n = len(texts)
+    if n == 0:
+        return []
+    cp, offs = _codepoints(texts)
+    sizes = offs[1:] - offs[:-1]
+    cjk_cnt = _segsum((cp >= 0x4E00) & (cp <= 0x9FFF), offs)
+    is_zh = cjk_cnt > 0.1 * np.maximum(sizes, 1)
+
+    hashes, hoffs = batch_shingle_hashes(texts, 1)
+    word_count = hoffs[1:] - hoffs[:-1]
+    sh = _stop_hashes()
+    scores = np.stack([_segsum(np.isin(hashes, sh[lg]), hoffs) for lg in _LANGS])
+    top2 = np.sort(scores, axis=0)[-2:]
+    second, best = top2[0], top2[1]
+    best_idx = np.argmax(scores, axis=0)
+    lang_arr = np.array(_LANGS)
+    out = np.where((best > 0) & (best > second), lang_arr[best_idx], "unk")
+    out = np.where(is_zh, "zh", out)
+    out = np.where(word_count == 0, "unk", out)  # empty/whitespace-only
+    return out.tolist()
 
 
 def doc_fingerprints(texts: list[str]) -> np.ndarray:

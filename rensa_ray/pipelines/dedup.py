@@ -52,11 +52,20 @@ class DedupConfig:
     concurrency: int | None = 4  # signer actor pool size (None → num_parts tasks)
     verify: bool = False         # exact-Jaccard gate on candidate pairs (README
                                  # recipe semantics; one-shot flags don't verify)
-    num_salts: int = 1           # >1 splits hot LSH buckets across salted
-                                 # partitions for the clustering path (see
-                                 # candidate_edges) — web-scale boilerplate /
-                                 # empty docs put millions of rows in one
-                                 # (band_id, band_hash) bucket otherwise
+    num_salts: int = 0           # hot-bucket salting for the clustering path
+                                 # (see candidate_edges): 0 = AUTO (count-then-
+                                 # salt: estimate bucket sizes from a row
+                                 # sample, salt only buckets above
+                                 # hot_bucket_rows), 1 = off, >1 = salt EVERY
+                                 # bucket with that many salts (test/manual
+                                 # mode).  Web-scale boilerplate / empty docs
+                                 # put millions of rows in one
+                                 # (band_id, band_hash) bucket otherwise.
+    hot_bucket_rows: int = 100_000   # auto mode: buckets estimated larger
+                                 # than this are salted; also the target
+                                 # sub-bucket size after salting
+    salt_sample_shift: int = 6   # auto mode: the count pass samples
+                                 # 1/2^shift of rows (0 = count every row)
 
     def __post_init__(self):
         validate_bands(self.num_perm, self.num_bands)
@@ -220,23 +229,37 @@ def duplicate_flags(ds, cfg: DedupConfig, sig_ds=None):
     return partitionwise(all_ids.union(hit_ids), _merge, id_col, cfg.num_parts)
 
 
-def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False):
+def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False,
+                    count_ds=None):
     """Star edges (bucket-min doc ← member) per colliding bucket, deduped.
 
     With ``with_sig`` the band table carries signatures and pairs are gated by
     exact signature Jaccard ≥ threshold inside the same shuffle (README.md
     recipe semantics: candidates → verify → keep smaller id).
 
-    With ``cfg.num_salts > 1`` (and no verify gate) hot buckets are salted:
-    rows partition on hash(band_hash, id % S), each salted sub-bucket emits
-    its own star, and a second tiny shuffle chains the S sub-bucket
-    representatives of each bucket — connectivity (hence the connected-
-    component clusters) is exactly preserved while no single partition has
-    to hold a whole pathological bucket (all-empty / boilerplate docs at
-    web scale collapse to ONE (band_id, band_hash) otherwise).
+    Skew handling (no verify gate): hot (band_id, band_hash) buckets are
+    salted — rows partition on hash(band_hash, id % S), each salted
+    sub-bucket emits its own star plus one representative row, and a small
+    follow-up shuffle chains the S sub-bucket representatives of each bucket.
+    Connectivity (hence the connected-component clusters) is exactly
+    preserved while no single partition has to hold a whole pathological
+    bucket (all-empty / boilerplate docs at web scale collapse to ONE
+    (band_id, band_hash) bucket otherwise).  ``cfg.num_salts == 0`` (the
+    default) detects hot buckets with a sampled count pass and salts only
+    those; ``> 1`` salts every bucket (test/manual mode); ``1`` disables.
+
+    ``count_ds``: an independently-derived copy of the band table for the
+    auto count pass (e.g. a fresh read of a band-column checkpoint).  When
+    omitted, ``band_ds`` is materialized once and reused — correct, but a
+    checkpoint-backed ``count_ds`` avoids pinning the band table in the
+    object store at very large scale.
     """
-    if cfg.num_salts > 1 and not with_sig:
-        return _candidate_edges_salted(band_ds, cfg)
+    if not with_sig and cfg.num_salts != 1:
+        return _candidate_edges_salted(band_ds, cfg, count_ds)
+    return _candidate_edges_plain(band_ds, cfg, with_sig)
+
+
+def _candidate_edges_plain(band_ds, cfg: DedupConfig, with_sig: bool = False):
     id_col, threshold = cfg.id_col, cfg.threshold
 
     def _edges(group: pa.Table) -> pa.Table:
@@ -275,19 +298,6 @@ def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False):
     # colliding band (different band_hash → different partition above), an
     # up-to-num_bands× inflation of the CC input — one cheap keyed pass
     # collapses it before the edge table feeds connected components
-    def _distinct_pairs(g: pa.Table) -> pa.Table:
-        s = np_col(g, "src").astype(np.uint64)
-        d = np_col(g, "dst").astype(np.uint64)
-        if len(s) == 0:
-            return g
-        o, gg, _ = run_ids(s, d)
-        fst = np.zeros(len(gg), dtype=bool)
-        fst[0] = True
-        fst[1:] = gg[1:] != gg[:-1]
-        typ = g.schema.field("src").type
-        return pa.table({"src": pa.array(s[o][fst]).cast(typ),
-                         "dst": pa.array(d[o][fst]).cast(typ)})
-
     return partitionwise(edges, _distinct_pairs, "src", cfg.num_parts)
 
 
@@ -393,28 +403,147 @@ def attach_and_filter(ds, kept_ids, cfg: DedupConfig):
     return partitionwise(payload.union(keys), _semi, id_col, cfg.num_parts)
 
 
-def _candidate_edges_salted(band_ds, cfg: DedupConfig):
-    """Salted star-edge generation (see candidate_edges docstring)."""
-    id_col, S = cfg.id_col, cfg.num_salts
-    _SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
+_SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
 
-    def _add_salt_key(batch: pa.Table) -> pa.Table:
-        ids = np_col(batch, id_col).astype(np.uint64)
-        salt = ids % np.uint64(S)
+
+def _distinct_pairs(g: pa.Table) -> pa.Table:
+    """Global (src, dst) distinct — run partitionwise keyed on src."""
+    s = np_col(g, "src").astype(np.uint64)
+    d = np_col(g, "dst").astype(np.uint64)
+    if len(s) == 0:
+        return pa.table({"src": g["src"], "dst": g["dst"]})
+    o, gg, _ = run_ids(s, d)
+    fst = np.zeros(len(gg), dtype=bool)
+    fst[0] = True
+    fst[1:] = gg[1:] != gg[:-1]
+    typ = g.schema.field("src").type
+    return pa.table({"src": pa.array(s[o][fst]).cast(typ),
+                     "dst": pa.array(d[o][fst]).cast(typ)})
+
+
+def _detect_hot_buckets(count_ds, cfg: DedupConfig):
+    """Sampled count-then-salt (SURVEY.md §7.3 step 4): estimate per-
+    ``band_hash`` bucket sizes from a deterministic 1/2^shift row sample and
+    return ``(sorted_keys, salts_per_key)`` for buckets whose estimated size
+    exceeds ``cfg.hot_bucket_rows``.
+
+    Keying on ``band_hash`` alone (not (band_id, band_hash)) can only
+    over-salt on cross-band hash collisions — harmless, since salting
+    preserves connectivity exactly.  Sampling noise likewise only shifts
+    which buckets get salted, never correctness.  Per-block ``np.unique``
+    acts as the combiner, so the count shuffle moves (band_hash, cnt)
+    partials, not raw rows.
+    """
+    shift = cfg.salt_sample_shift
+    thresh = max(int(cfg.hot_bucket_rows), 2)
+    id_col = cfg.id_col
+
+    def _partials(b: pa.Table) -> pa.Table:
+        bh = np_col(b, "band_hash").astype(np.uint64)
+        if shift > 0:
+            ids = np_col(b, id_col).astype(np.uint64)
+            keep = ((ids * _SALT_MIX) >> np.uint64(64 - shift)) == 0
+            bh = bh[keep]
+        if len(bh) == 0:
+            return pa.table({"band_hash": pa.array([], pa.uint64()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(bh, return_counts=True)
+        return pa.table({"band_hash": pa.array(u, pa.uint64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    partials = count_ds.map_batches(_partials, batch_format="pyarrow",
+                                    batch_size=None)
+    # 2x safety on the sampled threshold: borderline buckets are still
+    # detected w.h.p.; a miss only costs partition balance, never correctness
+    sample_thresh = max(1, thresh >> (shift + 1))
+
+    def _sum(g: pa.Table) -> pa.Table:
+        bh = np_col(g, "band_hash").astype(np.uint64)
+        c = np_col(g, "cnt").astype(np.int64)
+        order, gid, counts = run_ids(bh)
+        tot = np.zeros(len(counts), np.int64)
+        np.add.at(tot, gid, c[order])
+        first = np.zeros(len(gid), bool)
+        if len(gid):
+            first[0] = True
+            first[1:] = gid[1:] != gid[:-1]
+        keys = bh[order][first]
+        keep = tot >= sample_thresh
+        return pa.table({"band_hash": pa.array(keys[keep], pa.uint64()),
+                         "cnt": pa.array(tot[keep], pa.int64())})
+
+    hot = partitionwise(partials, _sum, "band_hash", cfg.num_parts)
+    df = hot.to_pandas()
+    if len(df) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    keys = df["band_hash"].to_numpy().astype(np.uint64)
+    est = df["cnt"].to_numpy().astype(np.int64) << shift
+    target = max(thresh // 2, 1)
+    salts = np.clip(np.ceil(est / target).astype(np.int64), 2, cfg.num_parts)
+    o = np.argsort(keys)
+    return keys[o], salts[o]
+
+
+def _candidate_edges_salted(band_ds, cfg: DedupConfig, count_ds=None):
+    """Salted star-edge generation as ONE linear DAG (no branch consumes the
+    same un-materialized upstream twice — the round-1 double-consumption
+    deadlock).  Stages:
+
+    1. map: append ``__skey`` (salted partition key for hot rows, plain
+       band_hash otherwise) and ``__hot``.
+    2. shuffle on ``__skey``: per (band_id, band_hash) run emit star edges
+       (kind 0); hot runs additionally emit ONE representative row (kind 1).
+    3. shuffle on ``__k2`` (= src for edges, band_hash for reps): edges pass
+       through; rep rows of the same bucket — one per salted sub-bucket,
+       co-located here — chain into rep-star edges.
+    4. shuffle on src: global (src, dst) distinct (same as the plain path).
+
+    In auto mode only hot buckets pay the rep machinery, so stage 3 moves
+    collision rows + a handful of reps, not the whole band table.
+    """
+    id_col = cfg.id_col
+    S_manual = cfg.num_salts
+
+    if S_manual > 1:
+        hot_keys = hot_salts = None       # manual mode: every bucket is hot
+    else:
+        if count_ds is None:
+            # one signer execution; counts and edges both read these blocks
+            band_ds = band_ds.materialize()
+            count_ds = band_ds
+        hot_keys, hot_salts = _detect_hot_buckets(count_ds, cfg)
+        if len(hot_keys) == 0:
+            return _candidate_edges_plain(band_ds, cfg)
+
+    def _add_salt_cols(batch: pa.Table) -> pa.Table:
         bh = np_col(batch, "band_hash").astype(np.uint64)
-        pkey = bh + (salt + np.uint64(1)) * _SALT_MIX  # wrapping spread
+        ids = np_col(batch, id_col).astype(np.uint64)
+        if S_manual > 1:
+            hot = np.ones(len(bh), bool)
+            S = np.full(len(bh), S_manual, np.uint64)
+        else:
+            pos = np.searchsorted(hot_keys, bh)
+            posc = np.minimum(pos, len(hot_keys) - 1)
+            hot = hot_keys[posc] == bh
+            S = hot_salts[posc].astype(np.uint64)
+        skey = bh.copy()
+        if hot.any():
+            salt = ids[hot] % S[hot]
+            skey[hot] = bh[hot] + (salt + np.uint64(1)) * _SALT_MIX
         return pa.table({id_col: batch[id_col],
                          "band_id": batch["band_id"],
-                         "band_hash": batch["band_hash"],
-                         "__skey": pa.array(pkey, pa.uint64())})
+                         "band_hash": pa.array(bh, pa.uint64()),
+                         "__skey": pa.array(skey, pa.uint64()),
+                         "__hot": pa.array(hot, pa.bool_())})
 
-    salted = band_ds.map_batches(_add_salt_key, batch_format="pyarrow",
+    salted = band_ds.map_batches(_add_salt_cols, batch_format="pyarrow",
                                  batch_size=None)
 
-    def _sub_stars(g: pa.Table) -> pa.Table:
+    def _stars_and_reps(g: pa.Table) -> pa.Table:
         bh = np_col(g, "band_hash").astype(np.uint64)
         bid = np_col(g, "band_id").astype(np.int64)
         ids = np_col(g, id_col)
+        hot = np_col(g, "__hot")
         order, gid, counts = run_ids(bh, bid, ids.astype(np.uint64),
                                      n_group_keys=2)
         ids_s = ids[order]
@@ -425,40 +554,40 @@ def _candidate_edges_salted(band_ds, cfg: DedupConfig):
         rep_idx = np.flatnonzero(first)
         rep_of_row = ids_s[rep_idx[gid]] if len(gid) else ids_s[:0]
         take = (counts[gid] >= 2) & ~first
-        # star edges within the salted sub-bucket
         src_e, dst_e = rep_of_row[take], ids_s[take]
-        # every sub-bucket's representative, for the cross-salt chain
-        reps = ids_s[rep_idx]
-        rep_bh = bh[order][rep_idx]
-        rep_bid = bid[order][rep_idx]
-        return pa.table({
-            "band_hash": pa.array(np.concatenate([bh[order][take], rep_bh]),
-                                  pa.uint64()),
-            "band_id": pa.array(np.concatenate([bid[order][take], rep_bid]),
-                                pa.int64()),
-            "src": pa.array(np.concatenate([src_e, reps])),
-            "dst": pa.array(np.concatenate([dst_e, reps])),
-            "is_rep": pa.array(np.concatenate(
-                [np.zeros(len(src_e), bool), np.ones(len(reps), bool)])),
-        })
+        # rep rows only for hot (salted) runs — they carry cross-salt links;
+        # singleton sub-buckets MUST emit one too (their only link out)
+        hrun = hot[order][rep_idx].astype(bool)
+        hrep = rep_idx[hrun]
+        reps = ids_s[hrep]
+        kind = np.concatenate([np.zeros(len(src_e), np.int8),
+                               np.ones(len(reps), np.int8)])
+        k2 = np.concatenate([src_e.astype(np.uint64), bh[order][hrep]])
+        out_bh = np.concatenate([np.zeros(len(src_e), np.uint64),
+                                 bh[order][hrep]])
+        out_bid = np.concatenate([np.zeros(len(src_e), np.int64),
+                                  bid[order][hrep]])
+        return pa.table({"src": pa.array(np.concatenate([src_e, reps])),
+                         "dst": pa.array(np.concatenate([dst_e, reps])),
+                         "band_hash": pa.array(out_bh, pa.uint64()),
+                         "band_id": pa.array(out_bid, pa.int64()),
+                         "kind": pa.array(kind, pa.int8()),
+                         "__k2": pa.array(k2, pa.uint64())})
 
-    both = partitionwise(salted, _sub_stars, "__skey", cfg.num_parts)
+    both = partitionwise(salted, _stars_and_reps, "__skey", cfg.num_parts)
 
-    edges_a = both.map_batches(
-        lambda b: b.filter(pa.compute.invert(b["is_rep"].combine_chunks())
-                           ).select(["src", "dst"]),
-        batch_format="pyarrow")
-    reps = both.map_batches(
-        lambda b: b.filter(b["is_rep"].combine_chunks()),
-        batch_format="pyarrow")
-
-    def _rep_stars(g: pa.Table) -> pa.Table:
-        bh = np_col(g, "band_hash").astype(np.uint64)
-        bid = np_col(g, "band_id").astype(np.int64)
-        ids = np_col(g, "src")
-        order, gid, counts = run_ids(bh, bid, ids.astype(np.uint64),
+    def _chain_reps(g: pa.Table) -> pa.Table:
+        kind = np_col(g, "kind")
+        src_all, dst_all = np_col(g, "src"), np_col(g, "dst")
+        e = kind == 0
+        src_e, dst_e = src_all[e], dst_all[e]
+        r = ~e
+        bh = np_col(g, "band_hash").astype(np.uint64)[r]
+        bid = np_col(g, "band_id").astype(np.int64)[r]
+        rid = src_all[r]
+        order, gid, counts = run_ids(bh, bid, rid.astype(np.uint64),
                                      n_group_keys=2)
-        ids_s = ids[order]
+        ids_s = rid[order]
         first = np.zeros(len(gid), dtype=bool)
         if len(gid):
             first[0] = True
@@ -466,23 +595,9 @@ def _candidate_edges_salted(band_ds, cfg: DedupConfig):
         rep_idx = np.flatnonzero(first)
         rep_of_row = ids_s[rep_idx[gid]] if len(gid) else ids_s[:0]
         take = (counts[gid] >= 2) & ~first
-        return pa.table({"src": pa.array(rep_of_row[take]),
-                         "dst": pa.array(ids_s[take])})
+        return pa.table({
+            "src": pa.array(np.concatenate([src_e, rep_of_row[take]])),
+            "dst": pa.array(np.concatenate([dst_e, ids_s[take]]))})
 
-    edges_b = partitionwise(reps, _rep_stars, "band_hash", cfg.num_parts)
-    edges = edges_a.union(edges_b)
-
-    def _distinct_pairs(g: pa.Table) -> pa.Table:
-        s = np_col(g, "src").astype(np.uint64)
-        d = np_col(g, "dst").astype(np.uint64)
-        if len(s) == 0:
-            return pa.table({"src": g["src"], "dst": g["dst"]})
-        o, gg, _ = run_ids(s, d)
-        fst = np.zeros(len(gg), dtype=bool)
-        fst[0] = True
-        fst[1:] = gg[1:] != gg[:-1]
-        typ = g.schema.field("src").type
-        return pa.table({"src": pa.array(s[o][fst]).cast(typ),
-                         "dst": pa.array(d[o][fst]).cast(typ)})
-
+    edges = partitionwise(both, _chain_reps, "__k2", cfg.num_parts)
     return partitionwise(edges, _distinct_pairs, "src", cfg.num_parts)

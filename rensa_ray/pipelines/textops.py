@@ -76,28 +76,22 @@ def exact_dup_pairs(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_with_md5, batch_format="pyarrow")
 
     def _pairs(g: pa.Table) -> pa.Table:
-        from .common import run_ids
+        from .common import pairs_within_runs, run_ids
 
         key = np_col(g, "__key").astype(np.uint64)
         ids = np_col(g, "doc_id")
         md5s = g["text_md5"].to_numpy(zero_copy_only=False)
         order, gid, counts = run_ids(key, ids.astype(np.uint64), n_group_keys=1)
-        ids_s, md5_s = ids[order], md5s[order]
-        a_out, b_out = [], []
-        start = 0
-        for c in counts:
-            if c >= 2:
-                # fxhash64 partition key may (rarely) collide: re-check md5
-                grp_ids = ids_s[start : start + c]
-                grp_md5 = md5_s[start : start + c]
-                for i in range(c):
-                    for j in range(i + 1, c):
-                        if grp_md5[i] == grp_md5[j]:
-                            a_out.append(grp_ids[i])
-                            b_out.append(grp_ids[j])
-            start += c
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64())})
+        ids_s = ids[order]
+        # fixed-width U32 view makes the collision re-check a C-speed compare
+        md5_s = md5s[order].astype("U32")
+        i_idx, j_idx = pairs_within_runs(counts)
+        if len(i_idx):
+            # fxhash64 partition key may (rarely) collide: re-check md5
+            ok = md5_s[i_idx] == md5_s[j_idx]
+            i_idx, j_idx = i_idx[ok], j_idx[ok]
+        return pa.table({"id_a": pa.array(ids_s[i_idx], pa.int64()),
+                         "id_b": pa.array(ids_s[j_idx], pa.int64())})
 
     return partitionwise(ds, _pairs, "__key", num_parts)
 

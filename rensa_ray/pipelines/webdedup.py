@@ -169,13 +169,22 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
         from .cc import connected_components
 
         t0 = time.time()
+        count_ds = None
         if cfg.verify:
             bands = band_table(sig_ds, cfg, include_sig=True)
         else:
             from .dedup import band_table_from_columns
 
             bands = band_table_from_columns(sig_ds, cfg)
-        edges = candidate_edges(bands, cfg, with_sig=cfg.verify)
+            if ck is not None:
+                # independent re-read of the signature checkpoint for the
+                # auto-salt count pass — two cheap parquet scans instead of
+                # pinning the whole band table in the object store
+                sig_cols = [UID_COL] + [f"bh{b}" for b in range(cfg.num_bands)]
+                count_ds = band_table_from_columns(
+                    ck.load("signatures", columns=sig_cols), cfg)
+        edges = candidate_edges(bands, cfg, with_sig=cfg.verify,
+                                count_ds=count_ds)
         labels = connected_components(edges, num_parts=cfg.num_parts)
         if ck is not None:
             labels = ck.save("labels", labels, t0)

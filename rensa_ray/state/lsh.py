@@ -129,6 +129,10 @@ class RMinHashLSH:
         for i, key in enumerate(keys):
             key = int(key)
             pos_of_key[key] = i
+            if key in self._key_bands:
+                # re-insert: drop the stale bucket entries FIRST so ghost
+                # occupants can't flag later rows (src/lsh/py.rs:135-138)
+                self.remove(key)
             hit = False
             hashes = [int(h) for h in bh[i]]
             for b, h in enumerate(hashes):
@@ -140,8 +144,6 @@ class RMinHashLSH:
                         if prev in pos_of_key:
                             flags[pos_of_key[prev]] = True
                 bucket.append(key)
-            if key in self._key_bands:  # re-insert: drop old entry
-                pass
             self._key_bands[key] = hashes
             flags[i] |= hit
         return flags.tolist()

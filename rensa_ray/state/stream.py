@@ -17,6 +17,8 @@ The reference's inline deduplicators are arrival-order first-wins
 
 from __future__ import annotations
 
+import copy
+
 import numpy as np
 import pyarrow as pa
 
@@ -38,6 +40,10 @@ class StreamingDedupStage:
         self.ngram_size = ngram_size
         self.id_col = id_col
         self.text_col = text_col
+        # template RMinHash built ONCE per actor: per-row instances are
+        # shallow clones sharing the permutation arrays (rebuilding the
+        # 128-step Xoshiro seed loop per row dominated the stage otherwise)
+        self._template = RMinHash(num_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..kernels.shingle import batch_shingle_hashes
@@ -49,8 +55,8 @@ class StreamingDedupStage:
         mat = rmin_digest_matrix(hashes, offsets, self.num_perm, self.seed)
         flags = []
         for i, key in enumerate(ids):
-            mh = RMinHash(self.num_perm, self.seed)
-            mh._sig = mat[i]
+            mh = copy.copy(self._template)  # shares immutable _a/_b
+            mh._sig = mat[i].copy()         # own row (don't pin the matrix)
             flags.append(not self.dedup.add(str(key), mh))
         return pa.table({self.id_col: batch[self.id_col],
                          "is_dup": pa.array(flags, pa.bool_())})

@@ -158,3 +158,47 @@ def test_salted_edges_preserve_clusters(ray_session, corpus_and_oracle):
     plain = near_dup_clusters(ds, base_cfg).to_pandas().sort_values("doc_id")
     salted = near_dup_clusters(ds, salted_cfg).to_pandas().sort_values("doc_id")
     assert plain["cluster_id"].tolist() == salted["cluster_id"].tolist()
+
+
+def test_detect_hot_buckets_finds_planted_bucket(ray_session):
+    import ray.data as rd
+    from dataclasses import replace
+
+    from rensa_ray.pipelines.dedup import _detect_hot_buckets
+
+    n_hot, n_uniq = 4000, 1000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n_hot + n_uniq), pa.int64()),
+        "band_id": pa.array(np.zeros(n_hot + n_uniq, np.int32)),
+        "band_hash": pa.array(np.concatenate([
+            np.full(n_hot, 7, np.uint64),
+            np.arange(n_uniq).astype(np.uint64) + 100]), pa.uint64()),
+    })
+    cfg = replace(CFG, hot_bucket_rows=500, salt_sample_shift=0)
+    keys, salts = _detect_hot_buckets(rd.from_arrow(t), cfg)
+    assert keys.tolist() == [7]
+    assert 2 <= salts[0] <= cfg.num_parts
+
+
+def test_hot_bucket_auto_salting(ray_session):
+    """north_rule skew story: a planted 1e5-row identical-doc bucket flows
+    through duplicate_flags AND near_dup_clusters in bounded time, and
+    auto-salting (forced via a low hot threshold) reproduces the unsalted
+    cluster labels exactly."""
+    from dataclasses import replace
+
+    n_hot = 100_000
+    docs = (["boilerplate nav footer copyright " * 4] * n_hot
+            + [f"unique doc number {i} alpha beta gamma delta" for i in range(50)])
+    ds = _ds_from_docs(docs)
+    fast = replace(CFG, batch_size=4096, concurrency=None)
+    auto = replace(fast, num_salts=0, hot_bucket_rows=1000, salt_sample_shift=0)
+    plain = replace(fast, num_salts=1)
+
+    flags = duplicate_flags(ds, plain).to_pandas().sort_values("doc_id")
+    assert flags["is_dup"].to_numpy()[:n_hot].all()
+
+    lab_auto = near_dup_clusters(ds, auto).to_pandas().sort_values("doc_id")
+    lab_plain = near_dup_clusters(ds, plain).to_pandas().sort_values("doc_id")
+    assert lab_auto["cluster_id"].tolist() == lab_plain["cluster_id"].tolist()
+    assert (lab_auto["cluster_id"].to_numpy()[:n_hot] == 0).all()

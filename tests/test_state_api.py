@@ -232,6 +232,22 @@ def test_lsh_insert_matrix_and_flags_back_flags_first():
     assert flags == [True, False, True]  # row 0 back-flagged by row 2
 
 
+def test_lsh_insert_matrix_and_flags_reinsert_drops_stale_entries():
+    """Re-inserting a key removes its stale bucket entries first
+    (src/lsh/py.rs:135-138) — a ghost occupant must not flag later rows."""
+    m_a = RMinHash.digest_matrix_from_token_sets([TOKEN_SETS[0]], 128, 42)
+    m_b = RMinHash.digest_matrix_from_token_sets([TOKEN_SETS[2]], 128, 42)
+    lsh = RMinHashLSH(0.8, 128, 8)
+    assert lsh.insert_matrix_and_query_duplicate_flags([7], m_a) == [False]
+    # key 7 moves to content B: its content-A buckets must be vacated
+    assert lsh.insert_matrix_and_query_duplicate_flags([7], m_b) == [False]
+    # a fresh key with content A would be wrongly flagged by a ghost entry
+    assert lsh.insert_matrix_and_query_duplicate_flags([8], m_a) == [False]
+    # key 7's new home (content B) does flag a matching new row
+    assert lsh.insert_matrix_and_query_duplicate_flags([9], m_b) == [True]
+    assert len(lsh) == 3
+
+
 # -------------------------------------------------------------- deduplicators
 
 def test_default_num_bands_heuristic():
