@@ -362,6 +362,98 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(string_split_regex(trim(text), '\\s+'))
                        END)::BIGINT AS total_tokens
             FROM documents""",
+        "doc_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc,
+                     length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+                     length(regexp_replace(text, '[^\\p{L}\\p{N}]+', '', 'g')) AS alnum,
+                     length(text) AS n,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(list_filter(
+                                 string_split_regex(trim(lower(text)), '\\s+'),
+                                 w -> w IN ('the','and','of','to','a','in','is',
+                                            'it','that','for','on','with','as',
+                                            'was','at','by','an','be','this',
+                                            'are'))) END AS stop_cnt
+              FROM documents)
+            SELECT doc_id, wc::BIGINT AS word_count,
+                   CASE WHEN wc > 0 THEN nonspace::DOUBLE / wc ELSE 0.0 END
+                       AS mean_word_len,
+                   CASE WHEN wc > 0 THEN stop_cnt::DOUBLE / wc ELSE 0.0 END
+                       AS stopword_ratio,
+                   CASE WHEN n > 0 THEN alnum::DOUBLE / n ELSE 0.0 END
+                       AS alnum_ratio
+            FROM t""",
+        "doc_lang_pred": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n,
+                     length(regexp_replace(text,
+                            '[^\\x{4E00}-\\x{9FFF}]+', '', 'g')) AS cjk,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc
+              FROM documents),
+            s AS (
+              SELECT doc_id, n, cjk, wc,
+                len(list_filter(w, x -> x IN ('the','and','of','to','a','in',
+                    'is','it','that','for','on','with','as','was','at','by',
+                    'an','be','this','are'))) AS c_en,
+                len(list_filter(w, x -> x IN ('der','die','das','und','ist',
+                    'ich','nicht','ein','eine','mit','von','den','im','für',
+                    'auf','des','zu','sich'))) AS c_de,
+                len(list_filter(w, x -> x IN ('le','la','les','et','est','un',
+                    'une','des','du','dans','que','qui','pour','pas','sur',
+                    'avec','au','ce'))) AS c_fr,
+                len(list_filter(w, x -> x IN ('el','la','los','las','y','es',
+                    'un','una','de','en','que','por','con','para','no','se',
+                    'del','al'))) AS c_es
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN wc = 0 THEN 'unk'
+                   WHEN cjk::DOUBLE / greatest(n, 1) > 0.1 THEN 'zh'
+                   WHEN greatest(c_en,c_de,c_fr,c_es) > 0
+                    AND list_sort([c_en,c_de,c_fr,c_es])[4]
+                        > list_sort([c_en,c_de,c_fr,c_es])[3]
+                   THEN CASE greatest(c_en,c_de,c_fr,c_es)
+                        WHEN c_en THEN 'en' WHEN c_de THEN 'de'
+                        WHEN c_fr THEN 'fr' ELSE 'es' END
+                   ELSE 'unk' END AS lang_pred
+            FROM s""",
+        "doc_fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS w
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                list_transform(w, x -> list_reduce(
+                  list_prepend(0::BIGINT, list_transform(
+                    range(1, length(x) + 1),
+                    i -> ascii(substr(x, i::INT, 1))::BIGINT)),
+                  (a, c) -> (a * 1000003 + c) % 4294967296)) AS h1,
+                list_transform(w, x -> list_reduce(
+                  list_prepend(0::BIGINT, list_transform(
+                    range(1, length(x) + 1),
+                    i -> ascii(substr(x, i::INT, 1))::BIGINT)),
+                  (a, c) -> (a * 131 + c) % 4294967296)) AS h2
+              FROM t)
+            SELECT doc_id,
+              (list_reduce(list_prepend(0::BIGINT, h1),
+                           (a, v) -> (a * 1000033 + v) % 4294967296)::HUGEINT
+               * 4294967296
+               + list_reduce(list_prepend(0::BIGINT, h2),
+                             (a, v) -> (a * 137 + v) % 4294967296))::UBIGINT
+                  AS fp
+            FROM h""",
+        "doc_bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'
+                   ))::BIGINT AS n_bpe_tokens
+            FROM documents""",
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total_value

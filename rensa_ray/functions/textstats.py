@@ -169,36 +169,84 @@ def lang_id(texts: list[str]) -> list[str]:
     return out.tolist()
 
 
-def doc_fingerprints(texts: list[str]) -> np.ndarray:
-    """64-bit rolling polynomial fingerprint of the normalized word sequence.
+# Rolling-fingerprint constants: multipliers < 2^20 keep every fold step's
+# product < 2^52, so BOTH numpy uint64 math and DuckDB BIGINT math compute
+# them exactly — the fingerprint is SQL-oracle-checkable (see __ray_entry__).
+_FP_P1, _FP_P2 = np.uint64(1000003), np.uint64(131)      # char-level mults
+_FP_K1, _FP_K2 = np.uint64(1000033), np.uint64(137)      # word-level mults
+_FP_M32 = np.uint64(0xFFFFFFFF)
 
-    fp(doc) = fold over word hashes h_i of (fp * K + h_i) mod 2^64 — order
-    sensitive (unlike MinHash), so it distinguishes permuted documents.
-    Vectorized via precomputed K powers + segmented sums.
-    """
-    from ..kernels.shingle import batch_shingle_hashes
 
-    hashes, offsets = batch_shingle_hashes(texts, ngram_size=1)  # word hashes
-    n = len(texts)
+def _rolling32(values: np.ndarray, offsets: np.ndarray, mult: np.uint64
+               ) -> np.ndarray:
+    """Per-segment polynomial fold ``h = (h*mult + v) mod 2^32``, vectorized
+    as ``sum v_i * mult^(L-1-i) mod 2^32`` via precomputed powers + reduceat.
+    Terms are masked to 32 bits before the segment sum, so sums stay exact
+    in uint64 for segments up to 2^32 elements."""
+    n = len(offsets) - 1
     out = np.zeros(n, np.uint64)
-    if len(hashes) == 0:
+    total = len(values)
+    if total == 0:
         return out
     sizes = offsets[1:] - offsets[:-1]
     max_len = int(sizes.max())
-    kpow = np.empty(max_len, np.uint64)
+    mpow = np.empty(max_len, np.uint64)
     if max_len:
-        kpow[0] = 1
+        mpow[0] = 1
         for j in range(1, max_len):
-            kpow[j] = kpow[j - 1] * _NK
-    # per token: h_i * K^(n_doc-1-i); segmented sum per doc
+            mpow[j] = (mpow[j - 1] * mult) & _FP_M32
     doc_of = np.repeat(np.arange(n), sizes)
-    local = np.arange(len(hashes)) - np.repeat(offsets[:-1], sizes)
+    local = np.arange(total) - np.repeat(offsets[:-1], sizes)
     exp = (sizes[doc_of] - 1 - local).astype(np.int64)
-    terms = hashes * kpow[exp]
+    terms = (np.asarray(values, np.uint64) * mpow[exp]) & _FP_M32
     nonempty = np.flatnonzero(sizes > 0)
     if len(nonempty):
-        out[nonempty] = np.add.reduceat(terms, offsets[:-1][nonempty])
+        out[nonempty] = np.add.reduceat(terms, offsets[:-1][nonempty]) & _FP_M32
     return out
+
+
+def doc_fingerprints(texts: list[str]) -> np.ndarray:
+    """Order-sensitive 64-bit rolling fingerprint of the word sequence.
+
+    Two independent 32-bit polynomial folds packed as ``(fp1 << 32) | fp2``:
+    per word ``h = fold over codepoints of (h*P + cp) mod 2^32``, per doc
+    ``fp = fold over word hashes of (fp*K + h) mod 2^32``.  Order sensitive
+    (unlike MinHash), so it distinguishes permuted documents; empty doc → 0.
+    Constants < 2^20 make the identical computation exact in DuckDB BIGINT,
+    so the operator is oracle-checked end-to-end.
+    """
+    n = len(texts)
+    cp, offs = _codepoints(texts)
+    out = np.zeros(n, np.uint64)
+    if len(cp) == 0:
+        return out
+    _, space = _char_class_masks(cp)
+    nonspace = ~space
+    # word segmentation over the concatenated buffer (reset at doc starts)
+    prev_is_space = np.empty(len(cp), bool)
+    prev_is_space[0] = True
+    prev_is_space[1:] = space[:-1]
+    sizes_c = offs[1:] - offs[:-1]
+    prev_is_space[offs[:-1][sizes_c > 0]] = True
+    wstart = nonspace & prev_is_space
+    widx = np.flatnonzero(nonspace)
+    if len(widx) == 0:
+        return out
+    word_id = np.cumsum(wstart)[widx] - 1          # 0-based word index
+    n_words = int(word_id[-1]) + 1
+    w_offsets = np.zeros(n_words + 1, np.int64)
+    np.add.at(w_offsets, word_id + 1, 1)
+    np.cumsum(w_offsets, out=w_offsets)
+    cpw = cp[widx].astype(np.uint64)
+    h1 = _rolling32(cpw, w_offsets, _FP_P1)
+    h2 = _rolling32(cpw, w_offsets, _FP_P2)
+    # per-doc CSR over word hashes
+    wc = _segsum(wstart, offs)
+    d_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(wc, out=d_offsets[1:])
+    fp1 = _rolling32(h1, d_offsets, _FP_K1)
+    fp2 = _rolling32(h2, d_offsets, _FP_K2)
+    return (fp1 << np.uint64(32)) | fp2
 
 
 def content_hash_u64(texts: list[str]) -> np.ndarray:
@@ -209,11 +257,12 @@ def content_hash_u64(texts: list[str]) -> np.ndarray:
 # GPT-2-style pre-tokenizer pattern: contractions, letter runs, digit runs,
 # other-symbol runs, whitespace runs — a deterministic stand-in for a real
 # BPE vocab (counts pre-merge word pieces).  Compiled once per process.
+# RE2-compatible on purpose (no lookahead, ASCII classes) so the identical
+# pattern runs in DuckDB regexp_extract_all as the SQL oracle.
 import re
 
-_BPE_SPLIT = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
-    re.UNICODE)
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+_BPE_SPLIT = re.compile(BPE_PATTERN)
 
 
 def bpe_token_counts(texts: list[str]) -> np.ndarray:

@@ -110,12 +110,27 @@ def rmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
     if len(nonempty) == 0:
         return out
     starts = offsets[:-1][nonempty]
+    # slot-major accumulation into preallocated buffers: row-contiguous
+    # writes (the (doc, slot) strided scatter cost ~25% of the loop) and no
+    # per-slot temporaries; final transpose restores (n, P) layout
+    out_t = np.full((num_perm, n), RMIN_EMPTY, dtype=np.uint32)
+    all_ne = len(nonempty) == n
     col = np.empty(len(token_hashes), np.uint32)
+    tmp = np.empty(len(uniq), np.uint64)
+    php = np.empty(len(uniq), np.uint32)
+    red = np.empty(len(starts), np.uint32)
     for p in range(num_perm):
-        php = ((uniq * a[p] + b[p]) >> _N32).astype(np.uint32)
+        np.multiply(uniq, a[p], out=tmp)
+        np.add(tmp, b[p], out=tmp)
+        np.right_shift(tmp, _N32, out=tmp)
+        php[:] = tmp.view(np.uint32)[::2]  # LE low word == (v >> 32) as u32
         np.take(php, inv, out=col)
-        out[nonempty, p] = np.minimum.reduceat(col, starts)
-    return out
+        np.minimum.reduceat(col, starts, out=red)
+        if all_ne:
+            out_t[p] = red
+        else:
+            out_t[p][nonempty] = red
+    return np.ascontiguousarray(out_t.T)
 
 
 def _permute_u32_chunked(uniq: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -154,13 +169,21 @@ def cmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
     if len(nonempty) == 0:
         return out
     starts = offsets[:-1][nonempty]
+    # slot-at-a-time 1-D passes, slot-major output (see rmin_digest_matrix)
+    out_t = np.full((num_perm, n), CMIN_EMPTY, dtype=np.uint64)
+    all_ne = len(nonempty) == n
     col = np.empty(len(token_hashes), np.uint64)
-    # slot-at-a-time 1-D passes (see rmin_digest_matrix for rationale)
+    vk = np.empty(len(uniq), np.uint64)
+    red = np.empty(len(starts), np.uint64)
     for k in range(num_perm):
-        vk = base + pi_pre[k]
+        np.add(base, pi_pre[k], out=vk)
         np.take(vk, inv, out=col)
-        out[nonempty, k] = np.minimum.reduceat(col, starts)
-    return out
+        np.minimum.reduceat(col, starts, out=red)
+        if all_ne:
+            out_t[k] = red
+        else:
+            out_t[k][nonempty] = red
+    return np.ascontiguousarray(out_t.T)
 
 
 def cmin_digest_u32(digest_u64: np.ndarray) -> np.ndarray:
