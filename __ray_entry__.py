@@ -134,6 +134,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _fin(duplicate_flags(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
 
+    def oph_dup_flags_rescued(sf_dir):
+        from rensa_ray.pipelines.dedup import duplicate_flags_oph_rescued
+
+        cfg = DedupConfig(num_parts=16, concurrency=2, algo="oph")
+        return _fin(duplicate_flags_oph_rescued(_docs_ds(sf_dir), cfg),
+                    pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
+
     def minhash_clusters(sf_dir):
         cfg = DedupConfig(num_parts=16, concurrency=2)
         return _fin(near_dup_clusters(_docs_ds(sf_dir), cfg),
@@ -165,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_flags": minhash_dup_flags,
         "cminhash_dup_flags": cminhash_dup_flags,
         "oph_dup_flags": oph_dup_flags,
+        "oph_dup_flags_rescued": oph_dup_flags_rescued,
         "minhash_clusters": minhash_clusters,
         "minhash_clusters_verified": minhash_clusters_verified,
         "minhash_dedup_kept": minhash_dedup_kept,

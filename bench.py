@@ -77,9 +77,19 @@ def _flagship_webdedup(num_cpus: int, n_docs: int) -> dict:
     shutil.rmtree(out, ignore_errors=True)
     # task-pool signer (concurrency=None): schedules onto every free CPU at
     # any cluster size — fixed actor pools deadlock when sized to the whole
-    # cluster and idle cores when undersized (see compute_signatures)
-    cfg = DedupConfig(id_col="uid", num_parts=max(2 * num_cpus, 16),
-                      concurrency=None, batch_size=512)
+    # cluster and idle cores when undersized (see compute_signatures).
+    # RENSA_RAY_* env knobs override any of these (DedupConfig.from_env).
+    import dataclasses
+
+    cfg = DedupConfig.from_env(id_col="uid")
+    patch = {}
+    if "RENSA_RAY_NUM_PARTS" not in os.environ:
+        patch["num_parts"] = max(2 * num_cpus, 16)
+    if "RENSA_RAY_CONCURRENCY" not in os.environ:
+        patch["concurrency"] = None
+    if "RENSA_RAY_BATCH_SIZE" not in os.environ:
+        patch["batch_size"] = 512
+    cfg = dataclasses.replace(cfg, **patch)
     t0 = time.time()
     assignments, manifest = run_web_dedup(cdir, out, cfg=cfg, checkpoint=True)
     rows = assignments.count()

@@ -116,6 +116,13 @@ def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
     for rnd in range(max_rounds):
         new_labels, changed = _propagate_round(edges, labels, num_parts)
         labels = new_labels.materialize()
+        # the sort's output block count tracks its INPUT block count, and
+        # each round unions labels back in twice (lab_rows + jmp) — without
+        # a cap the per-round block count (hence sort scheduling cost)
+        # doubles every round.  Rows are unchanged, so this repartition is a
+        # cheap metadata-sized pass.
+        if labels.num_blocks() > 2 * num_parts:
+            labels = labels.repartition(num_parts).materialize()
         if checkpoint_dir is not None:
             labels.write_parquet(f"{checkpoint_dir}/cc_round={rnd}")
         if changed == 0:
@@ -123,7 +130,7 @@ def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
     return labels
 
 
-def _propagate_round(edges, labels, num_parts: int):
+def _propagate_round(edges, labels, num_parts: int, pointer_jump: bool = True):
     """One min-label round; returns (new_labels, #nodes whose label changed)."""
     # join labels onto edge endpoints partition-wise:
     # rows kind 0: (key=node, a=label, b=-)      — label records
@@ -141,6 +148,18 @@ def _propagate_round(edges, labels, num_parts: int):
         lambda b: pa.table({"key": b["dst"], "val": b["src"],
                             "kind": pa.array(np.ones(len(b), np.int8))}),
         batch_format="pyarrow")
+    unioned = lab_rows.union(fwd).union(bwd)
+    if pointer_jump:
+        # pointer jumping: a dynamic edge (label(n) → n) each round lets n
+        # learn label(label(n)), so path lengths halve and long chains
+        # converge in O(log diameter) rounds instead of O(diameter).  Labels
+        # are always node ids with label rows of their own, so the
+        # searchsorted join stays total.
+        jmp = labels.map_batches(
+            lambda b: pa.table({"key": b["label"], "val": b["node"],
+                                "kind": pa.array(np.ones(len(b), np.int8))}),
+            batch_format="pyarrow")
+        unioned = unioned.union(jmp)
 
     def _emit_messages(g: pa.Table) -> pa.Table:
         key = np_col(g, "key")
@@ -161,8 +180,7 @@ def _propagate_round(edges, labels, num_parts: int):
                          "old": pa.array(np.concatenate(
                              [np.full(len(ev), -1, np.int64), lv.astype(np.int64)]))})
 
-    messages = partitionwise(lab_rows.union(fwd).union(bwd), _emit_messages,
-                             "key", num_parts)
+    messages = partitionwise(unioned, _emit_messages, "key", num_parts)
 
     def _min_label(g: pa.Table) -> pa.Table:
         node = np_col(g, "node")

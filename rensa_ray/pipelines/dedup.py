@@ -70,6 +70,41 @@ class DedupConfig:
     def __post_init__(self):
         validate_bands(self.num_perm, self.num_bands)
 
+    _ENV_FIELDS = {
+        "num_perm": int, "num_bands": int, "threshold": float, "seed": int,
+        "ngram_size": int, "algo": str, "num_parts": int, "batch_size": int,
+        "concurrency": int, "verify": bool, "num_salts": int,
+        "hot_bucket_rows": int, "salt_sample_shift": int,
+    }
+
+    @classmethod
+    def from_env(cls, **overrides) -> "DedupConfig":
+        """Config with ``RENSA_RAY_<FIELD>`` environment overrides.
+
+        The ops-facing tuning surface for packaged jobs (mirror of the
+        reference's ~15 ``RENSA_*`` env knobs, src/env.rs:1-23,
+        src/lsh/config.rs:28-124): e.g. ``RENSA_RAY_NUM_PARTS=512
+        RENSA_RAY_BATCH_SIZE=1024 ray job submit -- python job.py``.
+        Explicit ``overrides`` (code) win over the environment; booleans
+        accept 0/1/true/false; ``RENSA_RAY_CONCURRENCY=none`` selects the
+        task-pool signer.
+        """
+        import os
+
+        kwargs: dict = {}
+        for field, typ in cls._ENV_FIELDS.items():
+            raw = os.environ.get(f"RENSA_RAY_{field.upper()}")
+            if raw is None:
+                continue
+            if field == "concurrency" and raw.lower() in ("none", ""):
+                kwargs[field] = None
+            elif typ is bool:
+                kwargs[field] = raw.lower() in ("1", "true", "yes")
+            else:
+                kwargs[field] = typ(raw)
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
 
 def compute_signatures(ds, cfg: DedupConfig):
     """(id, text) dataset → (id, sig) dataset via the signer stage.
@@ -227,6 +262,95 @@ def duplicate_flags(ds, cfg: DedupConfig, sig_ds=None):
                          "is_dup": pa.array(flag > 0)})
 
     return partitionwise(all_ids.union(hit_ids), _merge, id_col, cfg.num_parts)
+
+
+def duplicate_flags_oph_rescued(ds, cfg: DedupConfig):
+    """OPH fast-path duplicate flags with the sparse-row ≥2-band rule — the
+    analogue of the reference's rho one-shot recall/precision extensions
+    (src/lsh/one_shot.rs:187-292,334-577 sparse-row handling).
+
+    OPH densification copies values into empty buckets, so for SPARSE
+    documents (fewer shingles than ``num_perm``) a single colliding band is
+    weak evidence — densified runs make unrelated short docs collide far
+    more often than the MinHash s-curve predicts.  Rule: a sparse doc is
+    flagged only when it collides in ≥ 2 DISTINCT bands; dense docs keep
+    the standard any-band rule.  Exact duplicates always collide in every
+    band, so recall on true dups is unaffected.
+    """
+    if cfg.algo != "oph":
+        raise ValueError("duplicate_flags_oph_rescued requires algo='oph'")
+    from ..stages.sign import MinHashSigner
+
+    id_col, num_bands, P = cfg.id_col, cfg.num_bands, cfg.num_perm
+    signer = MinHashSigner(num_perm=P, seed=cfg.seed, ngram_size=cfg.ngram_size,
+                           algo="oph", id_col=id_col, text_col=cfg.text_col,
+                           emit_token_count=True)
+    sig_ds = ds.map_batches(signer, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        sig = sig_from_arrow(batch[SIG_COL])
+        u32 = (sig >> np.uint64(32)).astype(np.uint32)
+        bh = band_hashes_matrix(u32, num_bands)
+        n = len(sig)
+        ids = np_col(batch, id_col)
+        sparse = np_col(batch, "n_tok") < P
+        rep = np.repeat(np.arange(n), num_bands)
+        return pa.table({
+            id_col: pa.array(ids[rep]),
+            "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            "sparse": pa.array(sparse[rep]),
+        })
+
+    bands = sig_ds.map_batches(_explode, batch_format="pyarrow", batch_size=None)
+
+    def _members(g: pa.Table) -> pa.Table:
+        bh = np_col(g, "band_hash").astype(np.uint64)
+        bid = np_col(g, "band_id").astype(np.int64)
+        ids = np_col(g, id_col)
+        sp = np_col(g, "sparse")
+        order, gid, counts = run_ids(bh, bid)
+        dup = counts[gid] >= 2
+        return pa.table({id_col: pa.array(ids[order][dup]),
+                         "band_id": pa.array(bid[order][dup].astype(np.int32)),
+                         "sparse": pa.array(sp[order][dup])})
+
+    members = partitionwise(bands, _members, "band_hash", cfg.num_parts)
+
+    all_ids = ds.select_columns([id_col]).map_batches(
+        lambda b: pa.table({id_col: b[id_col],
+                            "band_id": pa.array(np.full(len(b), -1, np.int32)),
+                            "sparse": pa.array(np.zeros(len(b), bool))}),
+        batch_format="pyarrow")
+
+    def _merge(g: pa.Table) -> pa.Table:
+        ids = np_col(g, id_col)
+        band = np_col(g, "band_id").astype(np.int64)
+        sp = np_col(g, "sparse")
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array(ids),
+                             "is_dup": pa.array([], pa.bool_())})
+        order, gid, counts = run_ids(ids.astype(np.uint64),
+                                     (band + 1).astype(np.uint64),
+                                     n_group_keys=1)
+        b_s, sp_s = band[order], sp[order]
+        hit = b_s >= 0
+        newband = np.zeros(len(gid), bool)
+        newband[0] = True
+        newband[1:] = (gid[1:] != gid[:-1]) | (b_s[1:] != b_s[:-1])
+        dist = np.zeros(len(counts), np.int64)
+        np.add.at(dist, gid, (newband & hit).astype(np.int64))
+        dense_hit = np.zeros(len(counts), np.int8)
+        np.maximum.at(dense_hit, gid, (hit & ~sp_s).astype(np.int8))
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        flag = (dense_hit > 0) | (dist >= 2)
+        return pa.table({id_col: pa.array(ids[order][first]),
+                         "is_dup": pa.array(flag)})
+
+    return partitionwise(all_ids.union(members), _merge, id_col, cfg.num_parts)
 
 
 def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False,

@@ -98,17 +98,27 @@ class _Checkpointer:
 
         path = self._stage_dir(name)
         ds.write_parquet(path)
-        # row count straight from parquet footers — no Ray execution at all
-        # (counting the live dataset would re-run the whole upstream pipeline)
-        rows = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                   for f in os.listdir(path) if f.endswith(".parquet"))
+        # per-partition lineage straight from parquet footers — no Ray
+        # execution at all (counting the live dataset would re-run the whole
+        # upstream pipeline).  One entry per output file gives a downstream
+        # consumer (or a restarted run) the exact row accounting per shard.
+        parts = {}
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, f)
+            md = pq.ParquetFile(fp).metadata
+            parts[f] = {"rows": md.num_rows,
+                        "bytes": os.path.getsize(fp)}
+        rows = sum(p["rows"] for p in parts.values())
         wall = time.time() - t0
         with open(os.path.join(path, "_SUCCESS"), "w") as f:
             f.write("ok")
         self.manifest["stages"][name] = {
             "rows": rows, "wall_sec": round(wall, 3),
             "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
-            "path": path,
+            "path": path, "num_partitions": len(parts),
+            "partitions": parts,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         with open(self.manifest_path, "w") as f:
@@ -125,7 +135,7 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
     """
     import ray.data as rd
 
-    cfg = cfg or DedupConfig(id_col=UID_COL, text_col="text")
+    cfg = cfg or DedupConfig.from_env(id_col=UID_COL, text_col="text")
     if cfg.id_col != UID_COL:
         cfg = DedupConfig(**{**cfg.__dict__, "id_col": UID_COL})
     ck = _Checkpointer(out_dir, num_blocks=cfg.num_parts) if checkpoint else None
@@ -151,6 +161,16 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
     else:
         t0 = time.time()
         sig_ds = with_band_columns(compute_signatures(_read(), cfg), cfg)
+        if not cfg.verify:
+            # the banding path only ever reads (uid, bh*): dropping the
+            # 4*num_perm-byte sig column cuts the checkpoint ~7x (3.7 GB →
+            # 0.5 GB at 6M docs), which matters twice — less write I/O here,
+            # and less page-cache pressure degrading the later stages'
+            # first-touch allocation speed on this host.  Verify runs keep
+            # the signatures (their edge gate re-reads them).
+            from ..stages.sign import SIG_COL
+
+            sig_ds = sig_ds.drop_columns([SIG_COL])
         if ck is not None:
             ck.save("signatures", sig_ds, t0)
             sig_cols = [UID_COL] + [f"bh{b}" for b in range(cfg.num_bands)]

@@ -55,7 +55,8 @@ class MinHashSigner:
     """
 
     def __init__(self, num_perm: int = 128, seed: int = 42, ngram_size: int = 3,
-                 algo: str = "rmin", id_col: str = "doc_id", text_col: str = "text"):
+                 algo: str = "rmin", id_col: str = "doc_id", text_col: str = "text",
+                 emit_token_count: bool = False):
         if algo not in ("rmin", "cmin", "oph"):
             raise ValueError(f"unknown algo {algo!r}")
         self.num_perm = num_perm
@@ -64,6 +65,10 @@ class MinHashSigner:
         self.algo = algo
         self.id_col = id_col
         self.text_col = text_col
+        # emit per-doc shingle counts next to the signature — the sparsity
+        # signal for the OPH recall-rescue rules (pipelines.dedup
+        # duplicate_flags_oph_rescued)
+        self.emit_token_count = emit_token_count
         if algo == "rmin":
             self._perms = build_rmin_permutations(num_perm, seed)
             self._params = None
@@ -74,8 +79,7 @@ class MinHashSigner:
             self._perms = None
             self._params = None
 
-    def sign_texts(self, texts: list[str]) -> np.ndarray:
-        hashes, offsets = batch_shingle_hashes(texts, self.ngram_size)
+    def _digest(self, hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         if self.algo == "rmin":
             return rmin_digest_matrix(hashes, offsets, self.num_perm, self.seed,
                                       perms=self._perms)
@@ -84,11 +88,20 @@ class MinHashSigner:
         return cmin_digest_matrix(hashes, offsets, self.num_perm, self.seed,
                                   params=self._params)
 
+    def sign_texts(self, texts: list[str]) -> np.ndarray:
+        hashes, offsets = batch_shingle_hashes(texts, self.ngram_size)
+        return self._digest(hashes, offsets)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         texts = ["" if t is None else t for t in texts]
-        sig = self.sign_texts(texts)
-        return pa.table({self.id_col: batch[self.id_col], SIG_COL: sig_to_arrow(sig)})
+        hashes, offsets = batch_shingle_hashes(texts, self.ngram_size)
+        sig = self._digest(hashes, offsets)
+        cols = {self.id_col: batch[self.id_col], SIG_COL: sig_to_arrow(sig)}
+        if self.emit_token_count:
+            cols["n_tok"] = pa.array(
+                (offsets[1:] - offsets[:-1]).astype(np.int32))
+        return pa.table(cols)
 
 
 class TokenHasher:

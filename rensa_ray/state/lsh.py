@@ -51,9 +51,10 @@ class RMinHashLSH:
 
     def _sig_of(self, minhash: RMinHash) -> np.ndarray:
         if minhash.num_perm != self.num_perm:
+            # message shape mirrors the reference (tests/test_rensa.py:829-866)
             raise ValueError(
-                f"num_perm mismatch: index is {self.num_perm}, "
-                f"minhash is {minhash.num_perm}")
+                f"MinHash has {minhash.num_perm} permutations, "
+                f"expected {self.num_perm}")
         return minhash._sig
 
     # -------------------------------------------------------------- insert

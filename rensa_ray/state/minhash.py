@@ -50,17 +50,27 @@ def token_hashes_of(document) -> np.ndarray:
     and the reference's pinned behavior).
     """
     if isinstance(document, (bytes, bytearray, memoryview)):
-        return np.array([fxhash64(bytes(document))], dtype=np.uint64)
+        return np.array([fxhash64(_buffer_bytes(document))], dtype=np.uint64)
     items = []
     for tok in document:
         if isinstance(tok, str):
             items.append(tok.encode("utf-8"))
         elif isinstance(tok, (bytes, bytearray, memoryview)):
-            items.append(bytes(tok))
+            items.append(_buffer_bytes(tok))
         else:
             raise TypeError(
-                f"tokens must be str or bytes-like, got {type(tok).__name__}")
+                "each item must be str or a bytes-like object, "
+                f"got {type(tok).__name__}")
     return fxhash64_bytes_list(items)
+
+
+def _buffer_bytes(buf) -> bytes:
+    """Bytes of a buffer; non-C-contiguous memoryviews are rejected, matching
+    the reference's expert-input validation (src/py_input/buffer.rs;
+    tests/test_rensa.py:136-147)."""
+    if isinstance(buf, memoryview) and not buf.c_contiguous:
+        raise TypeError("buffer must be C-contiguous")
+    return bytes(buf)
 
 
 def _hash_token_sets(token_sets) -> list[list[int]]:

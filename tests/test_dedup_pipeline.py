@@ -160,6 +160,49 @@ def test_salted_edges_preserve_clusters(ray_session, corpus_and_oracle):
     assert plain["cluster_id"].tolist() == salted["cluster_id"].tolist()
 
 
+def test_oph_rescued_flags(ray_session):
+    """Sparse-row ≥2-band rule: never flags MORE than plain OPH, keeps every
+    exact duplicate (all bands collide), and agrees with plain OPH on dense
+    docs (token count ≥ num_perm shingles is not reachable here, so force
+    density by using a tiny num_perm)."""
+    from dataclasses import replace
+
+    from rensa_ray.pipelines.dedup import duplicate_flags_oph_rescued
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(100)]
+    short = [" ".join(rng.choice(vocab, 5)) for _ in range(60)]   # sparse
+    docs = short + short[:10] + ["", "one two three"]
+    ds = _ds_from_docs(docs)
+    cfg = replace(CFG, algo="oph")
+
+    plain = duplicate_flags(ds, cfg).to_pandas().sort_values("doc_id")
+    resc = duplicate_flags_oph_rescued(ds, cfg).to_pandas().sort_values("doc_id")
+    p = np.asarray(plain["is_dup"]); r = np.asarray(resc["is_dup"])
+    assert not (r & ~p).any()          # rescued ⊆ plain
+    # exact dups (60..69 vs 0..9) must stay flagged under the rescue rule
+    assert r[60:70].all() and r[:10].all()
+
+    # dense lane: num_perm=2 makes every 5-token doc dense → identical flags
+    cfg_dense = DedupConfig(num_perm=2, num_bands=2, seed=42, num_parts=8,
+                            batch_size=64, concurrency=2, algo="oph")
+    plain_d = duplicate_flags(ds, cfg_dense).to_pandas().sort_values("doc_id")
+    resc_d = duplicate_flags_oph_rescued(ds, cfg_dense).to_pandas().sort_values("doc_id")
+    assert plain_d["is_dup"].tolist() == resc_d["is_dup"].tolist()
+
+
+def test_dedup_config_from_env(monkeypatch):
+    monkeypatch.setenv("RENSA_RAY_NUM_PARTS", "128")
+    monkeypatch.setenv("RENSA_RAY_CONCURRENCY", "none")
+    monkeypatch.setenv("RENSA_RAY_VERIFY", "true")
+    monkeypatch.setenv("RENSA_RAY_THRESHOLD", "0.9")
+    cfg = DedupConfig.from_env(threshold=0.8)
+    assert cfg.threshold == 0.8       # code override wins over env
+    assert cfg.num_parts == 128
+    assert cfg.concurrency is None
+    assert cfg.verify is True
+
+
 def test_detect_hot_buckets_finds_planted_bucket(ray_session):
     import ray.data as rd
     from dataclasses import replace

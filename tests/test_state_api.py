@@ -232,6 +232,41 @@ def test_lsh_insert_matrix_and_flags_back_flags_first():
     assert flags == [True, False, True]  # row 0 back-flagged by row 2
 
 
+def test_noncontiguous_buffer_rejected():
+    """Expert input path: non-C-contiguous memoryviews raise TypeError
+    (reference tests/test_rensa.py:136-147)."""
+    import pytest
+
+    m = RMinHash(num_perm=32, seed=42)
+    bad = memoryview(bytearray(b"abcd"))[::2]
+    with pytest.raises(TypeError, match="C-contiguous"):
+        m.update(bad)
+    with pytest.raises(TypeError, match="C-contiguous"):
+        m.update([bad])
+    # contiguous memoryview == its bytes, direct or in a list
+    a, b = RMinHash(32, 42), RMinHash(32, 42)
+    a.update([memoryview(b"abc")])
+    b.update([b"abc"])
+    assert a.digest() == b.digest()
+
+
+def test_invalid_token_type_rejected():
+    import pytest
+
+    m = RMinHash(num_perm=32, seed=42)
+    with pytest.raises(TypeError, match="each item must be"):
+        m.update([123])
+
+
+def test_lsh_num_perm_mismatch_message():
+    import pytest
+
+    lsh = RMinHashLSH(0.7, 16, 4)
+    m8 = RMinHash(num_perm=8, seed=99)
+    with pytest.raises(ValueError, match="MinHash has 8 permutations"):
+        lsh.insert(1, m8)
+
+
 def test_lsh_insert_matrix_and_flags_reinsert_drops_stale_entries():
     """Re-inserting a key removes its stale bucket entries first
     (src/lsh/py.rs:135-138) — a ghost occupant must not flag later rows."""
