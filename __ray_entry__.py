@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_lsh": lambda sf: _fin(
             knn.cosine_pairs_lsh(sf, threshold=0.9),
             pa.schema([("id_a", I64), ("id_b", I64)])),
+        "cosine_topk_ivf": lambda sf: _fin(
+            knn.cosine_topk_ivf(sf, k=5, num_queries=10),
+            pa.schema([("query_id", I64), ("neighbor_id", I64), ("rank", I64)])),
         "embedding_label_centroids": lambda sf: _fin(
             knn.embedding_label_centroids(sf),
             pa.schema([("label", I64), ("n_vecs", I64), ("centroid_norm", F64)])),

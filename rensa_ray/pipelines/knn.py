@@ -105,8 +105,11 @@ def cosine_topk(sf_dir: str, k: int = 5, num_queries: int = 10) -> pa.Table:
 
     ds = _read_embeddings(sf_dir).map_batches(
         partial_topk, batch_format="pyarrow", batch_size=4096)
+    return _reduce_topk(ds, k)
 
-    # final reduce: blocks × Q × k rows — tiny by construction
+
+def _reduce_topk(ds, k: int) -> pa.Table:
+    """Final reduce over per-batch partial top-k rows (blocks × Q × k — tiny)."""
     partial = pa.concat_tables(
         [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow",
                                               batch_size=None)])
@@ -128,6 +131,123 @@ def cosine_topk(sf_dir: str, k: int = 5, num_queries: int = 10) -> pa.Table:
     return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
                      "neighbor_id": pa.array(ns[keep], pa.int64()),
                      "rank": pa.array(pos_in_group[keep] + 1, pa.int64())})
+
+
+def _sample_embeddings(sf_dir: str, max_rows: int) -> np.ndarray:
+    """Deterministic training sample: the first ``max_rows`` vectors.
+
+    At 10^12 scale this reads a handful of leading shards instead of the
+    whole table — standard IVF practice (train on a bounded sample, assign
+    everything).
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/{EMB_FILE}")
+    batches = []
+    seen = 0
+    for rb in pf.iter_batches(batch_size=8192, columns=["embedding"]):
+        batches.append(pa.Table.from_batches([rb]))
+        seen += rb.num_rows
+        if seen >= max_rows:
+            break
+    tbl = pa.concat_tables(batches).slice(0, max_rows)
+    return _emb_matrix(tbl)
+
+
+def _train_centroids(sample: np.ndarray, num_centroids: int, seed: int,
+                     iters: int = 10) -> np.ndarray:
+    """Spherical k-means (Lloyd on the unit sphere) → (C, dim) unit centroids.
+
+    Deterministic: seeds from splitmix64-derived sample indices; empty
+    clusters keep their previous centroid.  Runs driver-side on the (small)
+    training sample only.
+    """
+    n = len(sample)
+    num_centroids = min(num_centroids, max(n, 1))
+    xs = _normalize(sample)
+    idx = (splitmix64_stream(seed, num_centroids) % np.uint64(max(n, 1))
+           ).astype(np.int64)
+    cents = xs[np.unique(idx)]
+    for attempt in range(8):  # collision top-up, deterministic, bounded
+        if len(cents) >= num_centroids:
+            break
+        extra = (splitmix64_stream(seed + attempt + 1, num_centroids)
+                 % np.uint64(max(n, 1))).astype(np.int64)
+        cents = np.unique(np.concatenate([cents, xs[extra]]), axis=0)
+    cents = np.ascontiguousarray(cents[:num_centroids])
+    num_centroids = len(cents)  # degenerate samples yield fewer cells
+    for _ in range(iters):
+        assign = np.argmax(xs @ cents.T, axis=1)
+        for c in range(num_centroids):
+            members = xs[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def cosine_topk_ivf(sf_dir: str, k: int = 5, num_queries: int = 10,
+                    num_centroids: int = 16, nprobe: int = 8, seed: int = 42,
+                    sample_rows: int = 20000) -> pa.Table:
+    """IVF approximate top-k: the scale path for similarity search.
+
+    Spherical-k-means centroids are trained driver-side on a bounded sample
+    and broadcast with the (normalized) query matrix via ``ray.put``.  Each
+    query probes its ``nprobe`` nearest cells; every corpus batch assigns
+    its vectors to cells with one matmul and scores ONLY vectors falling in
+    some probed cell, against only the queries probing that cell.  Work per
+    batch shrinks ≈ nprobe/num_centroids vs the brute-force lane; at
+    ``nprobe == num_centroids`` the result is exactly ``cosine_topk``.
+    Candidate rows (≤ blocks × Q × k) reduce driver-side like the exact lane.
+    """
+    import ray
+
+    q_ids, q_mat = _load_matrix_local(sf_dir, max_vec_id=num_queries)
+    qn = _normalize(q_mat)
+    cents = _train_centroids(_sample_embeddings(sf_dir, sample_rows),
+                             num_centroids, seed)
+    C = len(cents)
+    nprobe = min(nprobe, C)
+    qc = qn @ cents.T
+    probe = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
+    probed_any = np.zeros(C, bool)
+    probed_any[probe.reshape(-1)] = True
+    q_probes = np.zeros((len(q_ids), C), bool)
+    q_probes[np.arange(len(q_ids))[:, None], probe] = True
+    ref = ray.put((q_ids, qn, cents, probed_any, q_probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids, qn, cents, probed_any, q_probes = ray.get(ref)
+        ids = np_col(batch, "vec_id")
+        m = _normalize(_emb_matrix(batch))
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if m.size == 0:
+            return empty
+        cell = np.argmax(m @ cents.T, axis=1)
+        keep = probed_any[cell]
+        if not keep.any():
+            return empty
+        mk, idk, cellk = m[keep], ids[keep], cell[keep]
+        scores = qn @ mk.T                      # (Q, B')
+        scores[~q_probes[:, cellk]] = -np.inf   # per-query probe pruning
+        scores[q_ids[:, None] == idk[None, :]] = -np.inf
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cols = part.reshape(-1)
+        sc = np.take_along_axis(scores, part, axis=1).reshape(-1)
+        fin = np.isfinite(sc)
+        return pa.table({"query_id": pa.array(rows[fin], pa.int64()),
+                         "neighbor_id": pa.array(idk[cols][fin], pa.int64()),
+                         "score": pa.array(sc[fin], pa.float64())})
+
+    ds = _read_embeddings(sf_dir).map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=4096)
+    return _reduce_topk(ds, k)
 
 
 def cosine_pairs(sf_dir: str, threshold: float = 0.9):

@@ -114,6 +114,29 @@ def test_cosine_topk_self_excluded_and_ranked(ray_session, tmp_path):
     assert got_top1 == want_top1
 
 
+def test_cosine_topk_ivf(ray_session, tmp_path):
+    from rensa_ray.pipelines.knn import cosine_topk, cosine_topk_ivf
+
+    sf_dir, m = _write_embeddings(tmp_path)
+    exact = cosine_topk(sf_dir, k=3, num_queries=4).to_pandas()
+    # probing every cell makes IVF identical to the exact lane
+    full = cosine_topk_ivf(sf_dir, k=3, num_queries=4, num_centroids=8,
+                           nprobe=8, sample_rows=4096).to_pandas()
+    cols = ["query_id", "neighbor_id", "rank"]
+    assert (exact[cols].sort_values(cols).values
+            == full[cols].sort_values(cols).values).all()
+
+    # pruned probing: top-k recall vs exact must stay high
+    appx = cosine_topk_ivf(sf_dir, k=3, num_queries=4, num_centroids=8,
+                           nprobe=4, sample_rows=4096).to_pandas()
+    truth = {tuple(r) for r in exact[["query_id", "neighbor_id"]]
+             .itertuples(index=False)}
+    got = {tuple(r) for r in appx[["query_id", "neighbor_id"]]
+           .itertuples(index=False)}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall}"
+
+
 def test_simhash_pipeline_flags_near_dups(ray_session, tmp_path):
     from rensa_ray.pipelines.simjoin import simhash_dup_flags
 
