@@ -110,7 +110,7 @@ def _curate_query(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rensa_ray.pipelines import knn, simjoin, textops
+    from rensa_ray.pipelines import knn, simjoin, substring, textops
     from rensa_ray.pipelines.dedup import DedupConfig, duplicate_flags, near_dup_clusters
 
     def _docs_ds(sf_dir):
@@ -176,6 +176,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": minhash_clusters,
         "minhash_clusters_verified": minhash_clusters_verified,
         "minhash_dedup_kept": minhash_dedup_kept,
+        "substring_dup_pairs": lambda sf: _fin(
+            substring.substring_dup_pairs(sf, min_len=10),
+            pa.schema([("id_a", I64), ("id_b", I64)])),
+        "substring_dup_pairs_winnowed": lambda sf: _fin(
+            substring.substring_dup_pairs_winnowed(sf, min_len=10, window=8),
+            pa.schema([("id_a", I64), ("id_b", I64)])),
         "simhash_sketches": lambda sf: _fin(
             simjoin.simhash_sketches(sf),
             pa.schema([("doc_id", I64), ("simhash", U64)])),
@@ -298,6 +304,19 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN sz sa ON sa.doc_id = co.id_a
                     JOIN sz sb ON sb.doc_id = co.id_b
             WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""",
+        "substring_dup_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(w) - 9),
+                            i -> array_to_string(w[i:i+9], ' '))) AS s
+              FROM t WHERE len(w) >= 10),
+            e AS (SELECT DISTINCT doc_id, s FROM g)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id""",
         "cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

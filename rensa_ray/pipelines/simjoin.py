@@ -57,15 +57,20 @@ def _explode_distinct_shingles(batch: pa.Table, ngram_size: int) -> pa.Table:
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3,
-                        num_parts: int = 32):
+                        num_parts: int = 32, max_df: int | None = None):
     """All doc pairs with n-gram-set Jaccard ≥ threshold → (id_a, id_b).
 
     Shuffle 1: inverted index partitioned by shingle hash → per-bucket
     co-occurring (id_a < id_b, partial co-count, sizes).  Shuffle 2: sum
     co-counts per pair → jaccard gate.  Pair fan-out is quadratic in a
-    shingle's document frequency — acceptable for true n-grams (df is tiny
-    for 3-word shingles); boilerplate-heavy corpora should pre-filter
-    stop-shingles upstream.
+    shingle's document frequency, so at web scale pass ``max_df``: a
+    shingle's full posting list is co-located in its partition, and lists
+    longer than ``max_df`` (boilerplate/stop-shingles) are dropped before
+    pair emission.  Dropped shingles only shrink co-counts (doc sizes are
+    unchanged), so the gate can only lose borderline pairs held together by
+    ultra-common shingles — which is exactly the skew a df cap is meant to
+    ignore.  ``max_df=None`` (default) keeps the join exact (the DuckDB
+    oracle's semantics).
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: _explode_distinct_shingles(b, ngram_size),
@@ -79,6 +84,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3
         sz = np_col(g, "doc_size")
         order, gid, counts = run_ids(sh, ids.astype(np.uint64), n_group_keys=1)
         ids_s, sz_s = ids[order], sz[order]
+        if max_df is not None and (counts > max_df).any():
+            keep_rows = (counts <= max_df)[gid]
+            ids_s, sz_s = ids_s[keep_rows], sz_s[keep_rows]
+            counts = counts[counts <= max_df]
         ii, jj = pairs_within_runs(counts)
         if len(ii) == 0:
             z = pa.array([], pa.int64())

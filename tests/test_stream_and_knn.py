@@ -114,6 +114,64 @@ def test_cosine_topk_self_excluded_and_ranked(ray_session, tmp_path):
     assert got_top1 == want_top1
 
 
+def test_substring_dup_pairs(ray_session, tmp_path):
+    """Suffix-array lane: pairs sharing ≥ min_len consecutive words; the
+    winnowed scale lane finds every run ≥ min_len + window - 1 and is a
+    subset of the exact lane."""
+    import numpy as np
+
+    from rensa_ray.pipelines.substring import (
+        substring_dup_pairs,
+        substring_dup_pairs_winnowed,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = [f"v{i}" for i in range(500)]
+    uniq = lambda n: " ".join(rng.choice(vocab, n))
+    shared_long = uniq(20)               # ≥ 10+8-1 → winnow-guaranteed
+    shared_exact = uniq(10)              # exactly min_len
+    shared_short = uniq(9)               # below min_len → no pair
+    texts = [
+        f"{uniq(15)} {shared_long}",         # 0 ┐ share 20-word run
+        f"{shared_long} {uniq(15)}",         # 1 ┘
+        f"{uniq(12)} {shared_exact}",        # 2 ┐ share exactly 10
+        f"{shared_exact} {uniq(12)}",        # 3 ┘
+        f"{uniq(12)} {shared_short}",        # 4 ┐ 9 shared only
+        f"{shared_short} {uniq(12)}",        # 5 ┘
+        uniq(30),                            # 6 unique
+    ]
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    exact = {tuple(r) for r in substring_dup_pairs(sf_dir, min_len=10)
+             .to_pandas().itertuples(index=False)}
+    # NOTE: docs 0/1 and 2/3 pair up; 4/5 share only 9 words → absent
+    assert (0, 1) in exact and (2, 3) in exact
+    assert (4, 5) not in exact
+    win = {tuple(r) for r in
+           substring_dup_pairs_winnowed(sf_dir, min_len=10, window=8)
+           .to_pandas().itertuples(index=False)}
+    assert win <= exact
+    assert (0, 1) in win    # 20 ≥ 10+8-1 → guaranteed
+
+
+def test_ngram_jaccard_max_df_cap(ray_session, tmp_path):
+    """df cap: boilerplate shingles are dropped before pair emission; result
+    is a subset of the exact join and true duplicates survive (their unique
+    shingles carry the co-count)."""
+    from rensa_ray.pipelines.simjoin import ngram_jaccard_pairs
+
+    common = "the quick brown fox jumps"  # in every doc → df == n_docs
+    texts = [f"{common} a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i} i{i} j{i}"
+             for i in range(20)]
+    texts.append(texts[0])  # exact dup pair (0, 20)
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    exact = ngram_jaccard_pairs(sf_dir, threshold=0.5).to_pandas()
+    capped = ngram_jaccard_pairs(sf_dir, threshold=0.5, max_df=5).to_pandas()
+    e = {tuple(r) for r in exact[["id_a", "id_b"]].itertuples(index=False)}
+    c = {tuple(r) for r in capped[["id_a", "id_b"]].itertuples(index=False)}
+    assert c <= e
+    assert (0, 20) in c
+
+
 def test_cosine_topk_ivf(ray_session, tmp_path):
     from rensa_ray.pipelines.knn import cosine_topk, cosine_topk_ivf
 
