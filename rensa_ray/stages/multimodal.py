@@ -1,10 +1,14 @@
 """Multimodal column stages — image/audio/video as opaque binary + metadata.
 
-The decode/codec step is STUBBED (no image/audio libraries in this
-environment): ``decode_fn=None`` uses a deterministic fake decoder so the
-Ray-side plumbing — schema contract, actor-pool stage shape, batch sizing,
-output layout — is real and tested.  Plug a real decoder (PIL/torchaudio/
-ffmpeg) in via the ``decode_fn`` constructor arg on a real deployment.
+The PPM (P6) path is a REAL decoder/encoder/resizer implemented in pure
+numpy (the format is a trivial header + raw RGB bytes, so no codec library
+is needed): ``ImageDecodeStage`` detects ``P6`` payloads and decodes +
+resizes them for real.  Compressed formats (JPEG/PNG/audio/video) remain
+STUBBED — no codec libraries exist in this environment — behind the same
+``decode_fn`` hook, with a deterministic fake keeping the Ray-side plumbing
+(schema contract, actor-pool stage shape, batch sizing, output layout)
+real and tested.  Plug PIL/torchaudio/ffmpeg in via ``decode_fn`` on a
+real deployment.
 
 Design notes for 100 TB media corpora:
 
@@ -38,26 +42,89 @@ def _fake_decode(payload: bytes, channels: int = 3) -> np.ndarray:
     return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(8, 8, channels)
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy binary-PPM (P6, maxval ≤ 255) decode → (H, W, 3) uint8.
+
+    Full format support: comments, arbitrary whitespace between header
+    tokens, single whitespace byte before the raster (netpbm spec).
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header and raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = h * w * 3
+    raster = np.frombuffer(payload, np.uint8, count=need, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6) bytes."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM is RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, fully vectorized (pixel-center sampling)."""
+    h, w = img.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64),
+                      h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64),
+                      w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
 class ImageDecodeStage:
     """map_batches actor: (key, payload binary) → (key, image fixed_size_list).
 
+    ``P6`` payloads are REALLY decoded (pure-numpy PPM) and resized to
+    ``target_hw`` with nearest-neighbor sampling; other payloads go through
+    ``decode_fn`` (default: the deterministic fake, see module docstring).
     Output column ``image`` is a flattened (H*W*C,) uint8 fixed_size_list,
     plus ``height``/``width``/``channels`` metadata columns.
     """
 
     def __init__(self, key_col: str = "url", payload_col: str = "payload",
-                 decode_fn=None, channels: int = 3):
+                 decode_fn=None, channels: int = 3,
+                 target_hw: tuple[int, int] = (8, 8)):
         self.key_col = key_col
         self.payload_col = payload_col
         self.channels = channels
+        self.target_hw = target_hw
         # per-actor setup: real deployments load the codec/model here once
-        self.decode = decode_fn if decode_fn is not None else (
+        self.fallback = decode_fn if decode_fn is not None else (
             lambda b: _fake_decode(b, channels))
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload.startswith(b"P6"):
+            img = decode_ppm(payload)
+            th, tw = self.target_hw
+            if img.shape[:2] != (th, tw):
+                img = resize_nearest(img, th, tw)
+            return img
+        return self.fallback(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         imgs = [self.decode(b"" if p is None else p) for p in payloads]
-        h, w, c = imgs[0].shape if imgs else (8, 8, self.channels)
+        h, w, c = imgs[0].shape if imgs else (*self.target_hw, self.channels)
         flat = (np.stack(imgs).reshape(len(imgs), -1) if imgs
                 else np.empty((0, h * w * c), np.uint8))
         return pa.table({

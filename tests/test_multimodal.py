@@ -25,6 +25,46 @@ def _media_table(n=10):
     })
 
 
+def test_ppm_codec_roundtrip_and_resize():
+    from rensa_ray.stages.multimodal import decode_ppm, encode_ppm, resize_nearest
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header variants: comments + arbitrary whitespace
+    body = np.ascontiguousarray(img).tobytes()
+    weird = b"P6 # c\n# full line comment\n 17\t13\n# again\n255\n" + body
+    assert np.array_equal(decode_ppm(weird), img)
+    # resize: 2x2 block image downsampled to exact pixels
+    quad = np.zeros((4, 4, 3), np.uint8)
+    quad[:2, 2:] = 50
+    quad[2:, :2] = 100
+    quad[2:, 2:] = 200
+    small = resize_nearest(quad, 2, 2)
+    assert small[0, 0, 0] == 0 and small[0, 1, 0] == 50
+    assert small[1, 0, 0] == 100 and small[1, 1, 0] == 200
+    up = resize_nearest(small, 4, 4)
+    assert np.array_equal(up, quad)
+
+
+def test_decode_stage_real_ppm_payloads():
+    from rensa_ray.stages.multimodal import encode_ppm
+
+    rng = np.random.default_rng(6)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(8, 8), (16, 12), (5, 9)]]
+    tbl = pa.table({
+        "url": pa.array([f"u{i}" for i in range(3)]),
+        "payload": pa.array([encode_ppm(im) for im in imgs], pa.binary()),
+    })
+    out = ImageDecodeStage(target_hw=(8, 8))(tbl)
+    m = out["image"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).reshape(3, -1)
+    # the already-8x8 image decodes byte-identically (no resample)
+    assert np.array_equal(m[0], imgs[0].reshape(-1))
+    assert out["height"].to_pylist() == [8, 8, 8]
+
+
 def test_decode_stage_schema_and_determinism():
     stage = ImageDecodeStage()
     out = stage(_media_table())
