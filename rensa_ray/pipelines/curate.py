@@ -84,6 +84,9 @@ def curate(ds, cfg: DedupConfig | None = None,
     shape testable in-memory).
     """
     cfg = cfg or DedupConfig()
+    # count() on an untransformed parquet read resolves from file metadata —
+    # no execution; transformed stages are counted on their MATERIALIZED
+    # results below so no stage ever runs twice for its metric
     stats: dict[str, int] = {"input": ds.count()}
 
     ds = lang_filter(ds, langs)
@@ -103,6 +106,9 @@ def curate(ds, cfg: DedupConfig | None = None,
 
     from .dedup import attach_and_filter
 
-    curated = attach_and_filter(exact, keep_ids, cfg)
+    # materialize once: the count for stats and the caller's consumption
+    # share one execution (a lazy count() here would re-run the whole
+    # attach/filter pipeline when the caller reads the result)
+    curated = attach_and_filter(exact, keep_ids, cfg).materialize()
     stats["after_near_dedup"] = curated.count()
     return curated, stats
