@@ -82,16 +82,26 @@ def _doc_chunks(offsets: np.ndarray, num_perm: int):
         lo = hi
 
 
+def _sampled_unique_ratio(hashes: np.ndarray, cap: int = 4096) -> float:
+    """Cheap redundancy probe: unique ratio of an every-k-th subsample."""
+    step = max(len(hashes) // cap, 1)
+    s = hashes[::step]
+    return len(np.unique(s)) / max(len(s), 1)
+
+
 def rmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
                        num_perm: int, seed: int,
                        perms: tuple[np.ndarray, np.ndarray] | None = None) -> np.ndarray:
     """R-MinHash signatures for n CSR documents → (n, num_perm) uint32.
 
-    Permutation-at-a-time formulation: for each slot k we build the permuted
-    values of the batch's UNIQUE token hashes (1-D, cache-resident), gather
-    per token, and segment-min with a 1-D ``np.minimum.reduceat``.  ~17×
-    faster than the (tokens × num_perm) broadcast-tile formulation — the 2-D
-    u64 intermediates are memory-bandwidth-bound, the 1-D passes are not.
+    Permutation-at-a-time formulation: one 1-D multiply/shift pass and one
+    1-D ``np.minimum.reduceat`` per slot.  ~17× faster than the
+    (tokens × num_perm) broadcast tile (2-D u64 intermediates are
+    memory-bandwidth-bound) and ~2.3× faster again than unique+gather on
+    typical web batches, where shingles are ~93% unique and the gather pass
+    costs more than the ≤7% of multiplies it saves.  A sampled redundancy
+    probe keeps the unique+gather path for pathological batches (e.g. one
+    boilerplate doc repeated) where U ≪ T.
     """
     from .hashing import tune_allocator
 
@@ -102,29 +112,37 @@ def rmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
     a, b = perms if perms is not None else build_rmin_permutations(num_perm, seed)
     n = len(offsets) - 1
     out = np.full((n, num_perm), RMIN_EMPTY, dtype=np.uint32)
-    if len(token_hashes) == 0 or n == 0:
+    total = len(token_hashes)
+    if total == 0 or n == 0:
         return out
-    uniq, inv = np.unique(token_hashes, return_inverse=True)
     sizes = offsets[1:] - offsets[:-1]
     nonempty = np.flatnonzero(sizes > 0)
     if len(nonempty) == 0:
         return out
     starts = offsets[:-1][nonempty]
+    use_unique = _sampled_unique_ratio(token_hashes) < 0.7
+    if use_unique:
+        src, inv = np.unique(token_hashes, return_inverse=True)
+    else:
+        src, inv = token_hashes, None
     # slot-major accumulation into preallocated buffers: row-contiguous
     # writes (the (doc, slot) strided scatter cost ~25% of the loop) and no
     # per-slot temporaries; final transpose restores (n, P) layout
     out_t = np.full((num_perm, n), RMIN_EMPTY, dtype=np.uint32)
     all_ne = len(nonempty) == n
-    col = np.empty(len(token_hashes), np.uint32)
-    tmp = np.empty(len(uniq), np.uint64)
-    php = np.empty(len(uniq), np.uint32)
+    tmp = np.empty(len(src), np.uint64)
+    col = np.empty(total, np.uint32)
+    php = np.empty(len(src), np.uint32) if use_unique else None
     red = np.empty(len(starts), np.uint32)
     for p in range(num_perm):
-        np.multiply(uniq, a[p], out=tmp)
+        np.multiply(src, a[p], out=tmp)
         np.add(tmp, b[p], out=tmp)
         np.right_shift(tmp, _N32, out=tmp)
-        php[:] = tmp.view(np.uint32)[::2]  # LE low word == (v >> 32) as u32
-        np.take(php, inv, out=col)
+        if use_unique:
+            php[:] = tmp.view(np.uint32)[::2]  # LE low word == (v>>32) u32
+            np.take(php, inv, out=col)
+        else:
+            col[:] = tmp.view(np.uint32)[::2]
         np.minimum.reduceat(col, starts, out=red)
         if all_ne:
             out_t[p] = red
@@ -160,25 +178,32 @@ def cmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
     out = np.full((n, num_perm), CMIN_EMPTY, dtype=np.uint64)
     if len(token_hashes) == 0 or n == 0:
         return out
-    uniq, inv = np.unique(token_hashes, return_inverse=True)
-    sigma = U64(p.sigma_a) * uniq + U64(p.sigma_b)
-    base = U64(p.pi_c) * sigma  # (U,)
-    pi_pre = p.pi_precomputed()  # (P,)
     sizes = offsets[1:] - offsets[:-1]
     nonempty = np.flatnonzero(sizes > 0)
     if len(nonempty) == 0:
         return out
     starts = offsets[:-1][nonempty]
+    use_unique = _sampled_unique_ratio(token_hashes) < 0.7
+    if use_unique:
+        src, inv = np.unique(token_hashes, return_inverse=True)
+    else:
+        src, inv = token_hashes, None
+    sigma = U64(p.sigma_a) * src + U64(p.sigma_b)
+    base = U64(p.pi_c) * sigma
+    pi_pre = p.pi_precomputed()  # (P,)
     # slot-at-a-time 1-D passes, slot-major output (see rmin_digest_matrix)
     out_t = np.full((num_perm, n), CMIN_EMPTY, dtype=np.uint64)
     all_ne = len(nonempty) == n
     col = np.empty(len(token_hashes), np.uint64)
-    vk = np.empty(len(uniq), np.uint64)
+    vk = np.empty(len(src), np.uint64)
     red = np.empty(len(starts), np.uint64)
     for k in range(num_perm):
         np.add(base, pi_pre[k], out=vk)
-        np.take(vk, inv, out=col)
-        np.minimum.reduceat(col, starts, out=red)
+        if use_unique:
+            np.take(vk, inv, out=col)
+            np.minimum.reduceat(col, starts, out=red)
+        else:
+            np.minimum.reduceat(vk, starts, out=red)
         if all_ne:
             out_t[k] = red
         else:
