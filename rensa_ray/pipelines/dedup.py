@@ -354,7 +354,7 @@ def duplicate_flags_oph_rescued(ds, cfg: DedupConfig):
 
 
 def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False,
-                    count_ds=None):
+                    count_ds=None, count_pre_shift: int = 0):
     """Star edges (bucket-min doc ← member) per colliding bucket, deduped.
 
     With ``with_sig`` the band table carries signatures and pairs are gated by
@@ -376,10 +376,11 @@ def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False,
     auto count pass (e.g. a fresh read of a band-column checkpoint).  When
     omitted, ``band_ds`` is materialized once and reused — correct, but a
     checkpoint-backed ``count_ds`` avoids pinning the band table in the
-    object store at very large scale.
+    object store at very large scale.  ``count_pre_shift``: how much row
+    sampling (1/2^shift) the caller already applied to ``count_ds``.
     """
     if not with_sig and cfg.num_salts != 1:
-        return _candidate_edges_salted(band_ds, cfg, count_ds)
+        return _candidate_edges_salted(band_ds, cfg, count_ds, count_pre_shift)
     return _candidate_edges_plain(band_ds, cfg, with_sig)
 
 
@@ -545,7 +546,7 @@ def _distinct_pairs(g: pa.Table) -> pa.Table:
                      "dst": pa.array(d[o][fst]).cast(typ)})
 
 
-def _detect_hot_buckets(count_ds, cfg: DedupConfig):
+def _detect_hot_buckets(count_ds, cfg: DedupConfig, pre_shift: int = 0):
     """Sampled count-then-salt (SURVEY.md §7.3 step 4): estimate per-
     ``band_hash`` bucket sizes from a deterministic 1/2^shift row sample and
     return ``(sorted_keys, salts_per_key)`` for buckets whose estimated size
@@ -557,8 +558,13 @@ def _detect_hot_buckets(count_ds, cfg: DedupConfig):
     which buckets get salted, never correctness.  Per-block ``np.unique``
     acts as the combiner, so the count shuffle moves (band_hash, cnt)
     partials, not raw rows.
+
+    ``pre_shift``: the caller already row-sampled ``count_ds`` at
+    1/2^pre_shift (cheaper: sampling before band explosion skips the
+    explode for dropped rows); only the remaining shift is applied here
+    and estimates still scale by the TOTAL ``cfg.salt_sample_shift``.
     """
-    shift = cfg.salt_sample_shift
+    shift = max(cfg.salt_sample_shift - pre_shift, 0)
     thresh = max(int(cfg.hot_bucket_rows), 2)
     id_col = cfg.id_col
 
@@ -577,9 +583,10 @@ def _detect_hot_buckets(count_ds, cfg: DedupConfig):
 
     partials = count_ds.map_batches(_partials, batch_format="pyarrow",
                                     batch_size=None)
-    # 2x safety on the sampled threshold: borderline buckets are still
-    # detected w.h.p.; a miss only costs partition balance, never correctness
-    sample_thresh = max(1, thresh >> (shift + 1))
+    # 2x safety on the sampled threshold (vs the TOTAL sampling rate):
+    # borderline buckets are still detected w.h.p.; a miss only costs
+    # partition balance, never correctness
+    sample_thresh = max(1, thresh >> (cfg.salt_sample_shift + 1))
 
     def _sum(g: pa.Table) -> pa.Table:
         bh = np_col(g, "band_hash").astype(np.uint64)
@@ -601,14 +608,15 @@ def _detect_hot_buckets(count_ds, cfg: DedupConfig):
     if len(df) == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     keys = df["band_hash"].to_numpy().astype(np.uint64)
-    est = df["cnt"].to_numpy().astype(np.int64) << shift
+    est = df["cnt"].to_numpy().astype(np.int64) << cfg.salt_sample_shift
     target = max(thresh // 2, 1)
     salts = np.clip(np.ceil(est / target).astype(np.int64), 2, cfg.num_parts)
     o = np.argsort(keys)
     return keys[o], salts[o]
 
 
-def _candidate_edges_salted(band_ds, cfg: DedupConfig, count_ds=None):
+def _candidate_edges_salted(band_ds, cfg: DedupConfig, count_ds=None,
+                            count_pre_shift: int = 0):
     """Salted star-edge generation as ONE linear DAG (no branch consumes the
     same un-materialized upstream twice — the round-1 double-consumption
     deadlock).  Stages:
@@ -635,7 +643,9 @@ def _candidate_edges_salted(band_ds, cfg: DedupConfig, count_ds=None):
             # one signer execution; counts and edges both read these blocks
             band_ds = band_ds.materialize()
             count_ds = band_ds
-        hot_keys, hot_salts = _detect_hot_buckets(count_ds, cfg)
+            count_pre_shift = 0
+        hot_keys, hot_salts = _detect_hot_buckets(count_ds, cfg,
+                                                  pre_shift=count_pre_shift)
         if len(hot_keys) == 0:
             return _candidate_edges_plain(band_ds, cfg)
 

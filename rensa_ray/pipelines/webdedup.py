@@ -190,21 +190,38 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
 
         t0 = time.time()
         count_ds = None
+        count_pre_shift = 0
         if cfg.verify:
             bands = band_table(sig_ds, cfg, include_sig=True)
         else:
-            from .dedup import band_table_from_columns
+            from .dedup import _SALT_MIX, band_table_from_columns
 
             bands = band_table_from_columns(sig_ds, cfg)
             if ck is not None:
                 # independent re-read of the signature checkpoint for the
                 # auto-salt count pass — two cheap parquet scans instead of
-                # pinning the whole band table in the object store
+                # pinning the whole band table in the object store.  Rows
+                # are sampled BEFORE band explosion (the detector's full
+                # sampling rate), so the count pass explodes 1/2^shift of
+                # the corpus instead of all of it.
                 sig_cols = [UID_COL] + [f"bh{b}" for b in range(cfg.num_bands)]
+                count_pre_shift = cfg.salt_sample_shift
+                shift = np.uint64(64 - count_pre_shift) if count_pre_shift else None
+
+                def _sample_rows(b: pa.Table) -> pa.Table:
+                    if count_pre_shift == 0:
+                        return b
+                    uids = b[UID_COL].to_numpy(zero_copy_only=False
+                                               ).astype(np.uint64)
+                    keep = ((uids * _SALT_MIX) >> shift) == 0
+                    return b.filter(pa.array(keep))
+
                 count_ds = band_table_from_columns(
-                    ck.load("signatures", columns=sig_cols), cfg)
+                    ck.load("signatures", columns=sig_cols).map_batches(
+                        _sample_rows, batch_format="pyarrow"), cfg)
         edges = candidate_edges(bands, cfg, with_sig=cfg.verify,
-                                count_ds=count_ds)
+                                count_ds=count_ds,
+                                count_pre_shift=count_pre_shift)
         labels = connected_components(edges, num_parts=cfg.num_parts)
         if ck is not None:
             labels = ck.save("labels", labels, t0)
