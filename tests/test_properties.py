@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the combinatorial core kernels.
+
+These kernels back every shuffle in the engine — run_ids (sort+segment),
+pairs_within_runs (triangular enumeration), the simhash bit-plane kernel
+and the substring rolling-window hash — so they get randomized differential
+checks against brute-force references, not just fixed vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rensa_ray.pipelines.common import pairs_within_runs, run_ids
+
+SETTINGS = dict(deadline=None, max_examples=30)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 9), max_size=40))
+def test_pairs_within_runs_matches_brute(counts):
+    counts = np.asarray(counts, np.int64)
+    ii, jj = pairs_within_runs(counts)
+    want = []
+    start = 0
+    for c in counts:
+        for x in range(c):
+            for y in range(x + 1, c):
+                want.append((start + x, start + y))
+        start += c
+    got = sorted(zip(ii.tolist(), jj.tolist()))
+    assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)), max_size=60))
+def test_run_ids_matches_dict_grouping(pairs):
+    if not pairs:
+        return
+    k1 = np.array([a for a, _ in pairs], np.uint64)
+    k2 = np.array([b for _, b in pairs], np.uint64)
+    order, gid, counts = run_ids(k1, k2)
+    # groups partition the rows, keys are constant per group, sorted order
+    assert counts.sum() == len(pairs)
+    seen = {}
+    for row, g in zip(order.tolist(), gid.tolist()):
+        key = (int(k1[row]), int(k2[row]))
+        seen.setdefault(g, key)
+        assert seen[g] == key
+    # group ids appear in sorted key order
+    keys_in_order = [seen[g] for g in sorted(seen)]
+    assert keys_in_order == sorted(set(keys_in_order))
+    from collections import Counter
+
+    want_counts = Counter(zip(k1.tolist(), k2.tolist()))
+    assert sorted(counts.tolist()) == sorted(want_counts.values())
+
+
+@settings(**SETTINGS)
+@given(st.data())
+def test_simhash_matches_naive(data):
+    sizes = data.draw(st.lists(st.integers(0, 30), min_size=1, max_size=12))
+    offsets = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    total = int(offsets[-1])
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    hashes = rng.integers(0, 2**64, total, dtype=np.uint64)
+
+    from rensa_ray.functions.simhash import simhash64_from_csr
+
+    got = simhash64_from_csr(hashes, offsets)
+    for d, sz in enumerate(sizes):
+        seg = hashes[offsets[d]:offsets[d + 1]]
+        if sz == 0:
+            assert got[d] == 0
+            continue
+        acc = np.zeros(64, np.int64)
+        for h in seg:
+            for b in range(64):
+                acc[b] += 1 if (int(h) >> b) & 1 else -1
+        want = 0
+        for b in range(64):
+            if acc[b] > 0:
+                want |= 1 << b
+        assert int(got[d]) == want
+
+
+@settings(**SETTINGS)
+@given(st.data())
+def test_window_hashes_match_scalar(data):
+    from rensa_ray.pipelines.substring import _RK, _window_hashes
+
+    sizes = data.draw(st.lists(st.integers(0, 25), min_size=1, max_size=8))
+    L = data.draw(st.integers(1, 12))
+    offsets = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    words = rng.integers(0, 2**64, int(offsets[-1]), dtype=np.uint64)
+
+    H, didx, pos = _window_hashes(words, offsets, L)
+    k = 0
+    with np.errstate(over="ignore"):
+        for d, sz in enumerate(sizes):
+            seg = words[offsets[d]:offsets[d + 1]]
+            for t in range(max(sz - L + 1, 0)):
+                want = np.uint64(0)
+                mult = np.uint64(1)
+                for j in range(L):
+                    want = want + seg[t + j] * mult
+                    mult = mult * _RK
+                assert didx[k] == d and pos[k] == t
+                assert H[k] == want
+                k += 1
+    assert k == len(H)

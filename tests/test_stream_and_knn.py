@@ -114,6 +114,25 @@ def test_cosine_topk_self_excluded_and_ranked(ray_session, tmp_path):
     assert got_top1 == want_top1
 
 
+def test_exact_dup_pairs_giant_group(ray_session, tmp_path):
+    """Web-scale shape: ONE text repeated 2000x lands in a single partition;
+    the vectorized pair emission must produce all C(2000,2) pairs without
+    quadratic Python (the round-1 nested loop took minutes here)."""
+    import time
+
+    from rensa_ray.pipelines.textops import exact_dup_pairs
+
+    n = 2000
+    texts = ["boilerplate page body " * 3] * n + ["unique one", "unique two"]
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    t0 = time.time()
+    out = exact_dup_pairs(sf_dir, num_parts=4).to_pandas()
+    wall = time.time() - t0
+    assert len(out) == n * (n - 1) // 2
+    assert (out["id_a"] < out["id_b"]).all()
+    assert wall < 60, f"giant group took {wall:.1f}s"
+
+
 def test_substring_dup_pairs(ray_session, tmp_path):
     """Suffix-array lane: pairs sharing ≥ min_len consecutive words; the
     winnowed scale lane finds every run ≥ min_len + window - 1 and is a
