@@ -232,11 +232,43 @@ def duplicate_flags(ds, cfg: DedupConfig, sig_ds=None):
 
     Matches ``RMinHashLSH.query_duplicate_flags_matrix_one_shot`` on an empty
     pre-existing index (src/lsh/one_shot.rs:78-185 simple path).
+
+    Skew handling (``cfg.num_salts == 0``, the default): hot buckets found
+    by the sampled count pass with a PROVEN sampled count ≥ 2 bypass the
+    band shuffle entirely — every member of a ≥2 bucket is flagged by the
+    one-shot rule, so their ids go straight to the flag merge.  Web-scale
+    boilerplate (the dominant skew source) thus never enters the all-to-all
+    at all; only the power-law tail shuffles.
     """
     if sig_ds is None:
         sig_ds = compute_signatures(ds, cfg)
-    flagged = flagged_doc_ids(band_table(sig_ds, cfg), cfg)
     id_col = cfg.id_col
+    bands = band_table(sig_ds, cfg)
+    hot_keys = None
+    if cfg.num_salts == 0:
+        bands = bands.materialize()  # consumed by count pass + flag path
+        keys, _salts, sampled = _detect_hot_buckets(bands, cfg)
+        proven = sampled >= 2
+        if proven.any():
+            hot_keys = keys[proven]
+    if hot_keys is None:
+        flagged = flagged_doc_ids(bands, cfg)
+    else:
+        hk = hot_keys
+
+        def _split(batch: pa.Table, want_hot: bool) -> pa.Table:
+            bh = np_col(batch, "band_hash").astype(np.uint64)
+            pos = np.minimum(np.searchsorted(hk, bh), len(hk) - 1)
+            hot = hk[pos] == bh
+            mask = hot if want_hot else ~hot
+            return batch.filter(pa.array(mask))
+
+        hot_ids = bands.map_batches(
+            lambda b: _split(b, True).select([id_col]),
+            batch_format="pyarrow")
+        nonhot = bands.map_batches(
+            lambda b: _split(b, False), batch_format="pyarrow")
+        flagged = flagged_doc_ids(nonhot, cfg).union(hot_ids)
 
     # ids come from the raw input, NOT sig_ds: re-using sig_ds in two DAG
     # branches would re-execute (and double-instantiate) the signer actor pool.
@@ -606,13 +638,18 @@ def _detect_hot_buckets(count_ds, cfg: DedupConfig, pre_shift: int = 0):
     hot = partitionwise(partials, _sum, "band_hash", cfg.num_parts)
     df = hot.to_pandas()
     if len(df) == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        e = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), e, e
     keys = df["band_hash"].to_numpy().astype(np.uint64)
-    est = df["cnt"].to_numpy().astype(np.int64) << cfg.salt_sample_shift
+    sampled = df["cnt"].to_numpy().astype(np.int64)
+    est = sampled << cfg.salt_sample_shift
     target = max(thresh // 2, 1)
     salts = np.clip(np.ceil(est / target).astype(np.int64), 2, cfg.num_parts)
     o = np.argsort(keys)
-    return keys[o], salts[o]
+    # sampled counts ride along: sampled >= 2 PROVES true bucket size >= 2
+    # (samples never overcount), which lets the flags path auto-flag hot
+    # buckets without any shuffle
+    return keys[o], salts[o], sampled[o]
 
 
 def _candidate_edges_salted(band_ds, cfg: DedupConfig, count_ds=None,
@@ -644,8 +681,8 @@ def _candidate_edges_salted(band_ds, cfg: DedupConfig, count_ds=None,
             band_ds = band_ds.materialize()
             count_ds = band_ds
             count_pre_shift = 0
-        hot_keys, hot_salts = _detect_hot_buckets(count_ds, cfg,
-                                                  pre_shift=count_pre_shift)
+        hot_keys, hot_salts, _ = _detect_hot_buckets(count_ds, cfg,
+                                                     pre_shift=count_pre_shift)
         if len(hot_keys) == 0:
             return _candidate_edges_plain(band_ds, cfg)
 

@@ -218,9 +218,10 @@ def test_detect_hot_buckets_finds_planted_bucket(ray_session):
             np.arange(n_uniq).astype(np.uint64) + 100]), pa.uint64()),
     })
     cfg = replace(CFG, hot_bucket_rows=500, salt_sample_shift=0)
-    keys, salts = _detect_hot_buckets(rd.from_arrow(t), cfg)
+    keys, salts, sampled = _detect_hot_buckets(rd.from_arrow(t), cfg)
     assert keys.tolist() == [7]
     assert 2 <= salts[0] <= cfg.num_parts
+    assert sampled[0] == n_hot
 
 
 def test_hot_bucket_auto_salting(ray_session):
@@ -240,6 +241,9 @@ def test_hot_bucket_auto_salting(ray_session):
 
     flags = duplicate_flags(ds, plain).to_pandas().sort_values("doc_id")
     assert flags["is_dup"].to_numpy()[:n_hot].all()
+    # auto mode: the hot bucket bypasses the band shuffle; flags identical
+    flags_auto = duplicate_flags(ds, auto).to_pandas().sort_values("doc_id")
+    assert flags_auto["is_dup"].tolist() == flags["is_dup"].tolist()
 
     lab_auto = near_dup_clusters(ds, auto).to_pandas().sort_values("doc_id")
     lab_plain = near_dup_clusters(ds, plain).to_pandas().sort_values("doc_id")
