@@ -109,6 +109,20 @@ def _curate_query(sf_dir):
                 pa.schema([("doc_id", I64)]))
 
 
+def _keep_best_query(sf_dir):
+    """Quality-aware near-dedup: kept doc ids (highest word count per
+    near-dup cluster)."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.curate import near_dedup_keep_best
+    from rensa_ray.pipelines.dedup import DedupConfig
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cfg = DedupConfig(num_parts=16, concurrency=2)
+    return _fin(near_dedup_keep_best(ds, cfg), pa.schema([("doc_id", I64)]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rensa_ray.pipelines import knn, simjoin, substring, textops
     from rensa_ray.pipelines.dedup import DedupConfig, duplicate_flags, near_dup_clusters
@@ -249,6 +263,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_counts": lambda sf: _fin(
             textops.doc_bpe_token_counts(sf),
             pa.schema([("doc_id", I64), ("n_bpe_tokens", I64)])),
+        "doc_repetition_stats": lambda sf: _fin(
+            textops.doc_repetition_stats(sf),
+            pa.schema([("doc_id", I64), ("dup_word_frac", F64),
+                       ("top_bigram_frac", F64)])),
+        "hash_sample_10pct": lambda sf: _fin(
+            textops.hash_sample(sf, pct=10),
+            pa.schema([("doc_id", I64)])),
+        "pack_sequences": lambda sf: _fin(
+            __import__("rensa_ray.pipelines.pack", fromlist=["pack_sequences"])
+            .pack_sequences(sf, capacity=2048),
+            pa.schema([("doc_id", I64), ("pack_id", I64), ("pack_pos", I64),
+                       ("n_bpe_tokens", I64)])),
+        "minhash_dedup_keep_best": _keep_best_query,
         "curate_corpus": _curate_query,
         # events (grouped / windowed aggregates) -----------------------------
         "events_by_type": lambda sf: _fin(
@@ -484,6 +511,33 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'
                    ))::BIGINT AS n_bpe_tokens
             FROM documents""",
+        "doc_repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+                     CASE WHEN len(w) >= 2 THEN
+                       list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])
+                     ELSE []::VARCHAR[] END AS bg
+              FROM t),
+            bc AS (SELECT doc_id, g, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(bg) AS g FROM s)
+                   GROUP BY doc_id, g),
+            bm AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+                   FROM bc GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CASE WHEN s.n > 0 THEN 1 - nd::DOUBLE / n
+                        ELSE 0.0 END AS dup_word_frac,
+                   COALESCE(mx::DOUBLE / tot, 0.0) AS top_bigram_frac
+            FROM s LEFT JOIN bm ON s.doc_id = bm.doc_id""",
+        "hash_sample_10pct": """
+            SELECT doc_id FROM documents
+            WHERE CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+                  % 100 < 10""",
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total_value

@@ -73,6 +73,160 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return partitionwise(keyed, _keep_min, "__ch", num_parts)
 
 
+def near_dedup_keep_best(ds, cfg: DedupConfig | None = None, scores_ds=None):
+    """Quality-aware near-dedup: keep the highest-scoring doc per near-dup
+    cluster instead of the min-id representative (ties → min doc_id).
+
+    ``scores_ds`` is an optional (id_col, score:float64) dataset; by default
+    the score is the doc's word count (longer near-dups usually carry the
+    full article, shorter ones a teaser/boilerplate fragment).  Returns the
+    kept (doc_id,) set.
+
+    The input is materialized once because it feeds two DAG branches
+    (clusters + scores) — the double-consumption hazard pipelines.dedup
+    documents.  At scale, pass a parquet-backed ds and a precomputed
+    ``scores_ds`` so both branches are independent reads instead.
+    """
+    cfg = cfg or DedupConfig()
+    if scores_ds is None:
+        ds = ds.materialize()
+    clusters = near_dup_clusters(ds, cfg)
+    if scores_ds is None:
+        def _wc(b: pa.Table) -> pa.Table:
+            texts = ["" if t is None else t for t in b[cfg.text_col].to_pylist()]
+            qs = quality_scores(texts)
+            return pa.table({cfg.id_col: b[cfg.id_col],
+                             "score": pa.array(qs["word_count"].astype(np.float64))})
+
+        scores_ds = ds.map_batches(_wc, batch_format="pyarrow")
+
+    # Merge (doc_id → cluster_id, score) without a join operator: tag each
+    # side with sentinel columns, union, and pivot inside one doc_id-keyed
+    # partitionwise pass (the same fused-join idiom webdedup uses).
+    def _tag_cluster(b: pa.Table) -> pa.Table:
+        return pa.table({cfg.id_col: b[cfg.id_col],
+                         "cluster_id": b["cluster_id"],
+                         "score": pa.array(np.full(b.num_rows, -1.0), pa.float64())})
+
+    def _tag_score(b: pa.Table) -> pa.Table:
+        return pa.table({cfg.id_col: b[cfg.id_col],
+                         "cluster_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+                         "score": b["score"].cast(pa.float64())})
+
+    both = (clusters.map_batches(_tag_cluster, batch_format="pyarrow")
+            .union(scores_ds.map_batches(_tag_score, batch_format="pyarrow")))
+
+    def _pivot(g: pa.Table) -> pa.Table:
+        ids = np_col(g, cfg.id_col)
+        cl = np_col(g, "cluster_id")
+        sc = np_col(g, "score")
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        n_docs = len(counts)
+        cluster = np.full(n_docs, -1, np.int64)
+        score = np.full(n_docs, -1.0, np.float64)
+        np.maximum.at(cluster, gid, cl[order])
+        np.maximum.at(score, gid, sc[order])
+        first = np.zeros(len(gid), bool)
+        if len(gid):
+            first[0] = True
+            first[1:] = gid[1:] != gid[:-1]
+        ids_first = ids[order][first]
+        # a doc present in scores_ds but absent from the cluster table is its
+        # own singleton cluster (kept unconditionally)
+        cluster = np.where(cluster < 0, ids_first, cluster)
+        return pa.table({cfg.id_col: pa.array(ids_first, pa.int64()),
+                         "cluster_id": pa.array(cluster, pa.int64()),
+                         "score": pa.array(score, pa.float64())})
+
+    merged = partitionwise(both, _pivot, cfg.id_col, cfg.num_parts)
+
+    def _best(g: pa.Table) -> pa.Table:
+        ids = np_col(g, cfg.id_col)
+        cl = np_col(g, "cluster_id").astype(np.uint64)
+        sc = np_col(g, "score")
+        # sort by (cluster, -score, id): the first row of each cluster run is
+        # the highest-scoring doc, min id on ties
+        order, gid, counts = run_ids(cl, -sc, ids.astype(np.uint64),
+                                     n_group_keys=1)
+        first = np.zeros(len(gid), bool)
+        if len(gid):
+            first[0] = True
+            first[1:] = gid[1:] != gid[:-1]
+        return pa.table({cfg.id_col: pa.array(ids[order][first], pa.int64())})
+
+    return partitionwise(merged, _best, "cluster_id", cfg.num_parts)
+
+
+def remove_duplicate_lines(ds, id_col: str = "doc_id", text_col: str = "text",
+                           num_parts: int = 32):
+    """C4-style corpus-wide line dedup: each distinct line survives only at
+    its first occurrence (ordered by (doc_id, line_no)); later occurrences
+    are dropped from their documents, and documents left with zero lines
+    disappear from the output.
+
+    Three streaming stages: explode to (doc_id, line_no, line) — one shuffle
+    keyed on the line's content hash to elect first occurrences (grouping is
+    by the full line string inside the partition, so hash collisions cannot
+    merge distinct lines) — one shuffle keyed on doc_id to reassemble the
+    surviving lines in order.  Line content crosses the wire once per stage;
+    at web scale the elected-survivor table is the only state, never a
+    driver-side structure.
+    """
+    from ..kernels.hashing import fxhash64_bytes_list
+
+    def _explode(b: pa.Table) -> pa.Table:
+        ids = np_col(b, id_col)
+        texts = b[text_col].to_pylist()
+        lines_per = [("" if t is None else t).split("\n") for t in texts]
+        n_lines = np.fromiter((len(ls) for ls in lines_per), np.int64,
+                              len(texts))
+        flat = [ln for ls in lines_per for ln in ls]
+        did = np.repeat(ids, n_lines)
+        starts = np.cumsum(n_lines) - n_lines
+        line_no = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, n_lines)
+        key = fxhash64_bytes_list([ln.encode("utf-8") for ln in flat])
+        return pa.table({id_col: pa.array(did, pa.int64()),
+                         "line_no": pa.array(line_no, pa.int64()),
+                         "line": pa.array(flat, pa.string()),
+                         "__key": pa.array(key, pa.uint64())})
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _first_occurrence(g: pa.Table) -> pa.Table:
+        key = np_col(g, "__key").astype(np.uint64)
+        line = g["line"].to_numpy(zero_copy_only=False)
+        ids = np_col(g, id_col)
+        no = np_col(g, "line_no")
+        order, gid, counts = run_ids(key, line, ids.astype(np.uint64),
+                                     no.astype(np.uint64), n_group_keys=2)
+        first = np.zeros(len(gid), bool)
+        if len(gid):
+            first[0] = True
+            first[1:] = gid[1:] != gid[:-1]
+        keep = order[first]
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "line_no": pa.array(no[keep], pa.int64()),
+                         "line": pa.array(line[keep], pa.string())})
+
+    survivors = partitionwise(exploded, _first_occurrence, "__key", num_parts)
+
+    def _reassemble(g: pa.Table) -> pa.Table:
+        ids = np_col(g, id_col)
+        no = np_col(g, "line_no")
+        line = g["line"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((no, ids))
+        ids_s, line_s = ids[order], line[order]
+        newdoc = np.ones(len(ids_s), bool)
+        newdoc[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.flatnonzero(newdoc)
+        bounds = np.append(starts, len(ids_s))
+        texts = ["\n".join(line_s[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+        return pa.table({id_col: pa.array(ids_s[starts], pa.int64()),
+                         text_col: pa.array(texts, pa.string())})
+
+    return partitionwise(survivors, _reassemble, id_col, num_parts)
+
+
 def curate(ds, cfg: DedupConfig | None = None,
            langs: tuple[str, ...] = ("en",), min_words: int = 10):
     """Full curation: lang filter → quality filter → exact dedup → near dedup.
