@@ -1,0 +1,63 @@
+"""Checkpoint/resume behavior of the flagship web-dedup pipeline.
+
+North-rule requirement: a killed run must resume from the last completed
+stage (per-partition lineage in manifest.json), skipping finished stages
+and producing identical output.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+
+
+def test_webdedup_resume_skips_finished_stages(ray_session, tmp_path):
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.pipelines.webdedup import run_web_dedup
+    from rensa_ray.sources.corpus import write_corpus
+
+    cdir, _ = write_corpus(str(tmp_path / "corpus"), n_docs=400, seed=7)
+    out_dir = str(tmp_path / "out")
+    cfg = DedupConfig(id_col="uid", num_parts=4, concurrency=None)
+
+    out1, m1 = run_web_dedup(cdir, out_dir, cfg)
+    df1 = out1.to_pandas().sort_values("uid").reset_index(drop=True)
+    assert set(m1["stages"]) == {"signatures", "labels", "assignments"}
+    # per-partition lineage present for every stage
+    for st in m1["stages"].values():
+        assert st["partitions"] and all(
+            p["rows"] >= 0 and p["bytes"] > 0 for p in st["partitions"].values())
+
+    sig_dir = tmp_path / "out" / "stage=signatures"
+    mtimes = {f.name: f.stat().st_mtime_ns for f in sig_dir.iterdir()}
+
+    # simulate a crash after labels: kill the final stage, rerun
+    shutil.rmtree(tmp_path / "out" / "stage=assignments")
+    out2, m2 = run_web_dedup(cdir, out_dir, cfg)
+    df2 = out2.to_pandas().sort_values("uid").reset_index(drop=True)
+
+    # earlier stages were NOT recomputed (files untouched on disk)
+    assert {f.name: f.stat().st_mtime_ns for f in sig_dir.iterdir()} == mtimes
+    pd.testing.assert_frame_equal(df1, df2)
+
+
+def test_webdedup_full_restart_is_noop(ray_session, tmp_path):
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.pipelines.webdedup import run_web_dedup
+    from rensa_ray.sources.corpus import write_corpus
+
+    cdir, _ = write_corpus(str(tmp_path / "corpus"), n_docs=200, seed=11)
+    out_dir = str(tmp_path / "out")
+    cfg = DedupConfig(id_col="uid", num_parts=4, concurrency=None)
+
+    out1, _ = run_web_dedup(cdir, out_dir, cfg)
+    df1 = out1.to_pandas().sort_values("uid").reset_index(drop=True)
+    asg_dir = tmp_path / "out" / "stage=assignments"
+    mtimes = {f.name: f.stat().st_mtime_ns for f in asg_dir.iterdir()}
+
+    out2, _ = run_web_dedup(cdir, out_dir, cfg)
+    df2 = out2.to_pandas().sort_values("uid").reset_index(drop=True)
+    # nothing recomputed, nothing rewritten
+    assert {f.name: f.stat().st_mtime_ns for f in asg_dir.iterdir()} == mtimes
+    pd.testing.assert_frame_equal(df1, df2)
