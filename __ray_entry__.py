@@ -73,7 +73,7 @@ def entry() -> Any:
     from rensa_ray.pipelines.common import np_col, partitionwise, run_ids
     from rensa_ray.pipelines.dedup import DedupConfig, near_dup_clusters
 
-    cfg = DedupConfig(num_parts=16, concurrency=2)
+    cfg = DedupConfig(num_parts=16, concurrency=None)
     ds = rd.read_parquet(f"{SF0001}/documents.parquet", columns=["doc_id", "text"])
     clusters = near_dup_clusters(ds, cfg)
 
@@ -119,7 +119,7 @@ def _keep_best_query(sf_dir):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    cfg = DedupConfig(num_parts=16, concurrency=2)
+    cfg = DedupConfig(num_parts=16, concurrency=None)
     return _fin(near_dedup_keep_best(ds, cfg), pa.schema([("doc_id", I64)]))
 
 
@@ -134,41 +134,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
 
     def minhash_dup_flags(sf_dir):
-        cfg = DedupConfig(num_parts=16, concurrency=2)
+        cfg = DedupConfig(num_parts=16, concurrency=None)
         return _fin(duplicate_flags(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
 
     def cminhash_dup_flags(sf_dir):
-        cfg = DedupConfig(num_parts=16, concurrency=2, algo="cmin")
+        cfg = DedupConfig(num_parts=16, concurrency=None, algo="cmin")
         return _fin(duplicate_flags(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
 
     def oph_dup_flags(sf_dir):
-        cfg = DedupConfig(num_parts=16, concurrency=2, algo="oph")
+        cfg = DedupConfig(num_parts=16, concurrency=None, algo="oph")
         return _fin(duplicate_flags(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
 
     def oph_dup_flags_rescued(sf_dir):
         from rensa_ray.pipelines.dedup import duplicate_flags_oph_rescued
 
-        cfg = DedupConfig(num_parts=16, concurrency=2, algo="oph")
+        cfg = DedupConfig(num_parts=16, concurrency=None, algo="oph")
         return _fin(duplicate_flags_oph_rescued(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
 
     def minhash_clusters(sf_dir):
-        cfg = DedupConfig(num_parts=16, concurrency=2)
+        cfg = DedupConfig(num_parts=16, concurrency=None)
         return _fin(near_dup_clusters(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("cluster_id", I64)]))
 
     def minhash_clusters_verified(sf_dir):
-        cfg = DedupConfig(num_parts=16, concurrency=2, verify=True)
+        cfg = DedupConfig(num_parts=16, concurrency=None, verify=True)
         return _fin(near_dup_clusters(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("cluster_id", I64)]))
 
     def minhash_dedup_kept(sf_dir):
         from rensa_ray.pipelines.dedup import dedup
 
-        cfg = DedupConfig(num_parts=16, concurrency=2)
+        cfg = DedupConfig(num_parts=16, concurrency=None)
         kept = dedup(_docs_ds(sf_dir), cfg).select_columns(["doc_id"])
         return _fin(kept, pa.schema([("doc_id", I64)]))
 
