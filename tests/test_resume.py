@@ -61,3 +61,24 @@ def test_webdedup_full_restart_is_noop(ray_session, tmp_path):
     # nothing recomputed, nothing rewritten
     assert {f.name: f.stat().st_mtime_ns for f in asg_dir.iterdir()} == mtimes
     pd.testing.assert_frame_equal(df1, df2)
+
+
+def test_job_cli_smoke(tmp_path):
+    """`python -m rensa_ray.job` — the ray-job-submit entrypoint — runs the
+    checkpointed pipeline in its own process and emits the manifest JSON."""
+    import json
+    import subprocess
+    import sys
+
+    from rensa_ray.sources.corpus import write_corpus
+
+    cdir, _ = write_corpus(str(tmp_path / "corpus"), n_docs=120, seed=5)
+    out = subprocess.run(
+        [sys.executable, "-m", "rensa_ray.job", "--input", cdir,
+         "--out", str(tmp_path / "out"), "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out.stdout)
+    assert report["rows"] == 120
+    assert set(report["stages"]) == {"signatures", "labels", "assignments"}
