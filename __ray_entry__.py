@@ -123,6 +123,44 @@ def _keep_best_query(sf_dir):
     return _fin(near_dedup_keep_best(ds, cfg), pa.schema([("doc_id", I64)]))
 
 
+def _incremental_dedup_query(sf_dir):
+    """Streaming/incremental lane in the driver contract: dedup the second
+    half of the corpus against a band-table checkpoint built from the first
+    half (two micro-batches through
+    ``state.stream.incremental_dedup_against_checkpoint``).  Returns
+    (doc_id, is_dup) for every doc; first-batch docs can only collide within
+    their own batch."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.state.stream import incremental_dedup_against_checkpoint
+
+    cfg = DedupConfig(num_parts=8, concurrency=None)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n = ds.count()
+    half = n // 2
+
+    def _split(lo_ok):
+        return ds.map_batches(
+            lambda b: b.filter(lo_ok(b["doc_id"])), batch_format="pyarrow")
+
+    ckpt = tempfile.mkdtemp(prefix="rensa_incr_")
+    try:
+        first = incremental_dedup_against_checkpoint(
+            _split(lambda c: pc.less(c, half)), ckpt, cfg)
+        second = incremental_dedup_against_checkpoint(
+            _split(lambda c: pc.greater_equal(c, half)), ckpt, cfg)
+        out = _to_table(first.union(second))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return _fin(out, pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rensa_ray.pipelines import knn, simjoin, substring, textops
     from rensa_ray.pipelines.dedup import DedupConfig, duplicate_flags, near_dup_clusters
@@ -270,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_10pct": lambda sf: _fin(
             textops.hash_sample(sf, pct=10),
             pa.schema([("doc_id", I64)])),
+        "text_normalize": lambda sf: _fin(
+            textops.text_normalize(sf),
+            pa.schema([("doc_id", I64), ("norm_text", STR)])),
+        "incremental_dedup": _incremental_dedup_query,
         "pack_sequences": lambda sf: _fin(
             __import__("rensa_ray.pipelines.pack", fromlist=["pack_sequences"])
             .pack_sequences(sf, capacity=2048),
@@ -538,6 +580,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
                   % 100 < 10""",
+        "text_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       AS norm_text
+            FROM documents""",
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total_value

@@ -313,6 +313,23 @@ def doc_repetition_stats(sf_dir: str):
     return ds.map_batches(_rep, batch_format="pyarrow", batch_size=2048)
 
 
+def text_normalize(sf_dir: str):
+    """Canonical text normalization: lowercase + whitespace collapse — the
+    exact preprocessing the shingler applies (kernels/shingle.py), exposed
+    as a standalone (doc_id, norm_text) operator so downstream stages can
+    share one normalized column instead of re-normalizing per stage."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _n(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        norm = [" ".join(("" if t is None else t).lower().split())
+                for t in texts]
+        return pa.table({"doc_id": b["doc_id"],
+                         "norm_text": pa.array(norm, pa.string())})
+
+    return ds.map_batches(_n, batch_format="pyarrow")
+
+
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic content-hash sampling: keep docs whose md5(text) bucket
     (mod 100) falls below ``pct``.  The standard reproducible way to draw a

@@ -352,3 +352,36 @@ def test_remove_duplicate_lines(ray_session):
     assert got[1] == "delta"
     assert 2 not in got
     assert got[3] == "unique tail"
+
+
+def test_text_normalize_oracle(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import text_normalize
+
+    assert_matches_sql(text_normalize(SF_DIR),
+                       entry.oracle_sql()["text_normalize"])
+
+
+def test_incremental_dedup_query(ray_session):
+    """The streaming lane's driver-contract entry: every doc gets a flag,
+    and a doc whose exact text already appeared in the first half is
+    flagged."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["incremental_dedup"](SF_DIR).to_pandas()
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(out) == n
+    assert out["doc_id"].is_unique
+    # exact duplicates across the halves must be flagged in the second half
+    dups = duckdb.sql(f"""
+        WITH d AS (SELECT doc_id, text FROM read_parquet(
+            '{SF_DIR}/documents.parquet'))
+        SELECT b.doc_id FROM d a JOIN d b
+          ON a.text = b.text AND a.doc_id < {n//2} AND b.doc_id >= {n//2}
+    """).df()["doc_id"].tolist()
+    flagged = set(out[out.is_dup].doc_id)
+    assert set(dups) <= flagged
