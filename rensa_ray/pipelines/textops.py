@@ -268,44 +268,13 @@ def doc_repetition_stats(sf_dir: str):
     compared as (word_i, word_{i+1}) pairs, which is exact because words
     cannot contain the separator.
     """
+    from ..functions.textstats import repetition_stats
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def _rep(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        n = len(texts)
-        words_per = [("" if t is None else t).lower().split() for t in texts]
-        n_words = np.fromiter((len(w) for w in words_per), np.int64, n)
-        flat = [w for ws in words_per for w in ws]
-        dup_word_frac = np.zeros(n, np.float64)
-        top_bigram_frac = np.zeros(n, np.float64)
-        if flat:
-            arr = np.array(flat)
-            gid = np.repeat(np.arange(n, dtype=np.int64), n_words)
-            order = np.lexsort((arr, gid))
-            gs, ws = gid[order], arr[order]
-            newrun = np.ones(len(gs), bool)
-            newrun[1:] = (gs[1:] != gs[:-1]) | (ws[1:] != ws[:-1])
-            nd = np.bincount(gs[newrun], minlength=n)
-            nz = n_words > 0
-            dup_word_frac[nz] = 1.0 - nd[nz].astype(np.float64) / n_words[nz]
-            if len(arr) > 1:
-                valid = gid[:-1] == gid[1:]
-                if valid.any():
-                    bg_a, bg_b = arr[:-1][valid], arr[1:][valid]
-                    bgid = gid[:-1][valid]
-                    o2 = np.lexsort((bg_b, bg_a, bgid))
-                    g2, a2, b2 = bgid[o2], bg_a[o2], bg_b[o2]
-                    nr = np.ones(len(g2), bool)
-                    nr[1:] = ((g2[1:] != g2[:-1]) | (a2[1:] != a2[:-1])
-                              | (b2[1:] != b2[:-1]))
-                    rid = np.cumsum(nr) - 1
-                    run_counts = np.bincount(rid)
-                    run_doc = g2[nr]
-                    mx = np.zeros(n, np.int64)
-                    np.maximum.at(mx, run_doc, run_counts)
-                    has = mx > 0
-                    top_bigram_frac[has] = (mx[has].astype(np.float64)
-                                            / (n_words[has] - 1))
+        dup_word_frac, top_bigram_frac = repetition_stats(
+            ["" if t is None else t for t in b["text"].to_pylist()])
         return pa.table({"doc_id": b["doc_id"],
                          "dup_word_frac": pa.array(dup_word_frac, pa.float64()),
                          "top_bigram_frac": pa.array(top_bigram_frac, pa.float64())})

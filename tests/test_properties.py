@@ -113,3 +113,51 @@ def test_window_hashes_match_scalar(data):
                 assert H[k] == want
                 k += 1
     assert k == len(H)
+
+
+@given(st.lists(st.text(alphabet=" abcdeé\t\n字", max_size=30), max_size=12))
+@settings(max_examples=150, deadline=None)
+def test_repetition_stats_matches_scalar(texts):
+    from collections import Counter
+
+    from rensa_ray.functions.textstats import repetition_stats
+
+    dwf, tbf = repetition_stats(texts)
+    for i, t in enumerate(texts):
+        w = t.lower().split()
+        want_dwf = 1 - len(set(w)) / len(w) if w else 0.0
+        assert dwf[i] == want_dwf, (t, dwf[i], want_dwf)
+        if len(w) >= 2:
+            c = Counter(zip(w, w[1:]))
+            want_tbf = max(c.values()) / (len(w) - 1)
+        else:
+            want_tbf = 0.0
+        assert tbf[i] == want_tbf, (t, tbf[i], want_tbf)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5000), min_size=1,
+                max_size=200),
+       st.integers(min_value=1, max_value=2048))
+@settings(max_examples=100, deadline=None)
+def test_pack_greedy_kernel_invariants(tokens, cap):
+    """The greedy packer (cumsum+searchsorted jumps) fills each pack to the
+    last doc that fits — byte-for-byte the sequential greedy rule."""
+    import numpy as np
+
+    capped = np.minimum(np.asarray(tokens, np.int64), cap)
+    cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(capped)])
+    starts = []
+    i = 0
+    while i < len(tokens):
+        starts.append(i)
+        j = int(np.searchsorted(cum, cum[i] + cap, side="right")) - 1
+        i = max(j, i + 1)
+    # scalar greedy reference
+    ref_starts, acc = [0], capped[0]
+    for k in range(1, len(tokens)):
+        if acc + capped[k] > cap:
+            ref_starts.append(k)
+            acc = capped[k]
+        else:
+            acc += capped[k]
+    assert starts == ref_starts
