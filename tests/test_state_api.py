@@ -358,3 +358,38 @@ def test_dedup_validation():
         RMinHashDeduplicator(0.8, 128, num_bands=7)
     with pytest.raises(ValueError):
         CMinHashDeduplicator(0.0)
+
+
+def test_state_objects_pickle_roundtrip():
+    """Parity with the reference's serde state (src/rminhash/py.rs:421-443):
+    every state object survives pickle (what Ray does when shipping actors /
+    closures) with identical behavior after restore."""
+    import pickle
+
+    from rensa_ray.state.dedup import RMinHashDeduplicator
+    from rensa_ray.state.lsh import RMinHashLSH
+    from rensa_ray.state.minhash import CMinHash, RMinHash
+
+    m = RMinHash(128, 42)
+    m.update(["alpha", "beta", "gamma"])
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2.digest() == m.digest()
+    m2.update(["delta"])
+    m.update(["delta"])
+    assert m2.digest() == m.digest()
+
+    c = CMinHash(128, 42)
+    c.update(["alpha", "beta"])
+    c2 = pickle.loads(pickle.dumps(c))
+    assert c2.digest() == c.digest()
+
+    lsh = RMinHashLSH(threshold=0.8, num_perm=128, num_bands=8)
+    lsh.insert(1, m)
+    lsh2 = pickle.loads(pickle.dumps(lsh))
+    assert lsh2.query(m) == lsh.query(m)
+
+    d = RMinHashDeduplicator(threshold=0.8, num_perm=128, use_lsh=True)
+    assert d.add("k1", m)
+    d2 = pickle.loads(pickle.dumps(d))
+    assert not d2.add("k1-dup", m)   # restored state still detects the dup
+    assert len(d2) == 1
