@@ -77,17 +77,38 @@ def local_min_labels(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.n
     return nodes, nodes[label]
 
 
+def driver_cc_capacity() -> int:
+    """Edge count the driver fast path may safely collapse in-heap.
+
+    ``local_min_labels`` peaks at ~100 B/edge (the concat table + sort order
+    + per-edge label gathers); budget a quarter of the machine's currently
+    AVAILABLE memory so the threshold scales with driver heap instead of
+    being a fixed constant, clamped to [10M, 500M] edges.
+    """
+    try:
+        import psutil
+
+        avail = psutil.virtual_memory().available
+    except Exception:  # pragma: no cover
+        avail = 8 << 30
+    return int(min(max(avail // 4 // 100, 10_000_000), 500_000_000))
+
+
 def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
                          checkpoint_dir: str | None = None,
-                         driver_cc_threshold: int = 50_000_000):
+                         driver_cc_threshold: int | None = None):
     """edges(src, dst) → labels(node, label) with label = min reachable node.
 
     Only nodes that appear in some edge are labeled (isolated docs default to
     self-labels at attach time, see ``near_dup_clusters``).  Edge sets up to
-    ``driver_cc_threshold`` rows (~1.6 GB at 50M pairs) collapse on the driver (they are ~pairs of
-    near-dups, a small fraction of the corpus); larger graphs run the
-    distributed label-propagation loop.
+    ``driver_cc_threshold`` rows (default: memory-adaptive via
+    ``driver_cc_capacity``, ~50M edges per 20 GB of free driver RAM)
+    collapse on the driver (they are ~pairs of near-dups, a small fraction
+    of the corpus); larger graphs run the distributed label-propagation
+    loop.
     """
+    if driver_cc_threshold is None:
+        driver_cc_threshold = driver_cc_capacity()
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
