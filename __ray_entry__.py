@@ -203,6 +203,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _fin(near_dup_clusters(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("cluster_id", I64)]))
 
+    def minhash_dup_pairs(sf_dir):
+        from rensa_ray.pipelines.dedup import near_dup_pairs
+
+        cfg = DedupConfig(num_parts=16, concurrency=None)
+        return _fin(near_dup_pairs(_docs_ds(sf_dir), cfg),
+                    pa.schema([("id_a", I64), ("id_b", I64)]))
+
     def minhash_dedup_kept(sf_dir):
         from rensa_ray.pipelines.dedup import dedup
 
@@ -227,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oph_dup_flags_rescued": oph_dup_flags_rescued,
         "minhash_clusters": minhash_clusters,
         "minhash_clusters_verified": minhash_clusters_verified,
+        "minhash_dup_pairs": minhash_dup_pairs,
         "minhash_dedup_kept": minhash_dedup_kept,
         "substring_dup_pairs": lambda sf: _fin(
             substring.substring_dup_pairs(sf, min_len=10),

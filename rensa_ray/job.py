@@ -58,14 +58,23 @@ def main(argv: list[str] | None = None) -> int:
     from .pipelines.dedup import DedupConfig
     from .pipelines.webdedup import UID_COL, run_web_dedup
 
+    import dataclasses
+    import os
+
     cfg = DedupConfig.from_env(id_col=UID_COL)
-    if "RENSA_RAY_CONCURRENCY" not in __import__("os").environ:
+    if "RENSA_RAY_CONCURRENCY" not in os.environ:
         # task-pool signer by default: a fixed actor pool sized larger than
         # the cluster deadlocks (reserves CPUs the shuffle stages need),
         # and sized smaller idles cores — tasks fit every cluster size
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, concurrency=None)
+    if "RENSA_RAY_NUM_PARTS" not in os.environ:
+        # auto-size shuffle partitions from input bytes + cluster cores so
+        # the same submit command works from a laptop corpus to 100 TB
+        from .pipelines.common import dir_parquet_bytes, suggest_num_parts
+
+        cores = int(ray.cluster_resources().get("CPU", 8))
+        cfg = dataclasses.replace(cfg, num_parts=suggest_num_parts(
+            dir_parquet_bytes(args.input), cores))
     out, manifest = run_web_dedup(args.input, args.out, cfg=cfg,
                                   use_html=args.use_html,
                                   checkpoint=not args.no_checkpoint)

@@ -24,6 +24,36 @@ import pyarrow as pa
 PART_COL = "__part"
 
 
+def suggest_num_parts(input_bytes: int, num_cpus: int,
+                      target_partition_bytes: int = 256 << 20) -> int:
+    """Shuffle partition count for a job: max(2× cores, input / 256 MB).
+
+    The two constraints every keyed partitionwise pass has: enough
+    partitions to keep all cores busy (2× cores), and each partition small
+    enough to sort/group inside one worker's heap (~256 MB of input per
+    partition leaves room for the kernel's sort order + output).  The
+    cores term dominates on benchmark inputs; the bytes term takes over at
+    cluster scale (100 TB / 256 MB ≈ 400k partitions across the fleet).
+    """
+    by_bytes = -(-int(input_bytes) // int(target_partition_bytes))
+    return max(2 * int(num_cpus), by_bytes)
+
+
+def dir_parquet_bytes(path: str) -> int:
+    """Total bytes of the parquet files under ``path`` (one os.scandir, no
+    data read) — the input-size estimate ``suggest_num_parts`` wants."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    if total == 0 and os.path.isfile(path):
+        total = os.path.getsize(path)
+    return total
+
+
 def np_col(batch: pa.Table, name: str) -> np.ndarray:
     """Column → numpy (zero-copy when possible)."""
     return batch[name].to_numpy(zero_copy_only=False)

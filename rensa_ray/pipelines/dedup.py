@@ -500,6 +500,29 @@ def near_dup_clusters(ds, cfg: DedupConfig, sig_ds=None):
     return partitionwise(all_ids.union(lab_ids), _merge, id_col, cfg.num_parts)
 
 
+def near_dup_pairs(ds, cfg: DedupConfig, sig_ds=None):
+    """→ (id_a, id_b), id_a < id_b: the LSH candidate edge set (Jaccard-
+    verified when ``cfg.verify``) — the same connectivity edges the CC
+    clustering consumes, i.e. bucket-representative ← member stars per
+    colliding band bucket, globally distinct.
+
+    Deliberately NOT the full near-dup clique: emitting every within-cluster
+    pair is quadratic in cluster size (one boilerplate cluster of 10^5 docs
+    = 5·10^9 pairs at web scale).  The star set has the same transitive
+    closure; derive cliques per cluster downstream if a bounded-size report
+    needs them.  Mirrors the reference README recipe's (doc, candidate)
+    pair emission (README.md:94-123).
+    """
+    if sig_ds is None:
+        sig_ds = compute_signatures(ds, cfg)
+    bands = band_table(sig_ds, cfg, include_sig=cfg.verify)
+    edges = candidate_edges(bands, cfg, with_sig=cfg.verify)
+    return edges.map_batches(
+        lambda b: pa.table({"id_a": b["src"].cast(pa.int64()),
+                            "id_b": b["dst"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def dedup(ds, cfg: DedupConfig):
     """Keep exactly one document (the min id) per near-dup cluster.
 

@@ -249,3 +249,38 @@ def test_hot_bucket_auto_salting(ray_session):
     lab_plain = near_dup_clusters(ds, plain).to_pandas().sort_values("doc_id")
     assert lab_auto["cluster_id"].tolist() == lab_plain["cluster_id"].tolist()
     assert (lab_auto["cluster_id"].to_numpy()[:n_hot] == 0).all()
+
+
+def test_near_dup_pairs_connectivity(ray_session):
+    """The star-edge pair set has the same transitive closure as the
+    cluster assignment (pairs are what CC consumes)."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.cc import local_min_labels
+    from rensa_ray.pipelines.dedup import DedupConfig, near_dup_clusters, near_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    cfg = DedupConfig(num_parts=8, concurrency=None)
+
+    def _ds():
+        return rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    pairs = near_dup_pairs(_ds(), cfg).to_pandas()
+    assert (pairs.id_a < pairs.id_b).all()
+    assert not pairs.duplicated().any()
+
+    clusters = near_dup_clusters(_ds(), cfg).to_pandas()
+    want = dict(zip(clusters.doc_id, clusters.cluster_id))
+    if len(pairs):
+        nodes, labels = local_min_labels(pairs.id_a.to_numpy(),
+                                         pairs.id_b.to_numpy())
+        got = dict(zip(nodes.tolist(), labels.tolist()))
+        for n, lab in got.items():
+            assert want[n] == lab
+    # docs in no pair must be singleton clusters
+    import numpy as np
+
+    paired = set(pairs.id_a) | set(pairs.id_b)
+    lonely = clusters[~clusters.doc_id.isin(paired)]
+    assert (lonely.doc_id == lonely.cluster_id).all()

@@ -161,3 +161,13 @@ def test_pack_greedy_kernel_invariants(tokens, cap):
         else:
             acc += capped[k]
     assert starts == ref_starts
+
+
+def test_suggest_num_parts_bounds():
+    from rensa_ray.pipelines.common import suggest_num_parts
+
+    # cores term dominates small inputs
+    assert suggest_num_parts(10 << 20, 32) == 64
+    # bytes term dominates big inputs: 100 TB / 256 MB = 409600
+    assert suggest_num_parts(100 * (1 << 40), 256 * 32) == 409600
+    assert suggest_num_parts(0, 8) == 16
