@@ -193,6 +193,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _fin(duplicate_flags_oph_rescued(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
 
+    def rho_dup_flags(sf_dir):
+        # reference rho fast path (src/rminhash/rho.rs + src/lsh/one_shot.rs):
+        # O(tokens) sketch, band folding, sparse ≥2-band rule, sparse-verify
+        # gate, recall rescue — pytest-oracle'd (tests/test_rho_distributed.py)
+        from rensa_ray.pipelines.rho_dedup import duplicate_flags_rho
+
+        cfg = DedupConfig(num_parts=16, concurrency=None)
+        return _fin(duplicate_flags_rho(_docs_ds(sf_dir), cfg),
+                    pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
+
     def minhash_clusters(sf_dir):
         cfg = DedupConfig(num_parts=16, concurrency=None)
         return _fin(near_dup_clusters(_docs_ds(sf_dir), cfg),
@@ -232,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cminhash_dup_flags": cminhash_dup_flags,
         "oph_dup_flags": oph_dup_flags,
         "oph_dup_flags_rescued": oph_dup_flags_rescued,
+        "rho_dup_flags": rho_dup_flags,
         "minhash_clusters": minhash_clusters,
         "minhash_clusters_verified": minhash_clusters_verified,
         "minhash_dup_pairs": minhash_dup_pairs,

@@ -1,0 +1,260 @@
+"""Distributed rho fast-path duplicate flags.
+
+Shuffle formulation of the reference's full rho one-shot recall/precision
+machinery (src/lsh/one_shot.rs:78-185): band FOLDING (pairs of bands hash as
+one effective band, halving the multi-probe sketch's false-positive rate),
+the sparse-row ≥2-band rule, the sparse-verify mini-signature gate, and the
+mid-length recall rescue — semantically the batch equivalent of
+``RMinHashLSH.query_duplicate_flags_matrix_one_shot`` on a rho digest matrix
+with an empty pre-existing index.
+
+Pipeline shape (two keyed shuffles, same as the plain flags lane):
+
+    read → RhoSigner (actor pool, O(tokens) per doc — the reference's rho
+           sketch is its answer to web-scale sign cost)
+         → explode: eff_bands FOLDED rows/doc (kind 0, + sparse/svsig/n_tok)
+           and, when recall rescue is enabled, num_bands UNFOLDED rows/doc
+           (kind 1) — 1.5× the plain lane's band-table volume at fold 2;
+           disable rescue (RENSA_RHO_RECALL_RESCUE_ENABLE=0) for the
+           shuffle-lean configuration
+         → hash-partition on band_hash: per (kind, band_id, band_hash)
+           bucket emit match evidence (folded buckets apply the
+           sparse-verify gate; unfolded buckets emit raw collision rows)
+         → hash-partition on id: count folded/unfolded band matches, apply
+           required (1, or ≥2 for sparse rows) + the rescue rule → is_dup
+
+Scan-order caveat: the reference checks at most
+``RENSA_RHO_SPARSE_VERIFY_MAX_CANDIDATES`` bucket partners in matrix row
+order; this lane scans partners in ascending doc id.  The outcomes differ
+only for buckets where >max_candidates sparse partners straddle the
+threshold — flags are identical whenever ids are assigned in row order
+(tests/test_rho_distributed.py pins parity against the scalar one-shot).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.hashing import band_hash_matrix
+from ..kernels.rho import (
+    RhoParams,
+    _env_float_clamped,
+    _env_int_clamped,
+)
+from ..stages.sign import SIG_COL, RhoSigner, sig_from_arrow, sig_to_arrow
+from .common import np_col, partitionwise, run_ids
+from .dedup import DedupConfig
+
+
+def _rho_scan_config(num_bands: int, sv_perm: int) -> dict:
+    """One-shot env surface (src/lsh/config.rs:28-124), resolved once on the
+    driver so every worker scans with identical parameters."""
+    fold = _env_int_clamped("RENSA_RHO_BAND_FOLD", 2, 1, max(num_bands, 1))
+    if num_bands % fold != 0:
+        fold = 1
+    sparse_req = _env_int_clamped(
+        "RENSA_RHO_SPARSE_REQUIRED_BAND_MATCHES", 2, 1,
+        max(num_bands // fold, 1))
+    rescue = fold > 1 and os.environ.get(
+        "RENSA_RHO_RECALL_RESCUE_ENABLE", "1") != "0"
+    rmin = _env_int_clamped("RENSA_RHO_RECALL_RESCUE_MIN_TOKENS", 17, 1, 65_536)
+    rmax = max(_env_int_clamped("RENSA_RHO_RECALL_RESCUE_MAX_TOKENS",
+                                96, 1, 65_536), rmin)
+    rreq = _env_int_clamped("RENSA_RHO_RECALL_RESCUE_REQUIRED_BAND_MATCHES",
+                            2, 1, max(num_bands, 1))
+    return {
+        "fold": fold, "eff_bands": num_bands // fold,
+        "sparse_req": sparse_req,
+        "sv_enabled": sv_perm > 0,
+        "sv_threshold": _env_float_clamped(
+            "RENSA_RHO_SPARSE_VERIFY_THRESHOLD", 0.75, 0.0, 1.0),
+        "sv_max_cand": _env_int_clamped(
+            "RENSA_RHO_SPARSE_VERIFY_MAX_CANDIDATES", 16, 1, 512),
+        "rescue": rescue, "rmin": rmin, "rmax": rmax, "rreq": rreq,
+    }
+
+
+def duplicate_flags_rho(ds, cfg: DedupConfig):
+    """(id, text) dataset → (id, is_dup) with the reference's rho defaults.
+
+    ``cfg.num_perm/num_bands/seed/ngram_size`` configure the sketch; the
+    rho-specific knobs come from the ``RENSA_RHO_*`` environment exactly as
+    in the reference (probes, token budgets, fold, sparse verify, rescue).
+    """
+    id_col = cfg.id_col
+    band_size = cfg.num_perm // cfg.num_bands
+    params = RhoParams.from_env(cfg.num_perm)
+    scan = _rho_scan_config(cfg.num_bands, params.sparse_verify_perm)
+    eff_bands, fold = scan["eff_bands"], scan["fold"]
+    eff_size = band_size * fold
+    sv_perm = params.sparse_verify_perm
+
+    signer_kwargs = dict(num_perm=cfg.num_perm, seed=cfg.seed,
+                         ngram_size=cfg.ngram_size, id_col=id_col,
+                         text_col=cfg.text_col)
+    if cfg.concurrency is None:
+        sig_ds = ds.map_batches(RhoSigner(**signer_kwargs),
+                                batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
+    else:
+        sig_ds = ds.map_batches(RhoSigner, fn_constructor_kwargs=signer_kwargs,
+                                batch_format="pyarrow",
+                                batch_size=cfg.batch_size,
+                                concurrency=cfg.concurrency, num_cpus=1)
+
+    occ = params.sparse_occupancy_threshold
+    rescue = scan["rescue"]
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        sig = sig_from_arrow(batch[SIG_COL])           # (n, P) uint32
+        n = len(sig)
+        ids = np_col(batch, id_col)
+        sparse = np_col(batch, "sparse").astype(bool)
+        ntok = np_col(batch, "n_tok").astype(np.int32)
+        bh_f = np.empty((n, eff_bands), np.uint64)
+        for b in range(eff_bands):
+            bh_f[:, b] = band_hash_matrix(
+                sig[:, b * eff_size:(b + 1) * eff_size])
+        parts_id = [np.repeat(ids, eff_bands)]
+        parts_bid = [np.tile(np.arange(eff_bands, dtype=np.int32), n)]
+        parts_bh = [bh_f.reshape(-1)]
+        parts_kind = [np.zeros(n * eff_bands, np.int8)]
+        parts_sp = [np.repeat(sparse, eff_bands)]
+        parts_nt = [np.repeat(ntok, eff_bands)]
+        sv_rows = [np.repeat(np.arange(n), eff_bands)]
+        if rescue:
+            B = cfg.num_bands
+            bh_u = np.empty((n, B), np.uint64)
+            for b in range(B):
+                bh_u[:, b] = band_hash_matrix(
+                    sig[:, b * band_size:(b + 1) * band_size])
+            parts_id.append(np.repeat(ids, B))
+            parts_bid.append(np.tile(np.arange(B, dtype=np.int32), n))
+            parts_bh.append(bh_u.reshape(-1))
+            parts_kind.append(np.ones(n * B, np.int8))
+            parts_sp.append(np.repeat(sparse, B))
+            parts_nt.append(np.repeat(ntok, B))
+            sv_rows.append(np.repeat(np.arange(n), B))
+        cols = {
+            id_col: pa.array(np.concatenate(parts_id)),
+            "band_id": pa.array(np.concatenate(parts_bid), pa.int32()),
+            "band_hash": pa.array(np.concatenate(parts_bh), pa.uint64()),
+            "kind": pa.array(np.concatenate(parts_kind), pa.int8()),
+            "sparse": pa.array(np.concatenate(parts_sp), pa.bool_()),
+            "n_tok": pa.array(np.concatenate(parts_nt), pa.int32()),
+        }
+        if sv_perm > 0:
+            sv = sig_from_arrow(batch["svsig"]) if "svsig" in batch.schema.names \
+                else np.zeros((n, sv_perm), np.uint32)
+            cols["svsig"] = sig_to_arrow(sv[np.concatenate(sv_rows)])
+        return pa.table(cols)
+
+    bands = sig_ds.map_batches(_explode, batch_format="pyarrow",
+                               batch_size=None)
+
+    sv_enabled = scan["sv_enabled"]
+    sv_threshold, sv_max_cand = scan["sv_threshold"], scan["sv_max_cand"]
+
+    def _bucket_evidence(g: pa.Table) -> pa.Table:
+        """Per (kind, band_id, band_hash) bucket → match-evidence rows
+        (id, kind, band_id, sparse, n_tok)."""
+        bh = np_col(g, "band_hash").astype(np.uint64)
+        bid = np_col(g, "band_id").astype(np.int64)
+        kind = np_col(g, "kind").astype(np.int64)
+        ids = np_col(g, id_col)
+        sp = np_col(g, "sparse").astype(bool)
+        nt = np_col(g, "n_tok")
+        order, gid, counts = run_ids(kind.astype(np.uint64), bh, bid,
+                                     ids.astype(np.uint64), n_group_keys=3)
+        in_dup = counts[gid] >= 2
+        kind_s, sp_s = kind[order], sp[order]
+        take = in_dup.copy()
+        if sv_enabled:
+            sv = sig_from_arrow(g["svsig"])[order]
+            # folded buckets containing a sparse member run the pairwise
+            # sparse-verify scan (one_shot.rs:388-430); partner order is
+            # ascending doc id (run_ids tie-break key)
+            has_sparse = np.zeros(len(counts), bool)
+            np.logical_or.at(has_sparse, gid, sp_s & (kind_s == 0))
+            needs_scan = in_dup & has_sparse[gid] & (kind_s == 0)
+            if needs_scan.any():
+                starts = np.flatnonzero(np.concatenate(
+                    [[True], gid[1:] != gid[:-1]]))
+                for p in starts[needs_scan[starts]]:
+                    size = int(counts[gid[p]])
+                    members = range(p, p + size)
+                    for r in members:
+                        checked, matched = 0, False
+                        for o in members:
+                            if o == r:
+                                continue
+                            if not (sp_s[r] or sp_s[o]):
+                                matched = True
+                                break
+                            if checked >= sv_max_cand:
+                                break
+                            checked += 1
+                            # a missing signature on either side passes
+                            # trivially (one_shot.rs:436-451: only
+                            # sparse×sparse pairs compare signatures)
+                            if (not (sp_s[r] and sp_s[o])
+                                    or (sv[r] == sv[o]).mean() >= sv_threshold):
+                                matched = True
+                                break
+                        take[r] = matched
+        emit = take
+        return pa.table({
+            id_col: pa.array(ids[order][emit]),
+            "kind": pa.array(kind_s[emit].astype(np.int8), pa.int8()),
+            "sparse": pa.array(sp_s[emit], pa.bool_()),
+            "n_tok": pa.array(nt[order][emit]),
+        })
+
+    evidence = partitionwise(bands, _bucket_evidence, "band_hash",
+                             cfg.num_parts)
+
+    all_ids = ds.select_columns([id_col]).map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            "kind": pa.array(np.full(len(b), 2, np.int8)),
+            "sparse": pa.array(np.zeros(len(b), bool)),
+            "n_tok": pa.array(np.zeros(len(b), np.int32)),
+        }), batch_format="pyarrow")
+
+    sparse_req = scan["sparse_req"]
+    rmin, rmax, rreq = scan["rmin"], scan["rmax"], scan["rreq"]
+
+    def _merge(g: pa.Table) -> pa.Table:
+        ids = np_col(g, id_col)
+        kind = np_col(g, "kind").astype(np.int64)
+        sp = np_col(g, "sparse").astype(bool)
+        nt = np_col(g, "n_tok").astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array(ids),
+                             "is_dup": pa.array([], pa.bool_())})
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        kind_s = kind[order]
+        folded = np.zeros(len(counts), np.int64)
+        np.add.at(folded, gid, (kind_s == 0).astype(np.int64))
+        unfolded = np.zeros(len(counts), np.int64)
+        np.add.at(unfolded, gid, (kind_s == 1).astype(np.int64))
+        is_sp = np.zeros(len(counts), bool)
+        np.logical_or.at(is_sp, gid, sp[order])
+        ntok = np.zeros(len(counts), np.int64)
+        np.maximum.at(ntok, gid, nt[order])
+        required = np.where(is_sp, sparse_req, 1)
+        flag = folded >= required
+        if rescue:
+            window = (ntok >= rmin) & (ntok <= rmax)
+            flag |= (folded == 0) & ~is_sp & window & (unfolded >= rreq)
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        return pa.table({id_col: pa.array(ids[order][first]),
+                         "is_dup": pa.array(flag)})
+
+    return partitionwise(all_ids.union(evidence), _merge, id_col,
+                         cfg.num_parts)

@@ -104,6 +104,54 @@ class MinHashSigner:
         return pa.table(cols)
 
 
+class RhoSigner:
+    """Rho fast-path signature stage: (id, text) → (id, sig, n_tok, sparse[, svsig]).
+
+    The rho sketch (src/rminhash/rho.rs) is O(tokens): each shingle hash is
+    SplitMix64-mixed into ``probes`` buckets of a ``num_perm``-wide row.  The
+    stage emits the sidecar columns the one-shot recall/precision rules need
+    downstream (pipelines.dedup.duplicate_flags_rho):
+
+    - ``n_tok``  — u16-saturating source shingle count (rescue window test);
+    - ``sparse`` — row filled < occupancy-threshold buckets (≥2-band rule);
+    - ``svsig``  — 8-perm verify mini-signature, fixed_size_list<u32>
+      (sparse-verify gate; omitted when verification is env-disabled).
+
+    Env knobs (``RENSA_RHO_*``) are read once per actor in ``__init__`` via
+    ``RhoParams.from_env`` — identical names/defaults to the reference
+    (src/rminhash/rho.rs:55-210).
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42, ngram_size: int = 3,
+                 probes: int = 4, id_col: str = "doc_id", text_col: str = "text"):
+        from ..kernels.rho import RhoParams
+
+        self.num_perm = num_perm
+        self.seed = seed
+        self.ngram_size = ngram_size
+        self.id_col = id_col
+        self.text_col = text_col
+        self.params = RhoParams.from_env(num_perm, probes)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.rho import rho_digest_matrix
+
+        texts = batch[self.text_col].to_pylist()
+        texts = ["" if t is None else t for t in texts]
+        hashes, offsets = batch_shingle_hashes(texts, self.ngram_size)
+        sig, sc = rho_digest_matrix(hashes, offsets, self.num_perm, self.seed,
+                                    params=self.params)
+        cols = {
+            self.id_col: batch[self.id_col],
+            SIG_COL: sig_to_arrow(sig),
+            "n_tok": pa.array(sc.source_token_counts.astype(np.int32)),
+            "sparse": pa.array(sc.sparse_active.astype(bool)),
+        }
+        if sc.sparse_verify_perm > 0:
+            cols["svsig"] = sig_to_arrow(sc.sparse_signatures)
+        return pa.table(cols)
+
+
 class TokenHasher:
     """Tokenize-only stage: text → ``token_hashes: list<uint64>`` (reference
     ``RMinHash.hash_token_sets``, src/rminhash/py.rs:175-182).  Useful to

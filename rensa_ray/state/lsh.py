@@ -14,9 +14,11 @@ distributed formulation is the band-table shuffle in
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
-from ..kernels.hashing import band_hash
+from ..kernels.hashing import band_hash, band_hash_matrix
 from ..stages.band import band_hashes_matrix, validate_bands
 from .minhash import RMinHash, RMinHashDigestMatrix
 
@@ -42,6 +44,9 @@ class RMinHashLSH:
         # band_id -> {band_hash -> [keys]}; plus reverse map for removal
         self._tables: list[dict[int, list[int]]] = [dict() for _ in range(num_bands)]
         self._key_bands: dict[int, list[int]] = {}
+        # one-shot sparse-verify telemetry (src/lsh.rs:72-75)
+        self.last_one_shot_sparse_verify_checks = 0
+        self.last_one_shot_sparse_verify_passes = 0
 
     # ------------------------------------------------------------- helpers
     def _band_hashes_sig(self, sig: np.ndarray) -> list[int]:
@@ -150,35 +155,198 @@ class RMinHashLSH:
         return flags.tolist()
 
     def query_duplicate_flags_matrix_one_shot(self, matrix) -> list[bool]:
-        """Batch-dedup workhorse (src/lsh/one_shot.rs:294-332 simple path).
+        """Batch-dedup workhorse (src/lsh/one_shot.rs:78-185).
 
-        No permanent insertion.  Per band: every row whose band hash collides
-        with another row of the matrix (both directions) or with a
-        pre-existing index entry is flagged.
+        No permanent insertion.  Simple path (plain digests): per band, every
+        row whose band hash collides with another row of the matrix (both
+        directions) or with a pre-existing index entry is flagged.  When the
+        matrix carries a rho sidecar, the full recall/precision machinery
+        runs instead: band FOLDING (pairs of bands hash as one, halving the
+        false-positive rate of the multi-probe sketch), the sparse-row
+        ≥2-band rule, the sparse-verify mini-signature gate, and the
+        mid-length recall rescue — see ``_one_shot_rho_flags``.
         """
+        sidecar = getattr(matrix, "rho_sidecar", None)
         mat = _as_matrix(matrix)
         n = len(mat)
-        flags = np.zeros(n, dtype=bool)
         if n == 0:
+            self.last_one_shot_sparse_verify_checks = 0
+            self.last_one_shot_sparse_verify_passes = 0
             return []
-        bh = band_hashes_matrix(mat, self.num_bands)
-        for b in range(self.num_bands):
-            col = bh[:, b]
+        if sidecar is not None:
+            return self._one_shot_rho_flags(mat, sidecar)
+        self.last_one_shot_sparse_verify_checks = 0
+        self.last_one_shot_sparse_verify_passes = 0
+        return self._simple_one_shot_flags(
+            mat, self.num_bands, self.band_size, check_tables=True).tolist()
+
+    def _simple_one_shot_flags(self, mat: np.ndarray, eff_bands: int,
+                               eff_size: int, check_tables: bool) -> np.ndarray:
+        """simple_one_shot_flags (src/lsh/one_shot.rs:294-332) over
+        ``eff_bands`` effective bands of ``eff_size`` u32 values each.
+        Existing-index collisions apply only at fold 1 (``check_tables``)."""
+        n = len(mat)
+        flags = np.zeros(n, dtype=bool)
+        for b in range(eff_bands):
+            col = band_hash_matrix(mat[:, b * eff_size:(b + 1) * eff_size])
             order = np.argsort(col, kind="stable")
             s = col[order]
             boundary = np.ones(n, dtype=bool)
             boundary[1:] = s[1:] != s[:-1]
             gid = np.cumsum(boundary) - 1
             counts = np.bincount(gid)
-            dup_rows = order[counts[gid] >= 2]
-            flags[dup_rows] = True
-            if self._tables[b]:
-                # collide with pre-seeded index entries
+            flags[order[counts[gid] >= 2]] = True
+            if check_tables and self._tables[b]:
                 uniq_pos = np.flatnonzero(boundary)
                 for p in uniq_pos:
                     if int(s[p]) in self._tables[b]:
-                        flags[order[p : p + int(counts[gid[p]])]] = True
-        return flags.tolist()
+                        flags[order[p: p + int(counts[gid[p]])]] = True
+        return flags
+
+    def _one_shot_rho_flags(self, mat: np.ndarray, sidecar) -> list[bool]:
+        """Full rho one-shot path (src/lsh/one_shot.rs:78-185).
+
+        Per effective (folded) band, a row earns a band match when its bucket
+        collides (subject to the sparse-verify gate); a row is flagged when
+        its match count reaches its requirement (1, or ≥2 for sparse rows).
+        Mid-length rows with zero folded matches get one unfolded re-scan
+        (recall rescue).  Bucket scan order is ascending row index, matching
+        the reference's matrix iteration order.
+        """
+        from ..kernels.rho import (
+            _env_float_clamped,
+            _env_int_clamped,
+            sparse_verify_similarity,
+        )
+
+        n, B = len(mat), self.num_bands
+        has_existing = any(self._tables[b] for b in range(B))
+
+        # band_folding_config (one_shot.rs:187-206)
+        fold = _env_int_clamped("RENSA_RHO_BAND_FOLD", 2, 1, max(B, 1)) \
+            if not has_existing else 1
+        if B % fold != 0:
+            fold = 1
+        eff_bands, eff_size = B // fold, self.band_size * fold
+
+        occ = sidecar.sparse_occupancy_threshold
+        sparse_req = _env_int_clamped(
+            "RENSA_RHO_SPARSE_REQUIRED_BAND_MATCHES", 2, 1, max(eff_bands, 1))
+        non_empty = np.asarray(sidecar.non_empty_counts, np.int64)
+        required = np.where(non_empty < occ, sparse_req, 1).astype(np.int64)
+        any_sparse = bool((required > 1).any())
+
+        sv_enabled = (os.environ.get("RENSA_RHO_SPARSE_VERIFY_ENABLE", "1")
+                      != "0") and sidecar.sparse_verify_perm > 0
+        sv_threshold = _env_float_clamped(
+            "RENSA_RHO_SPARSE_VERIFY_THRESHOLD", 0.75, 0.0, 1.0)
+        sv_max_cand = _env_int_clamped(
+            "RENSA_RHO_SPARSE_VERIFY_MAX_CANDIDATES", 16, 1, 512)
+        rescue_enabled = (fold > 1 and not has_existing and os.environ.get(
+            "RENSA_RHO_RECALL_RESCUE_ENABLE", "1") != "0")
+
+        if not any_sparse and not sv_enabled and not rescue_enabled:
+            self.last_one_shot_sparse_verify_checks = 0
+            self.last_one_shot_sparse_verify_passes = 0
+            return self._simple_one_shot_flags(
+                mat, eff_bands, eff_size, check_tables=(fold == 1)).tolist()
+
+        is_sparse = required > 1
+        active = np.asarray(sidecar.sparse_active, bool) \
+            if sidecar.sparse_verify_perm > 0 else np.zeros(n, bool)
+        sigs = sidecar.sparse_signatures
+
+        def pair_passes(r: int, o: int) -> bool:
+            # sparse_verify_pair_passes (one_shot.rs:435-451): a missing
+            # signature on either side passes trivially
+            if not (active[r] and active[o]):
+                return True
+            return sparse_verify_similarity(sigs[r], sigs[o]) >= sv_threshold
+
+        counts = np.zeros(n, dtype=np.int64)
+        sv_checks = sv_passes = 0
+        for b in range(eff_bands):
+            col = band_hash_matrix(mat[:, b * eff_size:(b + 1) * eff_size])
+            if has_existing and fold == 1 and self._tables[b]:
+                for r in range(n):
+                    if int(col[r]) in self._tables[b]:
+                        counts[r] += 1
+            order = np.argsort(col, kind="stable")
+            s = col[order]
+            boundary = np.ones(n, dtype=bool)
+            boundary[1:] = s[1:] != s[:-1]
+            gid = np.cumsum(boundary) - 1
+            gsize = np.bincount(gid)
+            in_dup = gsize[gid] >= 2
+            if not sv_enabled:
+                counts[order[in_dup]] += 1
+                continue
+            # per colliding bucket, members ascending by row index
+            for p in np.flatnonzero(boundary):
+                g = int(gid[p])
+                if gsize[g] < 2:
+                    continue
+                members = np.sort(order[p: p + int(gsize[g])])
+                if not is_sparse[members].any():
+                    counts[members] += 1  # dense bucket: everyone matches
+                    continue
+                for r in members:
+                    checked, matched = 0, False
+                    for o in members:
+                        if o == r:
+                            continue
+                        if not (is_sparse[r] or is_sparse[o]):
+                            matched = True
+                            break
+                        if checked >= sv_max_cand:
+                            break
+                        checked += 1
+                        sv_checks += 1
+                        if pair_passes(int(r), int(o)):
+                            sv_passes += 1
+                            matched = True
+                            break
+                    if matched:
+                        counts[r] += 1
+
+        if rescue_enabled:
+            self._apply_recall_rescue(mat, counts, required, sidecar)
+
+        self.last_one_shot_sparse_verify_checks = sv_checks
+        self.last_one_shot_sparse_verify_passes = sv_passes
+        return (counts >= required).tolist()
+
+    def _apply_recall_rescue(self, mat: np.ndarray, counts: np.ndarray,
+                             required: np.ndarray, sidecar) -> None:
+        """apply_recall_rescue (src/lsh/one_shot.rs:492-577): zero-match
+        non-sparse rows in the mid-length token window are re-scanned at
+        UNFOLDED band granularity; ≥2 colliding unfolded bands flags them."""
+        from ..kernels.rho import _env_int_clamped
+
+        n, B = len(mat), self.num_bands
+        rmin = _env_int_clamped("RENSA_RHO_RECALL_RESCUE_MIN_TOKENS",
+                                17, 1, 65_536)
+        rmax = max(_env_int_clamped("RENSA_RHO_RECALL_RESCUE_MAX_TOKENS",
+                                    96, 1, 65_536), rmin)
+        rreq = _env_int_clamped(
+            "RENSA_RHO_RECALL_RESCUE_REQUIRED_BAND_MATCHES", 2, 1, max(B, 1))
+        src = np.asarray(sidecar.source_token_counts, np.int64)
+        cand = (counts == 0) & (required == 1) & (src >= rmin) & (src <= rmax)
+        if not cand.any():
+            return
+        rescue_counts = np.zeros(n, dtype=np.int64)
+        bh = band_hashes_matrix(mat, B)
+        for b in range(B):
+            col = bh[:, b]
+            order = np.argsort(col, kind="stable")
+            s = col[order]
+            boundary = np.ones(n, dtype=bool)
+            boundary[1:] = s[1:] != s[:-1]
+            gid = np.cumsum(boundary) - 1
+            gsize = np.bincount(gid)
+            rescue_counts[order[gsize[gid] >= 2]] += 1
+        hit = cand & (rescue_counts >= rreq)
+        counts[hit] = required[hit]
 
     # --------------------------------------------------------------- admin
     def remove(self, key: int) -> None:

@@ -30,6 +30,7 @@ from ..kernels.hashing import (
     fxhash64,
     fxhash64_bytes_list,
 )
+from ..kernels.rho import rho_digest_matrix
 from ..kernels.sketch import (
     CMIN_EMPTY,
     RMIN_EMPTY,
@@ -87,12 +88,18 @@ def _csr_from_sets(token_sets, prehashed: bool = False):
 
 
 class RMinHashDigestMatrix:
-    """Compact row-major signature matrix (src/rminhash/matrix.rs:1-9)."""
+    """Compact row-major signature matrix (src/rminhash/matrix.rs:1-9).
 
-    __slots__ = ("matrix",)
+    ``rho_sidecar`` (a ``kernels.rho.RhoSidecar``) is attached by the rho
+    builders; the LSH one-shot path reads it for the sparse ≥2-band rule,
+    sparse-verify gating and recall rescue (src/rminhash/matrix.rs:16-79).
+    """
 
-    def __init__(self, matrix: np.ndarray):
+    __slots__ = ("matrix", "rho_sidecar")
+
+    def __init__(self, matrix: np.ndarray, rho_sidecar=None):
         self.matrix = np.ascontiguousarray(matrix)
+        self.rho_sidecar = rho_sidecar
 
     @property
     def rows(self) -> int:
@@ -107,6 +114,40 @@ class RMinHashDigestMatrix:
 
     def as_numpy(self) -> np.ndarray:
         return self.matrix
+
+    # -- rho sidecar accessors (src/rminhash/py.rs:42-79) --------------------
+    def get_rho_non_empty_counts(self) -> list[int] | None:
+        sc = self.rho_sidecar
+        return None if sc is None else sc.non_empty_counts.tolist()
+
+    def get_rho_source_token_counts(self) -> list[int] | None:
+        sc = self.rho_sidecar
+        return None if sc is None else sc.source_token_counts.tolist()
+
+    def get_rho_sparse_occupancy_threshold(self) -> int | None:
+        sc = self.rho_sidecar
+        return None if sc is None else sc.sparse_occupancy_threshold
+
+    def get_rho_sparse_row_rate(self) -> float | None:
+        sc = self.rho_sidecar
+        if sc is None or len(sc.sparse_active) == 0:
+            return None if sc is None else 0.0
+        return float(sc.sparse_active.sum()) / len(sc.sparse_active)
+
+    def rho_sparse_verify_signature(self, i: int) -> np.ndarray | None:
+        """Verify signature of row ``i`` if it is sparse, else None
+        (src/rminhash/matrix.rs:63-79)."""
+        sc = self.rho_sidecar
+        if sc is None or sc.sparse_verify_perm == 0 or not sc.sparse_active[i]:
+            return None
+        return sc.sparse_signatures[i]
+
+    def __getstate__(self):
+        return {"matrix": self.matrix, "rho_sidecar": self.rho_sidecar}
+
+    def __setstate__(self, state):
+        self.matrix = state["matrix"]
+        self.rho_sidecar = state.get("rho_sidecar")
 
 
 class RMinHash:
@@ -209,6 +250,41 @@ class RMinHash:
         flat, offsets = _csr_from_sets(token_byte_sets)
         return RMinHashDigestMatrix(
             rmin_digest_matrix(flat, offsets, num_perm, seed))
+
+    # -- rho fast-path builders (src/rminhash/py.rs:222-343) -----------------
+    # The rho sketch is O(tokens) with a recall/precision sidecar; digests
+    # are NOT comparable with R-MinHash digests.  The token-set builders
+    # limit the sidecar's token list by the row budget (streaming builder
+    # semantics, rho.rs:1088-1132); the flat builder hands the sidecar the
+    # full row (rho.rs:1281-1300).
+    @classmethod
+    def digest_matrix_from_token_sets_rho(cls, token_sets, num_perm: int,
+                                          seed: int = 42, probes: int = 4
+                                          ) -> RMinHashDigestMatrix:
+        flat, offsets = _csr_from_sets(token_sets)
+        mat, sidecar = rho_digest_matrix(flat, offsets, num_perm, seed, probes)
+        return RMinHashDigestMatrix(mat, rho_sidecar=sidecar)
+
+    @classmethod
+    def digest_matrix_from_token_hash_sets_rho(cls, token_hash_sets,
+                                               num_perm: int, seed: int = 42,
+                                               probes: int = 4
+                                               ) -> RMinHashDigestMatrix:
+        flat, offsets = _csr_from_sets(token_hash_sets, prehashed=True)
+        mat, sidecar = rho_digest_matrix(flat, offsets, num_perm, seed, probes)
+        return RMinHashDigestMatrix(mat, rho_sidecar=sidecar)
+
+    @classmethod
+    def digest_matrix_from_flat_token_hashes_rho(cls, token_hashes, row_offsets,
+                                                 num_perm: int, seed: int = 42,
+                                                 probes: int = 4
+                                                 ) -> RMinHashDigestMatrix:
+        flat = np.asarray(token_hashes, dtype=np.uint64)
+        offsets = np.asarray(row_offsets, dtype=np.int64)
+        validate_offsets(offsets, len(flat))
+        mat, sidecar = rho_digest_matrix(flat, offsets, num_perm, seed,
+                                         probes, limit_tokens_for_sidecar=False)
+        return RMinHashDigestMatrix(mat, rho_sidecar=sidecar)
 
 
 class CMinHash:

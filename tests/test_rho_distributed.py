@@ -1,0 +1,88 @@
+"""Distributed rho flags lane vs the scalar one-shot oracle.
+
+``duplicate_flags_rho`` must reproduce
+``RMinHashLSH.query_duplicate_flags_matrix_one_shot`` on the rho digest
+matrix of the whole corpus (empty pre-existing index) — fold, sparse
+≥2-band rule, sparse-verify gate and recall rescue included.  Ids are
+assigned in row order so the bounded sparse-verify candidate scan visits
+partners in the same order in both implementations.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rensa_ray.pipelines.dedup import DedupConfig
+from rensa_ray.pipelines.rho_dedup import duplicate_flags_rho
+from rensa_ray.state.lsh import RMinHashLSH
+from rensa_ray.state.minhash import RMinHash
+
+CFG = DedupConfig(num_perm=128, num_bands=16, threshold=0.8, seed=42,
+                  ngram_size=3, num_parts=8, batch_size=64, concurrency=2)
+
+
+def make_corpus():
+    """Docs exercising every rho regime: exact dups (long + SHORT/sparse),
+    near dups, mid-length rescue-window docs, uniques, adversarial blanks."""
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for _ in range(100):                       # unique, mixed lengths
+        words = rng.choice(vocab, size=int(rng.integers(5, 120)))
+        docs.append(" ".join(words))
+    docs += docs[:20]                          # exact dups (all regimes)
+    for i in range(20, 50):                    # near dups: one-word edit
+        words = docs[i].split()
+        words[int(rng.integers(0, len(words)))] = "edited"
+        docs.append(" ".join(words))
+    docs += ["tiny", "tiny", "a b", "a b c"]   # sparse exact dups + shorts
+    docs += ["", "   "]                        # empty
+    return docs
+
+
+def scalar_oracle(docs, cfg):
+    from rensa_ray.kernels.shingle import shingle_hashes_scalar
+    sets = [shingle_hashes_scalar(t, cfg.ngram_size) for t in docs]
+    flat = np.concatenate([np.asarray(s, np.uint64) for s in sets]) \
+        if any(len(s) for s in sets) else np.empty(0, np.uint64)
+    off = np.zeros(len(sets) + 1, np.int64)
+    np.cumsum([len(s) for s in sets], out=off[1:])
+    m = RMinHash.digest_matrix_from_flat_token_hashes_rho(
+        flat, off, cfg.num_perm, cfg.seed)
+    lsh = RMinHashLSH(threshold=cfg.threshold, num_perm=cfg.num_perm,
+                      num_bands=cfg.num_bands)
+    return lsh.query_duplicate_flags_matrix_one_shot(m)
+
+
+def _run_parity(ray_session, cfg, monkeypatch=None, env=None):
+    import ray.data
+    docs = make_corpus()
+    want = scalar_oracle(docs, cfg)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs)}))
+    got = duplicate_flags_rho(ds, cfg).to_pandas().sort_values("doc_id")
+    assert len(got) == len(docs)
+    mism = [i for i in range(len(docs))
+            if bool(got["is_dup"].iloc[i]) != want[i]]
+    assert mism == [], f"flag mismatches at {mism[:10]}"
+
+
+def test_rho_flags_match_scalar_one_shot(ray_session):
+    _run_parity(ray_session, CFG)
+
+
+def test_rho_flags_match_scalar_no_rescue(ray_session, monkeypatch):
+    monkeypatch.setenv("RENSA_RHO_RECALL_RESCUE_ENABLE", "0")
+    _run_parity(ray_session, CFG)
+
+
+def test_rho_flags_match_scalar_fold1(ray_session, monkeypatch):
+    monkeypatch.setenv("RENSA_RHO_BAND_FOLD", "1")
+    _run_parity(ray_session, CFG)
+
+
+def test_rho_flags_task_pool(ray_session):
+    cfg = DedupConfig(num_perm=128, num_bands=16, num_parts=4,
+                      batch_size=64, concurrency=None)
+    _run_parity(ray_session, cfg)
