@@ -91,7 +91,8 @@ def _sampled_unique_ratio(hashes: np.ndarray, cap: int = 4096) -> float:
 
 def rmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
                        num_perm: int, seed: int,
-                       perms: tuple[np.ndarray, np.ndarray] | None = None) -> np.ndarray:
+                       perms: tuple[np.ndarray, np.ndarray] | None = None,
+                       cache: "AdaptivePermutationCache | None" = None) -> np.ndarray:
     """R-MinHash signatures for n CSR documents → (n, num_perm) uint32.
 
     Permutation-at-a-time formulation: one 1-D multiply/shift pass and one
@@ -109,6 +110,8 @@ def rmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
     token_hashes = np.asarray(token_hashes, dtype=np.uint64)
     offsets = np.asarray(offsets, dtype=np.int64)
     validate_offsets(offsets, len(token_hashes))
+    if cache is not None and cache.max_hashes > 0:
+        return _rmin_digest_matrix_cached(token_hashes, offsets, num_perm, cache)
     a, b = perms if perms is not None else build_rmin_permutations(num_perm, seed)
     n = len(offsets) - 1
     out = np.full((n, num_perm), RMIN_EMPTY, dtype=np.uint32)
@@ -143,6 +146,162 @@ def rmin_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
             np.take(php, inv, out=col)
         else:
             col[:] = tmp.view(np.uint32)[::2]
+        np.minimum.reduceat(col, starts, out=red)
+        if all_ne:
+            out_t[p] = red
+        else:
+            out_t[p][nonempty] = red
+    return np.ascontiguousarray(out_t.T)
+
+
+class AdaptivePermutationCache:
+    """Per-worker memoization of hot-token permuted rows
+    (src/rminhash/permutation_cache.rs:4-107).
+
+    Web shingles are zipfian: a small set of token hashes dominates
+    occurrences.  For those, the P-wide permuted row ``((a*h+b)>>32) u32``
+    is computed once and re-used, replacing P multiplies per occurrence
+    with a P-wide gather.  The cache only changes SPEED — signatures are
+    bit-identical either way — so the adaptive policy (promote after
+    ``min_frequency`` sightings, cap at ``max_hashes`` rows) is kept
+    semantically but implemented with sorted numpy arrays instead of the
+    reference's per-token hash-map probes.
+
+    Off by default like the reference (DEFAULT_MAX_PERM_CACHE_HASHES=0,
+    src/rminhash.rs:61-64); enable with ``RENSA_MAX_PERM_CACHE_HASHES``
+    (clamped to 200_000) and tune ``RENSA_PERM_CACHE_MIN_FREQUENCY``.
+    Intended as actor-pool signer state — one cache per worker process,
+    warm across batches (stages/sign.py MinHashSigner.__init__).
+    """
+
+    MAX_MAX_HASHES = 200_000  # src/rminhash.rs:64
+
+    def __init__(self, a: np.ndarray, b: np.ndarray, max_hashes: int,
+                 min_frequency: int = 3):
+        self.a, self.b = a, b
+        self.max_hashes = min(max(int(max_hashes), 0), self.MAX_MAX_HASHES)
+        self.min_frequency = max(int(min_frequency), 1)
+        self.max_tracked = max(self.max_hashes * 4, 8_192)
+        P = len(a)
+        self.keys = np.empty(0, np.uint64)            # sorted
+        # slot-major (P, K): the hot path reads one contiguous K-row per
+        # permutation slot; (K, P) row-major would need a 2-D transpose per
+        # batch (measured 16 ms per 11k×128 batch — more than the whole
+        # plain kernel)
+        self.rows_t = np.empty((P, 0), np.uint32)     # aligned to keys
+        self.cand_keys = np.empty(0, np.uint64)       # sorted
+        self.cand_counts = np.empty(0, np.int64)
+
+    @classmethod
+    def from_env(cls, a: np.ndarray, b: np.ndarray) -> "AdaptivePermutationCache | None":
+        import os
+
+        try:
+            max_hashes = int(os.environ.get("RENSA_MAX_PERM_CACHE_HASHES", "0"))
+        except ValueError:
+            max_hashes = 0
+        if max_hashes <= 0:
+            return None
+        try:
+            min_freq = int(os.environ.get("RENSA_PERM_CACHE_MIN_FREQUENCY", "3"))
+        except ValueError:
+            min_freq = 3
+        return cls(a, b, max_hashes, min_freq)
+
+    def lookup(self, uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit_mask, cache_row_index) for sorted-unique ``uniq``."""
+        pos = np.searchsorted(self.keys, uniq)
+        posc = np.minimum(pos, max(len(self.keys) - 1, 0))
+        hit = (self.keys[posc] == uniq) if len(self.keys) else \
+            np.zeros(len(uniq), bool)
+        return hit, posc
+
+    def observe_and_promote(self, miss_uniq: np.ndarray,
+                            miss_occurrences: np.ndarray) -> None:
+        """Count sightings of missed tokens; promote ≥min_frequency ones."""
+        if len(miss_uniq) == 0 or len(self.keys) >= self.max_hashes:
+            return
+        pos = np.searchsorted(self.cand_keys, miss_uniq)
+        posc = np.minimum(pos, max(len(self.cand_keys) - 1, 0))
+        known = (self.cand_keys[posc] == miss_uniq) if len(self.cand_keys) \
+            else np.zeros(len(miss_uniq), bool)
+        self.cand_counts[posc[known]] += miss_occurrences[known]
+        new = ~known
+        room = self.max_tracked - len(self.cand_keys)
+        if new.any() and room > 0:
+            nk = miss_uniq[new][:room]
+            nc = miss_occurrences[new][:room]
+            order = np.argsort(np.concatenate([self.cand_keys, nk]))
+            merged_k = np.concatenate([self.cand_keys, nk])[order]
+            merged_c = np.concatenate([self.cand_counts, nc])[order]
+            self.cand_keys, self.cand_counts = merged_k, merged_c
+        ready = self.cand_counts >= self.min_frequency
+        if not ready.any():
+            return
+        budget = self.max_hashes - len(self.keys)
+        promote = self.cand_keys[ready][:budget]
+        if len(promote) == 0:
+            return
+        new_rows = _permute_u32_chunked(promote, self.a, self.b)
+        order = np.argsort(np.concatenate([self.keys, promote]))
+        self.keys = np.concatenate([self.keys, promote])[order]
+        # full-cache column copy — rare once warm (no promotions at 100% hit)
+        self.rows_t = np.ascontiguousarray(
+            np.concatenate([self.rows_t, new_rows.T], axis=1)[:, order])
+        keep = ~ready
+        keep[np.flatnonzero(ready)[budget:]] = True  # un-promoted stay tracked
+        self.cand_keys = self.cand_keys[keep]
+        self.cand_counts = self.cand_counts[keep]
+
+
+def _rmin_digest_matrix_cached(token_hashes: np.ndarray, offsets: np.ndarray,
+                               num_perm: int,
+                               cache: AdaptivePermutationCache) -> np.ndarray:
+    """Unique+gather formulation with a warm cross-batch row cache."""
+    n = len(offsets) - 1
+    out = np.full((n, num_perm), RMIN_EMPTY, dtype=np.uint32)
+    if len(token_hashes) == 0:
+        return out
+    uniq, inv = np.unique(token_hashes, return_inverse=True)
+    hit, posc = cache.lookup(uniq)
+    hit_idx, miss_idx = np.flatnonzero(hit), np.flatnonzero(~hit)
+    hit_pos = posc[hit_idx]
+    H, M, U = len(hit_idx), len(miss_idx), len(uniq)
+    # snapshot BEFORE observe_and_promote: promotion rebinds cache.rows_t
+    # with re-ordered columns, which would invalidate hit_pos mid-batch
+    rows_t = cache.rows_t
+    miss_t = None
+    if M:
+        miss_t = np.ascontiguousarray(
+            _permute_u32_chunked(uniq[miss_idx], cache.a, cache.b).T)  # (P, M)
+        occ = np.bincount(inv, minlength=U)[miss_idx]
+        cache.observe_and_promote(uniq[miss_idx], occ.astype(np.int64))
+    sizes = offsets[1:] - offsets[:-1]
+    nonempty = np.flatnonzero(sizes > 0)
+    if len(nonempty) == 0:
+        return out
+    starts = offsets[:-1][nonempty]
+    # repack uniq values as [hits..., misses...] so per-slot assembly writes
+    # two contiguous slices; remap inv once to the packed layout
+    lut = np.empty(U, np.int64)
+    lut[hit_idx] = np.arange(H)
+    lut[miss_idx] = H + np.arange(M)
+    inv2 = lut[inv]
+    # slot-major: per slot, one contiguous gather out of the (P, K) cache
+    # + the precomputed miss columns, then one T-wide gather + reduceat —
+    # no 2-D transpose anywhere (a (U, P) row-major assembly + transpose
+    # measured slower than the whole uncached kernel)
+    out_t = np.full((num_perm, n), RMIN_EMPTY, dtype=np.uint32)
+    all_ne = len(nonempty) == n
+    col_u = np.empty(U, np.uint32)
+    col = np.empty(len(inv2), np.uint32)
+    red = np.empty(len(starts), np.uint32)
+    for p in range(num_perm):
+        if H:
+            np.take(rows_t[p], hit_pos, out=col_u[:H])
+        if miss_t is not None:
+            col_u[H:] = miss_t[p]
+        np.take(col_u, inv2, out=col)
         np.minimum.reduceat(col, starts, out=red)
         if all_ne:
             out_t[p] = red

@@ -78,11 +78,20 @@ class MinHashSigner:
         else:  # oph needs no precomputed state (mixer is seed-derived)
             self._perms = None
             self._params = None
+        # per-actor hot-token permutation cache, env-gated and OFF by
+        # default like the reference (RENSA_MAX_PERM_CACHE_HASHES,
+        # src/rminhash/permutation_cache.rs + src/rminhash.rs:61-64);
+        # warm across batches because the signer is actor-pool state
+        self._cache = None
+        if algo == "rmin":
+            from ..kernels.sketch import AdaptivePermutationCache
+
+            self._cache = AdaptivePermutationCache.from_env(*self._perms)
 
     def _digest(self, hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         if self.algo == "rmin":
             return rmin_digest_matrix(hashes, offsets, self.num_perm, self.seed,
-                                      perms=self._perms)
+                                      perms=self._perms, cache=self._cache)
         if self.algo == "oph":
             return oph_digest_matrix(hashes, offsets, self.num_perm, self.seed)
         return cmin_digest_matrix(hashes, offsets, self.num_perm, self.seed,

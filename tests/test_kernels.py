@@ -272,3 +272,38 @@ def test_oph_signer_and_dedup_pipeline(ray_session):
     cfg = DedupConfig(algo="oph", num_parts=4, concurrency=None, batch_size=8)
     out = duplicate_flags(ds, cfg).to_pandas().sort_values("doc_id")
     assert out["is_dup"].tolist() == [True, True] + [False] * 6
+
+
+# --- fxhash64_flat gather formulation ---------------------------------------
+
+def test_fxhash64_flat_gather_matches_grouped_and_scalar():
+    """The unaligned-gather fxhash64_flat must equal both the per-length
+    grouped formulation and the scalar hash on every length regime."""
+    rng = random.Random(99)
+    lens = [0, 1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 24, 31, 32, 33, 48, 64, 100]
+    items = [bytes(rng.randrange(256) for _ in range(rng.choice(lens)))
+             for _ in range(2000)]
+    lengths = np.array([len(b) for b in items], np.int64)
+    starts = np.zeros(len(items), np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    flat = np.frombuffer(b"".join(items), np.uint8)
+    got = H.fxhash64_flat(flat, starts, lengths)
+    assert (got == H._fxhash64_flat_grouped(flat, starts, lengths)).all()
+    want = np.array([H.fxhash64(it) for it in items], np.uint64)
+    assert (got == want).all()
+
+
+def test_adaptive_permutation_cache_bit_identical():
+    """Cached rmin digests are bit-identical to uncached across batches
+    (promotions included)."""
+    a, b = H.build_rmin_permutations(64, 7)
+    cache = S.AdaptivePermutationCache(a, b, max_hashes=10_000, min_frequency=2)
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        toks = (rng.integers(0, 500, 3000).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15))
+        off = np.arange(0, 3001, 100, dtype=np.int64)
+        want = S.rmin_digest_matrix(toks, off, 64, 7, perms=(a, b))
+        got = S.rmin_digest_matrix(toks, off, 64, 7, perms=(a, b), cache=cache)
+        assert (want == got).all()
+    assert len(cache.keys) > 0  # promotions actually happened
