@@ -73,10 +73,18 @@ class RMinHashLSH:
         self._key_bands[key] = hashes
 
     def insert_pairs(self, pairs) -> None:
+        """Keys must be ints (reference extracts usize and raises TypeError,
+        src/lsh/py.rs:52-62; pinned by tests/test_rensa.py:820-826)."""
         for key, mh in pairs:
-            self.insert(key, mh)
+            if not isinstance(key, (int, np.integer)) or isinstance(key, bool):
+                raise TypeError(
+                    f"LSH keys must be non-negative integers, got {type(key).__name__}")
+            self.insert(int(key), mh)
 
-    insert_many = insert_pairs
+    def insert_many(self, minhashes, start_key: int = 0) -> None:
+        """Sequential keys ``start_key + offset`` (src/lsh/py.rs:72-84)."""
+        for off, mh in enumerate(minhashes):
+            self.insert(start_key + off, mh)
 
     def insert_matrix(self, keys, matrix) -> None:
         mat = _as_matrix(matrix)
@@ -99,6 +107,11 @@ class RMinHashLSH:
             for key in self._tables[b].get(h, ()):
                 seen.setdefault(key, None)
         return list(seen)
+
+    def query_all(self, minhashes) -> list[list[int]]:
+        """Per-query candidate lists (src/lsh/py.rs:208-227); validates every
+        item's width like the reference's ensure_digest_len."""
+        return [self.query(mh) for mh in minhashes]
 
     def query_duplicate_flags(self, minhashes) -> list[bool]:
         """flag = query has >1 distinct candidate key, or 1 candidate that is

@@ -65,6 +65,17 @@ def token_hashes_of(document) -> np.ndarray:
     return fxhash64_bytes_list(items)
 
 
+def _contiguous_flat(values, label: str, dtype) -> np.ndarray:
+    """Expert flat-input validation: buffer-backed inputs must be
+    C-contiguous (reference parse_flat_token_hashes rejects strided
+    exporters instead of silently copying, src/rminhash/pipeline.rs:208-210)."""
+    arr = np.asarray(values)
+    if not arr.flags["C_CONTIGUOUS"]:
+        raise ValueError(
+            f"{label}: flat buffer inputs must be C-contiguous")
+    return np.asarray(arr, dtype=dtype)
+
+
 def _buffer_bytes(buf) -> bytes:
     """Bytes of a buffer; non-C-contiguous memoryviews are rejected, matching
     the reference's expert-input validation (src/py_input/buffer.rs;
@@ -238,8 +249,8 @@ class RMinHash:
     def digest_matrix_from_flat_token_hashes(cls, token_hashes, row_offsets,
                                              num_perm: int, seed: int = 42
                                              ) -> RMinHashDigestMatrix:
-        flat = np.asarray(token_hashes, dtype=np.uint64)
-        offsets = np.asarray(row_offsets, dtype=np.int64)
+        flat = _contiguous_flat(token_hashes, "token_hashes", np.uint64)
+        offsets = _contiguous_flat(row_offsets, "row_offsets", np.int64)
         validate_offsets(offsets, len(flat))
         return RMinHashDigestMatrix(
             rmin_digest_matrix(flat, offsets, num_perm, seed))
@@ -279,8 +290,8 @@ class RMinHash:
                                                  num_perm: int, seed: int = 42,
                                                  probes: int = 4
                                                  ) -> RMinHashDigestMatrix:
-        flat = np.asarray(token_hashes, dtype=np.uint64)
-        offsets = np.asarray(row_offsets, dtype=np.int64)
+        flat = _contiguous_flat(token_hashes, "token_hashes", np.uint64)
+        offsets = _contiguous_flat(row_offsets, "row_offsets", np.int64)
         validate_offsets(offsets, len(flat))
         mat, sidecar = rho_digest_matrix(flat, offsets, num_perm, seed,
                                          probes, limit_tokens_for_sidecar=False)

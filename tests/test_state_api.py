@@ -393,3 +393,39 @@ def test_state_objects_pickle_roundtrip():
     d2 = pickle.loads(pickle.dumps(d))
     assert not d2.add("k1-dup", m)   # restored state still detects the dup
     assert len(d2) == 1
+
+
+def test_lsh_query_all_and_insert_pairs_validation():
+    """query_all (src/lsh/py.rs:208-227) + insert_pairs key typing
+    (tests/test_rensa.py:820-826) + insert_many sequential keys."""
+    lsh = RMinHashLSH(threshold=0.7, num_perm=16, num_bands=4)
+    m0, m1 = _mh(TOKEN_SETS[0], num_perm=16), _mh(TOKEN_SETS[1], num_perm=16)
+    lsh.insert_pairs([(0, m0), (1, m1)])
+    res = lsh.query_all([m0, m1])
+    assert 0 in res[0] and 1 in res[1]
+    assert res == [lsh.query(m0), lsh.query(m1)]  # element-wise = query()
+    with pytest.raises(TypeError):
+        lsh.insert_pairs([("bad-key", m0)])
+    with pytest.raises(ValueError, match="permutations"):
+        lsh.query_all([m0, _mh(TOKEN_SETS[0], num_perm=8)])
+    lsh2 = RMinHashLSH(threshold=0.7, num_perm=16, num_bands=4)
+    lsh2.insert_many([m0, m1], start_key=10)
+    assert 10 in lsh2.query(m0) and 11 in lsh2.query(m1)
+    assert sorted(lsh2._key_bands) == [10, 11]
+
+
+def test_flat_builders_reject_non_contiguous():
+    """Expert flat inputs reject strided buffers instead of silently copying
+    (src/rminhash/pipeline.rs:208-210)."""
+    flat = np.arange(20, dtype=np.uint64)
+    off = np.array([0, 10], np.int64)
+    with pytest.raises(ValueError, match="C-contiguous"):
+        RMinHash.digest_matrix_from_flat_token_hashes(flat[::2], off, 16)
+    with pytest.raises(ValueError, match="C-contiguous"):
+        RMinHash.digest_matrix_from_flat_token_hashes_rho(flat[::2], off, 16)
+    with pytest.raises(ValueError, match="C-contiguous"):
+        RMinHash.digest_matrix_from_flat_token_hashes(
+            flat[:10], np.array([0, 5, 10], np.int64)[::2], 16)
+    # contiguous copies still work (lists, contiguous views)
+    m = RMinHash.digest_matrix_from_flat_token_hashes(list(range(10)), off, 16)
+    assert m.rows == 1
