@@ -115,7 +115,7 @@ def run_suite() -> dict:
         "minhash_dup_flags", "minhash_clusters", "cminhash_dup_flags",
         "simhash_dup_flags", "exact_dedup_kept", "ngram_jaccard_pairs",
         "cosine_pairs_lsh", "cosine_topk", "top_tokens", "user_sessions",
-        "doc_repetition_stats", "pack_sequences",
+        "doc_repetition_stats", "pack_sequences", "rho_dup_flags",
     ]
     times: dict[str, float] = {}
     for name in headline:

@@ -184,11 +184,16 @@ class AdaptivePermutationCache:
         self.max_tracked = max(self.max_hashes * 4, 8_192)
         P = len(a)
         self.keys = np.empty(0, np.uint64)            # sorted
-        # slot-major (P, K): the hot path reads one contiguous K-row per
-        # permutation slot; (K, P) row-major would need a 2-D transpose per
-        # batch (measured 16 ms per 11k×128 batch — more than the whole
-        # plain kernel)
-        self.rows_t = np.empty((P, 0), np.uint32)     # aligned to keys
+        self.cols = np.empty(0, np.int64)             # keys[i] → _buf column
+        # slot-major (P, capacity) growable buffer in INSERTION order: the
+        # hot path reads one contiguous row per permutation slot, and
+        # promotion appends columns in place — keeping the matrix key-sorted
+        # instead was a whole-cache copy per promotion (measured 64 MB/batch
+        # at K=126k, 10-20× the kernel itself); (K, P) row-major would need
+        # a 2-D transpose per batch (16 ms per 11k×128 — likewise more than
+        # the whole plain kernel)
+        self._buf = np.empty((P, 1024), np.uint32)
+        self.n_cols = 0
         self.cand_keys = np.empty(0, np.uint64)       # sorted
         self.cand_counts = np.empty(0, np.int64)
 
@@ -218,8 +223,12 @@ class AdaptivePermutationCache:
 
     def observe_and_promote(self, miss_uniq: np.ndarray,
                             miss_occurrences: np.ndarray) -> None:
-        """Count sightings of missed tokens; promote ≥min_frequency ones."""
-        if len(miss_uniq) == 0 or len(self.keys) >= self.max_hashes:
+        """Count sightings of missed tokens; promote ≥min_frequency ones.
+
+        Promotion appends columns to the insertion-ordered buffer (amortized
+        O(1) per column via capacity doubling) and np.inserts into the
+        sorted (keys, cols) index — no whole-cache copies."""
+        if len(miss_uniq) == 0 or self.n_cols >= self.max_hashes:
             return
         pos = np.searchsorted(self.cand_keys, miss_uniq)
         posc = np.minimum(pos, max(len(self.cand_keys) - 1, 0))
@@ -230,26 +239,32 @@ class AdaptivePermutationCache:
         room = self.max_tracked - len(self.cand_keys)
         if new.any() and room > 0:
             nk = miss_uniq[new][:room]
-            nc = miss_occurrences[new][:room]
-            order = np.argsort(np.concatenate([self.cand_keys, nk]))
-            merged_k = np.concatenate([self.cand_keys, nk])[order]
-            merged_c = np.concatenate([self.cand_counts, nc])[order]
-            self.cand_keys, self.cand_counts = merged_k, merged_c
-        ready = self.cand_counts >= self.min_frequency
-        if not ready.any():
+            # np.insert keeps cand_keys sorted in one O(C+new) pass
+            ins = np.searchsorted(self.cand_keys, nk)
+            self.cand_keys = np.insert(self.cand_keys, ins, nk)
+            self.cand_counts = np.insert(self.cand_counts, ins,
+                                         miss_occurrences[new][:room])
+        ready = np.flatnonzero(self.cand_counts >= self.min_frequency)
+        if len(ready) == 0:
             return
-        budget = self.max_hashes - len(self.keys)
-        promote = self.cand_keys[ready][:budget]
+        budget = self.max_hashes - self.n_cols
+        promote = self.cand_keys[ready[:budget]]
         if len(promote) == 0:
             return
-        new_rows = _permute_u32_chunked(promote, self.a, self.b)
-        order = np.argsort(np.concatenate([self.keys, promote]))
-        self.keys = np.concatenate([self.keys, promote])[order]
-        # full-cache column copy — rare once warm (no promotions at 100% hit)
-        self.rows_t = np.ascontiguousarray(
-            np.concatenate([self.rows_t, new_rows.T], axis=1)[:, order])
-        keep = ~ready
-        keep[np.flatnonzero(ready)[budget:]] = True  # un-promoted stay tracked
+        B, n = len(promote), self.n_cols
+        if n + B > self._buf.shape[1]:
+            cap = max(2 * self._buf.shape[1], n + B)
+            grown = np.empty((self._buf.shape[0], min(cap, self.max_hashes)),
+                             np.uint32)
+            grown[:, :n] = self._buf[:, :n]
+            self._buf = grown
+        self._buf[:, n:n + B] = _permute_u32_chunked(promote, self.a, self.b).T
+        self.n_cols = n + B
+        ins = np.searchsorted(self.keys, promote)
+        self.keys = np.insert(self.keys, ins, promote)
+        self.cols = np.insert(self.cols, ins, n + np.arange(B))
+        keep = np.ones(len(self.cand_counts), bool)
+        keep[ready[:budget]] = False
         self.cand_keys = self.cand_keys[keep]
         self.cand_counts = self.cand_counts[keep]
 
@@ -265,11 +280,11 @@ def _rmin_digest_matrix_cached(token_hashes: np.ndarray, offsets: np.ndarray,
     uniq, inv = np.unique(token_hashes, return_inverse=True)
     hit, posc = cache.lookup(uniq)
     hit_idx, miss_idx = np.flatnonzero(hit), np.flatnonzero(~hit)
-    hit_pos = posc[hit_idx]
+    hit_pos = cache.cols[posc[hit_idx]]
     H, M, U = len(hit_idx), len(miss_idx), len(uniq)
-    # snapshot BEFORE observe_and_promote: promotion rebinds cache.rows_t
-    # with re-ordered columns, which would invalidate hit_pos mid-batch
-    rows_t = cache.rows_t
+    # snapshot BEFORE observe_and_promote: a capacity grow rebinds the
+    # buffer (existing column indices never change, appends only)
+    rows_t = cache._buf
     miss_t = None
     if M:
         miss_t = np.ascontiguousarray(
