@@ -173,38 +173,60 @@ def duplicate_flags_rho(ds, cfg: DedupConfig):
         kind_s, sp_s = kind[order], sp[order]
         take = in_dup.copy()
         if sv_enabled:
+            # The reference scans each row's bucket partners in row order,
+            # passing trivially unless BOTH rows are sparse
+            # (one_shot.rs:388-451).  Consequences used here:
+            # 1. a DENSE member of any ≥2 bucket always matches — its first
+            #    partner either matches outright (dense) or passes the gate
+            #    trivially (sparse) — so only sparse members need scanning;
+            # 2. sparse members sharing an IDENTICAL verify signature pass
+            #    each other at similarity 1.0, so equal-svsig runs ≥2 pass
+            #    vectorized — the web-scale pathological bucket (millions
+            #    of empty/boilerplate docs, all sparse, all identical
+            #    svsig) never enters the Python scan.  This vectorized pass
+            #    ignores the reference's 16-candidate scan horizon, a
+            #    documented recall-superset divergence (see module
+            #    docstring); the residual per-row scan keeps the horizon.
             sv = sig_from_arrow(g["svsig"])[order]
-            # folded buckets containing a sparse member run the pairwise
-            # sparse-verify scan (one_shot.rs:388-430); partner order is
-            # ascending doc id (run_ids tie-break key)
-            has_sparse = np.zeros(len(counts), bool)
-            np.logical_or.at(has_sparse, gid, sp_s & (kind_s == 0))
-            needs_scan = in_dup & has_sparse[gid] & (kind_s == 0)
-            if needs_scan.any():
-                starts = np.flatnonzero(np.concatenate(
-                    [[True], gid[1:] != gid[:-1]]))
-                for p in starts[needs_scan[starts]]:
-                    size = int(counts[gid[p]])
-                    members = range(p, p + size)
-                    for r in members:
+            scan_rows = in_dup & sp_s & (kind_s == 0)
+            if scan_rows.any():
+                take[scan_rows] = False
+                sidx = np.flatnonzero(scan_rows)
+                svb = np.ascontiguousarray(sv[sidx]).view(
+                    np.dtype((np.void, sv.shape[1] * sv.dtype.itemsize))
+                ).ravel()
+                # equal-svsig pass: sort sparse rows by (bucket, svsig bytes)
+                so = np.lexsort((svb, gid[sidx]))
+                ss_g, ss_v = gid[sidx][so], svb[so]
+                same = np.zeros(len(so), bool)
+                if len(so) > 1:
+                    eq = (ss_g[1:] == ss_g[:-1]) & (ss_v[1:] == ss_v[:-1])
+                    same[1:] |= eq
+                    same[:-1] |= eq
+                take[sidx[so[same]]] = True
+                # residual bounded scan (reference 16-candidate horizon)
+                rest = sidx[~take[sidx]]
+                if len(rest):
+                    starts = np.flatnonzero(np.concatenate(
+                        [[True], gid[1:] != gid[:-1]]))
+                    run_start = starts[gid[rest]]
+                    for k in range(len(rest)):
+                        r = int(rest[k])
+                        p = int(run_start[k])
+                        size = int(counts[gid[r]])
                         checked, matched = 0, False
-                        for o in members:
+                        for o in range(p, p + size):
                             if o == r:
                                 continue
-                            if not (sp_s[r] or sp_s[o]):
-                                matched = True
-                                break
                             if checked >= sv_max_cand:
                                 break
                             checked += 1
-                            # a missing signature on either side passes
-                            # trivially (one_shot.rs:436-451: only
-                            # sparse×sparse pairs compare signatures)
-                            if (not (sp_s[r] and sp_s[o])
+                            if (not sp_s[o]
                                     or (sv[r] == sv[o]).mean() >= sv_threshold):
                                 matched = True
                                 break
-                        take[r] = matched
+                        if matched:
+                            take[r] = True
         emit = take
         return pa.table({
             id_col: pa.array(ids[order][emit]),

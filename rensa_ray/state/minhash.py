@@ -126,6 +126,10 @@ class RMinHashDigestMatrix:
     def as_numpy(self) -> np.ndarray:
         return self.matrix
 
+    def to_rows(self) -> list[list[int]]:
+        """Row-wise python lists (src/rminhash/py.rs:33-39)."""
+        return self.matrix.tolist()
+
     # -- rho sidecar accessors (src/rminhash/py.rs:42-79) --------------------
     def get_rho_non_empty_counts(self) -> list[int] | None:
         sc = self.rho_sidecar

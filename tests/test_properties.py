@@ -171,3 +171,66 @@ def test_suggest_num_parts_bounds():
     # bytes term dominates big inputs: 100 TB / 256 MB = 409600
     assert suggest_num_parts(100 * (1 << 40), 256 * 32) == 409600
     assert suggest_num_parts(0, 8) == 16
+
+
+@settings(deadline=None, max_examples=30)
+@given(st.data())
+def test_rho_matrix_matches_scalar_property(data):
+    """Randomized CSR rows across every budget regime: the vectorized rho
+    kernel equals the scalar transcription row-for-row, sidecar included."""
+    from rensa_ray.kernels import rho as R
+
+    num_perm = data.draw(st.sampled_from([64, 128]))
+    n = data.draw(st.integers(1, 12))
+    sizes = [data.draw(st.integers(0, 140)) for _ in range(n)]
+    flat = np.array([data.draw(st.integers(0, 2**64 - 1)) for _ in range(sum(sizes))],
+                    dtype=np.uint64)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    mat, sc = R.rho_digest_matrix(flat, offsets, num_perm, seed)
+    for i in range(n):
+        row_tok = flat[offsets[i]:offsets[i + 1]]
+        row, non_empty, used = R.rho_digest_scalar(row_tok, num_perm, seed)
+        assert mat[i].tolist() == row
+        assert int(sc.non_empty_counts[i]) == non_empty
+        if sc.sparse_active[i] and sc.sparse_verify_perm:
+            want = R.sparse_verify_signature_scalar(used, seed,
+                                                    sc.sparse_verify_perm)
+            assert sc.sparse_signatures[i].tolist() == want
+
+
+@settings(deadline=None, max_examples=40)
+@given(st.integers(1, 5000), st.integers(1, 4096))
+def test_midpoint_sampler_property(total, limit):
+    """Closed form == iterative; indices strictly increasing and in range."""
+    from rensa_ray.kernels import rho as R
+
+    if limit >= total:
+        return
+    it = R.midpoint_sample_indices_scalar(total, limit)
+    cf = R._midpoint_indices_closed_form(
+        np.full(limit, total), np.full(limit, limit),
+        np.arange(limit, dtype=np.int64))
+    assert it == cf.tolist()
+    assert all(0 <= i < total for i in it)
+    assert all(b > a for a, b in zip(it, it[1:]))
+
+
+@settings(deadline=None, max_examples=20)
+@given(st.data())
+def test_fxhash64_flat_property(data):
+    """Gather-based fxhash64_flat == scalar fxhash64 on random bytes of
+    random lengths (every regime boundary)."""
+    from rensa_ray.kernels import hashing as H
+
+    n = data.draw(st.integers(1, 60))
+    items = [bytes(data.draw(st.binary(min_size=0, max_size=70)))
+             for _ in range(n)]
+    lengths = np.array([len(b) for b in items], np.int64)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    flat = np.frombuffer(b"".join(items), np.uint8)
+    got = H.fxhash64_flat(flat, starts, lengths)
+    want = np.array([H.fxhash64(it) for it in items], np.uint64)
+    assert (got == want).all()

@@ -86,3 +86,29 @@ def test_rho_flags_task_pool(ray_session):
     cfg = DedupConfig(num_perm=128, num_bands=16, num_parts=4,
                       batch_size=64, concurrency=None)
     _run_parity(ray_session, cfg)
+
+
+def test_rho_flags_pathological_sparse_bucket(ray_session):
+    """Web-scale worst case: thousands of identical SHORT (sparse) docs in
+    one bucket must all be flagged via the vectorized equal-svsig pass —
+    no quadratic scan, bounded wall time."""
+    import time
+
+    import ray.data as rd
+
+    n_dup, n_uniq = 4000, 200
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = ["same tiny doc"] * n_dup + [
+        " ".join(rng.choice(vocab, size=int(rng.integers(40, 90))))
+        for _ in range(n_uniq)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs)}))
+    cfg = DedupConfig(num_perm=128, num_bands=16, num_parts=4,
+                      batch_size=512, concurrency=None)
+    t0 = time.time()
+    got = duplicate_flags_rho(ds, cfg).to_pandas().sort_values("doc_id")
+    wall = time.time() - t0
+    assert got["is_dup"].iloc[:n_dup].all()       # every clone flagged
+    assert wall < 60, f"pathological bucket took {wall:.0f}s"
