@@ -278,6 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": lambda sf: _fin(
             knn.embedding_label_centroids(sf),
             pa.schema([("label", I64), ("n_vecs", I64), ("centroid_norm", F64)])),
+        # SemDeDup-style semantic dedup: cosine edges → CC → keep cluster-min.
+        # exact lane (oracle: recursive-CTE connected components in DuckDB);
+        # the LSH-bucketed lane is the scale path (same code, exact=False)
+        "embedding_dedup_kept": lambda sf: _fin(
+            knn.embedding_dedup_kept(sf, threshold=0.4, exact=True),
+            pa.schema([("vec_id", I64), ("cluster_id", I64)])),
         # text analysis ------------------------------------------------------
         "doc_token_counts": lambda sf: _fin(
             textops.doc_token_counts(sf),
@@ -425,6 +431,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
+        "embedding_dedup_kept": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) >= 0.4),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, other) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.node, e.v FROM reach r JOIN edges e ON r.other = e.u),
+            comp AS (SELECT node AS vec_id, MIN(other) AS cluster_id
+                     FROM reach GROUP BY node)
+            SELECT vec_id, cluster_id FROM comp WHERE vec_id = cluster_id""",
         "embedding_label_centroids": """
             WITH d AS (
               SELECT label, generate_subscripts(embedding, 1) AS i,

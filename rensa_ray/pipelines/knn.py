@@ -405,3 +405,61 @@ def embedding_label_centroids(sf_dir: str):
                              np.round(np.linalg.norm(centroid, axis=1), 6))})
 
     return partitionwise(partial, _merge, "label", num_parts=4)
+
+
+def embedding_dedup_kept(sf_dir: str, threshold: float = 0.9,
+                         num_bits: int = 12, num_tables: int = 6,
+                         seed: int = 42, num_parts: int = 32,
+                         exact: bool = False):
+    """SemDeDup-style embedding near-dup removal → kept (vec_id, cluster_id).
+
+    Edges = cosine ≥ threshold pairs (hyperplane-LSH bucketed + exact verify
+    by default; ``exact=True`` uses the brute-force all-pairs lane for
+    oracle-sized inputs), clusters = connected components over those edges,
+    keep = the min vec_id of each cluster.  Semantic dedup of an embedded
+    corpus (keep one representative per near-duplicate semantic cluster) —
+    the embedding-space analogue of the MinHash keep-min dedup.
+    """
+    import ray.data as rd
+
+    from .cc import connected_components
+    from .common import np_col as _np
+
+    if exact:
+        pairs = cosine_pairs(sf_dir, threshold)
+        edges = rd.from_arrow(pairs) if isinstance(pairs, pa.Table) else pairs
+    else:
+        edges = cosine_pairs_lsh(sf_dir, threshold, num_bits, num_tables,
+                                 seed, num_parts)
+    edges = edges.map_batches(
+        lambda b: pa.table({"src": b["id_a"].cast(pa.uint64()),
+                            "dst": b["id_b"].cast(pa.uint64())}),
+        batch_format="pyarrow")
+    labels = connected_components(edges, num_parts=num_parts)  # (node, label)
+
+    all_ids = _read_embeddings(sf_dir).select_columns(["vec_id"]).map_batches(
+        lambda b: pa.table({"vec_id": b["vec_id"].cast(pa.int64()),
+                            "cluster_id": b["vec_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    lab = labels.map_batches(
+        lambda b: pa.table({"vec_id": b["node"].cast(pa.int64()),
+                            "cluster_id": b["label"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def _keep_min(g: pa.Table) -> pa.Table:
+        ids = _np(g, "vec_id").astype(np.int64)
+        lab_ = _np(g, "cluster_id").astype(np.int64)
+        if len(ids) == 0:
+            return g
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        cluster = np.full(len(counts), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cluster, gid, lab_[order])
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        uniq_ids = ids[order][first]
+        keep = uniq_ids == cluster  # representative = cluster min id
+        return pa.table({"vec_id": pa.array(uniq_ids[keep]),
+                         "cluster_id": pa.array(cluster[keep])})
+
+    return partitionwise(all_ids.union(lab), _keep_min, "vec_id", num_parts)

@@ -294,3 +294,39 @@ def test_read_corpus_formats(ray_session, tmp_path):
         assert set(back["url"]) == {f"u{i}" for i in range(20)}
     with pytest.raises(ValueError):
         read_corpus("/tmp/x", "xml")
+
+
+def test_embedding_dedup_kept(ray_session, tmp_path):
+    """SemDeDup lane: kept set = one representative (min vec_id) per cosine
+    connected component; exact and LSH lanes agree on planted near-dups."""
+    from rensa_ray.pipelines.knn import cosine_pairs, embedding_dedup_kept
+
+    sf_dir, m = _write_embeddings(tmp_path)
+    # union-find oracle over the exact pair set
+    brute = cosine_pairs(sf_dir, threshold=0.9).to_pandas()
+    parent = list(range(len(m)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in brute[["id_a", "id_b"]].itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in range(len(m)):
+        want.setdefault(find(i), i)  # min id reached first via find chains
+    want_kept = {min(j for j in range(len(m)) if find(j) == r)
+                 for r in {find(i) for i in range(len(m))}}
+
+    got = embedding_dedup_kept(sf_dir, threshold=0.9, exact=True,
+                               num_parts=4).to_pandas()
+    assert set(got["vec_id"]) == want_kept
+    assert (got["vec_id"] == got["cluster_id"]).all()
+
+    lsh = embedding_dedup_kept(sf_dir, threshold=0.9, num_bits=10,
+                               num_tables=8, num_parts=4).to_pandas()
+    assert set(lsh["vec_id"]) == want_kept  # recall ≈1 at these params
