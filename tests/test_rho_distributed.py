@@ -40,7 +40,7 @@ def make_corpus():
     return docs
 
 
-def scalar_oracle(docs, cfg):
+def scalar_oracle(docs, cfg, expect_sv_exercised=False):
     from rensa_ray.kernels.shingle import shingle_hashes_scalar
     sets = [shingle_hashes_scalar(t, cfg.ngram_size) for t in docs]
     flat = np.concatenate([np.asarray(s, np.uint64) for s in sets]) \
@@ -51,13 +51,21 @@ def scalar_oracle(docs, cfg):
         flat, off, cfg.num_perm, cfg.seed)
     lsh = RMinHashLSH(threshold=cfg.threshold, num_perm=cfg.num_perm,
                       num_bands=cfg.num_bands)
-    return lsh.query_duplicate_flags_matrix_one_shot(m)
+    flags = lsh.query_duplicate_flags_matrix_one_shot(m)
+    if expect_sv_exercised:
+        # the parity corpus must actually drive the sparse-verify gate
+        # (both passes AND rejections), else the test proves less than
+        # it claims (observed: ~314 checks, ~218 passes)
+        assert lsh.last_one_shot_sparse_verify_checks > 50
+        assert 0 < lsh.last_one_shot_sparse_verify_passes \
+            < lsh.last_one_shot_sparse_verify_checks
+    return flags
 
 
-def _run_parity(ray_session, cfg, monkeypatch=None, env=None):
+def _run_parity(ray_session, cfg, expect_sv=False):
     import ray.data
     docs = make_corpus()
-    want = scalar_oracle(docs, cfg)
+    want = scalar_oracle(docs, cfg, expect_sv_exercised=expect_sv)
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
         "text": pa.array(docs)}))
@@ -69,6 +77,11 @@ def _run_parity(ray_session, cfg, monkeypatch=None, env=None):
 
 
 def test_rho_flags_match_scalar_one_shot(ray_session):
+    _run_parity(ray_session, CFG, expect_sv=True)
+
+
+def test_rho_flags_match_scalar_sv_disabled(ray_session, monkeypatch):
+    monkeypatch.setenv("RENSA_RHO_SPARSE_VERIFY_ENABLE", "0")
     _run_parity(ray_session, CFG)
 
 
