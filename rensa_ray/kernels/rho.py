@@ -185,10 +185,19 @@ class RhoParams:
         if override:
             raw = os.environ["RENSA_RHO_TOKEN_BUDGET"]
             try:
-                clamped = min(int(raw), MAX_RHO_TOKEN_BUDGET)
+                v = int(raw)
+                if v < 0:
+                    raise ValueError  # usize parse failure in the reference
+                clamped = min(v, MAX_RHO_TOKEN_BUDGET)
                 default_budget = None if clamped == 0 else clamped
             except ValueError:
-                pass  # unparsable -> keep default (rho.rs:57-68)
+                # unparsable/negative -> keep the computed default BUT
+                # override stays True (reference: map_or(Some(default_budget),
+                # ...) with rho_token_budget_env_override_is_set() =
+                # var_os().is_some(), rho.rs:55-75) — the medium/short
+                # regimes are skipped even for an unparsable value,
+                # deliberately matching that quirk
+                pass
         if override:
             med_thresh, med_budget = 0, 0
         else:
@@ -213,11 +222,9 @@ class RhoParams:
         else:
             sv_perm = 0
         # adaptive probes + densify are opt-IN (rho.rs:161-168, 203-210:
-        # is_some_and(!= "0") -- enabled only when the env var is set)
-        adaptive = os.environ.get("RENSA_RHO_ADAPTIVE_PROBES", "0") != "0" \
-            and "RENSA_RHO_ADAPTIVE_PROBES" in os.environ
-        densify = os.environ.get("RENSA_RHO_DENSIFY", "0") != "0" \
-            and "RENSA_RHO_DENSIFY" in os.environ
+        # is_some_and(!= "0") — unset defaults to "0" here, i.e. disabled)
+        adaptive = os.environ.get("RENSA_RHO_ADAPTIVE_PROBES", "0") != "0"
+        densify = os.environ.get("RENSA_RHO_DENSIFY", "0") != "0"
         long_default = min(max(num_perm * DEFAULT_RHO_LONG_DOC_FACTOR,
                                MIN_RHO_LONG_DOC_THRESHOLD),
                            MAX_RHO_LONG_DOC_THRESHOLD)
@@ -404,12 +411,9 @@ def rho_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
     src_counts = _saturate_u16(sizes)
 
     # ---- per-row budget + probes (vectorized row_token_budget/row_probes)
-    if params.has_token_budget_override:
-        budget = np.full(n, -1 if params.default_token_budget is None
-                         else params.default_token_budget, np.int64)
-    else:
-        budget = np.full(n, -1 if params.default_token_budget is None
-                         else params.default_token_budget, np.int64)
+    budget = np.full(n, -1 if params.default_token_budget is None
+                     else params.default_token_budget, np.int64)
+    if not params.has_token_budget_override:
         budget[sizes <= params.medium_token_threshold] = params.medium_token_budget
         budget[sizes <= DEFAULT_RHO_SHORT_FULL_TOKEN_THRESHOLD] = -1
     take = np.where((budget > 0) & (sizes > budget), budget, sizes)
@@ -439,7 +443,8 @@ def rho_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
         slots_parts, vals_parts = [], []
         mixed = splitmix64_vec(used ^ np.uint64(seed) ^ np.uint64(RHO_SALTS[0]))
         pow2 = P & (P - 1) == 0
-        for p in range(int(row_probes.max())):
+        max_probes = int(row_probes.max())
+        for p in range(max_probes):
             live = row_probes[doc_of] > p
             m_live = mixed[live] if not live.all() else mixed
             d_live = doc_of[live] if not live.all() else doc_of
@@ -447,7 +452,8 @@ def rho_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
                       else m_live % np.uint64(P)).astype(np.int64)
             slots_parts.append(d_live * P + bucket)
             vals_parts.append((m_live >> np.uint64(32)).astype(np.uint32))
-            mixed = splitmix64_vec(mixed ^ np.uint64(RHO_SALTS[(p + 1) & 3]))
+            if p + 1 < max_probes:  # the final re-mix is never read
+                mixed = splitmix64_vec(mixed ^ np.uint64(RHO_SALTS[(p + 1) & 3]))
         slot = np.concatenate(slots_parts)
         val = np.concatenate(vals_parts)
         order = np.argsort(slot, kind="stable")

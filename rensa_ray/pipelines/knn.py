@@ -420,14 +420,10 @@ def embedding_dedup_kept(sf_dir: str, threshold: float = 0.9,
     corpus (keep one representative per near-duplicate semantic cluster) —
     the embedding-space analogue of the MinHash keep-min dedup.
     """
-    import ray.data as rd
-
     from .cc import connected_components
-    from .common import np_col as _np
 
     if exact:
-        pairs = cosine_pairs(sf_dir, threshold)
-        edges = rd.from_arrow(pairs) if isinstance(pairs, pa.Table) else pairs
+        edges = cosine_pairs(sf_dir, threshold)
     else:
         edges = cosine_pairs_lsh(sf_dir, threshold, num_bits, num_tables,
                                  seed, num_parts)
@@ -447,8 +443,8 @@ def embedding_dedup_kept(sf_dir: str, threshold: float = 0.9,
         batch_format="pyarrow")
 
     def _keep_min(g: pa.Table) -> pa.Table:
-        ids = _np(g, "vec_id").astype(np.int64)
-        lab_ = _np(g, "cluster_id").astype(np.int64)
+        ids = np_col(g, "vec_id").astype(np.int64)
+        lab_ = np_col(g, "cluster_id").astype(np.int64)
         if len(ids) == 0:
             return g
         order, gid, counts = run_ids(ids.astype(np.uint64))

@@ -38,7 +38,6 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from ..kernels.hashing import band_hash_matrix
 from ..kernels.rho import (
     RhoParams,
     _env_float_clamped,
@@ -84,6 +83,9 @@ def duplicate_flags_rho(ds, cfg: DedupConfig):
     rho-specific knobs come from the ``RENSA_RHO_*`` environment exactly as
     in the reference (probes, token budgets, fold, sparse verify, rescue).
     """
+    from ..stages.band import validate_bands
+
+    validate_bands(cfg.num_perm, cfg.num_bands)
     id_col = cfg.id_col
     band_size = cfg.num_perm // cfg.num_bands
     params = RhoParams.from_env(cfg.num_perm)
@@ -92,9 +94,13 @@ def duplicate_flags_rho(ds, cfg: DedupConfig):
     eff_size = band_size * fold
     sv_perm = params.sparse_verify_perm
 
+    # the driver-resolved params ship INSIDE the signer constructor args —
+    # worker processes may carry a different RENSA_RHO_* env than the
+    # driver (ray job submit does not re-export the driver env), and sketch
+    # params must match the scan config derived above
     signer_kwargs = dict(num_perm=cfg.num_perm, seed=cfg.seed,
                          ngram_size=cfg.ngram_size, id_col=id_col,
-                         text_col=cfg.text_col)
+                         text_col=cfg.text_col, params=params)
     if cfg.concurrency is None:
         sig_ds = ds.map_batches(RhoSigner(**signer_kwargs),
                                 batch_format="pyarrow",
@@ -105,19 +111,17 @@ def duplicate_flags_rho(ds, cfg: DedupConfig):
                                 batch_size=cfg.batch_size,
                                 concurrency=cfg.concurrency, num_cpus=1)
 
-    occ = params.sparse_occupancy_threshold
     rescue = scan["rescue"]
 
     def _explode(batch: pa.Table) -> pa.Table:
+        from ..stages.band import band_hashes_matrix
+
         sig = sig_from_arrow(batch[SIG_COL])           # (n, P) uint32
         n = len(sig)
         ids = np_col(batch, id_col)
         sparse = np_col(batch, "sparse").astype(bool)
         ntok = np_col(batch, "n_tok").astype(np.int32)
-        bh_f = np.empty((n, eff_bands), np.uint64)
-        for b in range(eff_bands):
-            bh_f[:, b] = band_hash_matrix(
-                sig[:, b * eff_size:(b + 1) * eff_size])
+        bh_f = band_hashes_matrix(sig, eff_bands)      # (n, eff_bands)
         parts_id = [np.repeat(ids, eff_bands)]
         parts_bid = [np.tile(np.arange(eff_bands, dtype=np.int32), n)]
         parts_bh = [bh_f.reshape(-1)]
@@ -127,10 +131,7 @@ def duplicate_flags_rho(ds, cfg: DedupConfig):
         sv_rows = [np.repeat(np.arange(n), eff_bands)]
         if rescue:
             B = cfg.num_bands
-            bh_u = np.empty((n, B), np.uint64)
-            for b in range(B):
-                bh_u[:, b] = band_hash_matrix(
-                    sig[:, b * band_size:(b + 1) * band_size])
+            bh_u = band_hashes_matrix(sig, B)          # (n, B) unfolded
             parts_id.append(np.repeat(ids, B))
             parts_bid.append(np.tile(np.arange(B, dtype=np.int32), n))
             parts_bh.append(bh_u.reshape(-1))
@@ -147,8 +148,18 @@ def duplicate_flags_rho(ds, cfg: DedupConfig):
             "n_tok": pa.array(np.concatenate(parts_nt), pa.int32()),
         }
         if sv_perm > 0:
-            sv = sig_from_arrow(batch["svsig"]) if "svsig" in batch.schema.names \
-                else np.zeros((n, sv_perm), np.uint32)
+            if "svsig" not in batch.schema.names:
+                # a zeros fallback would make every sparse row's signature
+                # identical and silently neutralize the precision gate —
+                # this can only happen if signer and driver resolved
+                # different RENSA_RHO_* envs, which passing params through
+                # the constructor prevents; fail loudly if it ever recurs
+                raise RuntimeError(
+                    "rho signer emitted no svsig column while the driver's "
+                    "scan config expects sparse-verify signatures "
+                    f"(sv_perm={sv_perm}) — driver/worker RENSA_RHO_* "
+                    "environment mismatch")
+            sv = sig_from_arrow(batch["svsig"])
             cols["svsig"] = sig_to_arrow(sv[np.concatenate(sv_rows)])
         return pa.table(cols)
 

@@ -132,7 +132,8 @@ class RhoSigner:
     """
 
     def __init__(self, num_perm: int = 128, seed: int = 42, ngram_size: int = 3,
-                 probes: int = 4, id_col: str = "doc_id", text_col: str = "text"):
+                 probes: int = 4, id_col: str = "doc_id", text_col: str = "text",
+                 params=None):
         from ..kernels.rho import RhoParams
 
         self.num_perm = num_perm
@@ -140,7 +141,14 @@ class RhoSigner:
         self.ngram_size = ngram_size
         self.id_col = id_col
         self.text_col = text_col
-        self.params = RhoParams.from_env(num_perm, probes)
+        # prefer DRIVER-resolved params (a frozen dataclass, ships in the
+        # actor constructor args): on a real cluster worker processes may
+        # have been started with a different RENSA_RHO_* environment than
+        # the driver, and sketch params MUST match the scan config the
+        # driver derived (pipelines/rho_dedup.py) or the sparse-verify gate
+        # silently degrades
+        self.params = params if params is not None \
+            else RhoParams.from_env(num_perm, probes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..kernels.rho import rho_digest_matrix
