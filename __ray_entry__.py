@@ -161,6 +161,46 @@ def _incremental_dedup_query(sf_dir):
     return _fin(out, pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
 
 
+def _incremental_dedup_bloom_query(sf_dir):
+    """Constant-state incremental EXACT dedup lane: second half of the corpus
+    deduped against a Bloom sidecar built from the first half (two
+    micro-batches through ``state.bloom.incremental_dedup_exact_bloom``).
+    Capacity is sized so the expected false-positive count at this sf is ≪ 1;
+    flags then equal exact content-key collisions (first-batch docs can only
+    collide within their own batch)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rensa_ray.state.bloom import incremental_dedup_exact_bloom
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n = ds.count()
+    half = n // 2
+
+    def _split(lo_ok):
+        return ds.map_batches(
+            lambda b: b.filter(lo_ok(b["doc_id"])), batch_format="pyarrow")
+
+    d = tempfile.mkdtemp(prefix="rensa_bloom_")
+    path = os.path.join(d, "dedup.bloom")
+    try:
+        first = incremental_dedup_exact_bloom(
+            _split(lambda c: pc.less(c, half)), path,
+            capacity=max(10 * n, 100_000), fp_rate=1e-6)
+        second = incremental_dedup_exact_bloom(
+            _split(lambda c: pc.greater_equal(c, half)), path,
+            capacity=max(10 * n, 100_000), fp_rate=1e-6)
+        out = _to_table(first.union(second))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return _fin(out, pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rensa_ray.pipelines import knn, simjoin, substring, textops
     from rensa_ray.pipelines.dedup import DedupConfig, duplicate_flags, near_dup_clusters
@@ -336,7 +376,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": lambda sf: _fin(
             textops.text_normalize(sf),
             pa.schema([("doc_id", I64), ("norm_text", STR)])),
+        "doc_pii_redact": lambda sf: _fin(
+            textops.doc_pii_redact(sf),
+            pa.schema([("doc_id", I64), ("redacted_text", STR),
+                       ("n_emails", I64), ("n_phones", I64)])),
+        "decontaminate_flags": lambda sf: _fin(
+            textops.decontaminate_flags(sf),
+            pa.schema([("doc_id", I64), ("is_contaminated", BOOL)])),
         "incremental_dedup": _incremental_dedup_query,
+        "incremental_dedup_bloom": _incremental_dedup_bloom_query,
         "pack_sequences": lambda sf: _fin(
             __import__("rensa_ray.pipelines.pack", fromlist=["pack_sequences"])
             .pack_sequences(sf, capacity=2048),
@@ -625,6 +673,56 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                        AS norm_text
             FROM documents""",
+        # RE2 on both sides (DuckDB and pyarrow.compute), so replacement
+        # spans are identical by construction.
+        "doc_pii_redact": r"""
+            WITH e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(
+                         text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                         AS n_emails,
+                     regexp_replace(
+                         text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(t1, '\+?[0-9][0-9() .-]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS redacted_text,
+                   n_emails::BIGINT AS n_emails,
+                   len(regexp_extract_all(t1, '\+?[0-9][0-9() .-]{6,}[0-9]'))
+                       ::BIGINT AS n_phones
+            FROM e""",
+        # split-by-id halves + first-wins-within-partition compose to
+        # "duplicate of any lower-id same-text doc"; at fp_rate=1e-6 the
+        # (deterministic) expected false-positive count at this sf is ~1e-4,
+        # so the Bloom lane reproduces the exact SQL verdicts.
+        "incremental_dedup_bloom": """
+            WITH k AS (SELECT doc_id, md5(text) AS h FROM documents),
+            m AS (SELECT h, MIN(doc_id) AS mn FROM k GROUP BY h)
+            SELECT k.doc_id, (k.doc_id > m.mn) AS is_dup
+            FROM k JOIN m ON k.h = m.h""",
+        "decontaminate_flags": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5 THEN list_transform(
+                              generate_series(1, len(w) - 4),
+                              i -> array_to_string(w[i:i+4], ' '))
+                          ELSE w END AS sh
+              FROM t),
+            ev AS (
+              SELECT DISTINCT s
+              FROM (SELECT unnest(sh) AS s FROM g WHERE doc_id % 97 = 0)),
+            hit AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g
+                    WHERE doc_id % 97 <> 0)
+              WHERE s IN (SELECT s FROM ev))
+            SELECT d.doc_id,
+                   (d.doc_id IN (SELECT doc_id FROM hit)) AS is_contaminated
+            FROM documents d WHERE d.doc_id % 97 <> 0""",
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total_value

@@ -318,6 +318,94 @@ def hash_sample(sf_dir: str, pct: int = 10):
     return ds.map_batches(_s, batch_format="pyarrow")
 
 
+# PII patterns (RE2 syntax — both pyarrow.compute and DuckDB run RE2, so the
+# Ray kernel and the SQL oracle replace the exact same spans).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def doc_pii_redact(sf_dir: str):
+    """PII redaction: replace email addresses with ``<EMAIL>`` and phone-like
+    number runs with ``<PHONE>``; emit per-doc match counts.
+
+    Fully vectorized — both the counting and the replacement are Arrow C++
+    regex kernels (RE2) over the batch's string column; no Python per row.
+    Emails are redacted before phones so a digit run inside an address can't
+    be double-counted.  Output: (doc_id, redacted_text, n_emails, n_phones).
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _r(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b["text"], "")
+        n_em = pc.count_substring_regex(t, PII_EMAIL_RE)
+        t = pc.replace_substring_regex(t, PII_EMAIL_RE, "<EMAIL>")
+        n_ph = pc.count_substring_regex(t, PII_PHONE_RE)
+        t = pc.replace_substring_regex(t, PII_PHONE_RE, "<PHONE>")
+        return pa.table({"doc_id": b["doc_id"], "redacted_text": t,
+                         "n_emails": n_em.cast(pa.int64()),
+                         "n_phones": n_ph.cast(pa.int64())})
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
+    """Benchmark decontamination: flag training docs sharing any word
+    ``ngram_size``-gram with the held-out eval slice (doc_id % eval_mod == 0).
+
+    The standard pre-training hygiene step (GPT-3 App. C / PaLM style): the
+    eval side is tiny versus the corpus, so its n-gram set is collected once,
+    deduplicated, and broadcast via ``ray.put``; every flag task then does a
+    vectorized ``searchsorted`` membership test over its batch's CSR shingle
+    hashes — no shuffle at all, the scale-correct shape for a 100-TB train
+    table vs a benchmark suite.  Short docs (< ngram_size words) fall back to
+    unigrams, matching the canonical shingler (kernels/shingle.py).
+
+    Output: (doc_id, is_contaminated) over training docs only.
+    """
+    import ray
+
+    from ..kernels.shingle import batch_shingle_hashes
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    # Pass 1: eval-slice n-gram hash set (small side). In production the eval
+    # benchmarks are their own tiny table; the id-slice here stands in for it.
+    def _eval_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % eval_mod == 0
+        if not m.any():
+            return pa.table({"h": pa.array([], pa.uint64())})
+        texts = ["" if t is None else t
+                 for t, keep in zip(b["text"].to_pylist(), m) if keep]
+        h, _ = batch_shingle_hashes(texts, ngram_size)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    rows = ds.map_batches(_eval_grams, batch_format="pyarrow").take_all()
+    ev = np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
+    ref = ray.put(ev)
+
+    def _flag(b: pa.Table) -> pa.Table:
+        grams = ray.get(ref)  # zero-copy plasma read, shared per node
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % eval_mod != 0
+        texts = ["" if t is None else t
+                 for t, keep in zip(b["text"].to_pylist(), m) if keep]
+        h, offs = batch_shingle_hashes(texts, ngram_size)
+        if len(grams) and len(h):
+            idx = np.searchsorted(grams, h)
+            idx[idx == len(grams)] = 0
+            hit = grams[idx] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        c = np.zeros(len(h) + 1, dtype=np.int64)
+        np.cumsum(hit, out=c[1:])
+        contaminated = (c[offs[1:]] - c[offs[:-1]]) > 0
+        return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
+                         "is_contaminated": pa.array(contaminated)})
+
+    return ds.map_batches(_flag, batch_format="pyarrow")
+
+
 def events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 

@@ -385,3 +385,80 @@ def test_incremental_dedup_query(ray_session):
     """).df()["doc_id"].tolist()
     flagged = set(out[out.is_dup].doc_id)
     assert set(dups) <= flagged
+
+
+# -------------------------------------------------- PII / decontamination
+
+def test_doc_pii_redact_oracle(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import doc_pii_redact
+
+    assert_matches_sql(doc_pii_redact(SF_DIR),
+                       entry.oracle_sql()["doc_pii_redact"])
+
+
+def test_doc_pii_redact_planted(ray_session):
+    """Planted emails/phones (the sf corpus has none) — semantics check."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines import textops
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["contact alice.smith+x@example.co.uk or bob@test.io now",
+                 "call +1 (555) 123-4567 or 555-987-6543 today",
+                 "no pii here at all",
+                 "mixed: a@b.com then 12345678901 done"]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = _to_table(textops.doc_pii_redact(d)).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert out.loc[0, "redacted_text"] == "contact <EMAIL> or <EMAIL> now"
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_phones"] == 0
+    assert out.loc[1, "redacted_text"] == "call <PHONE> or <PHONE> today"
+    assert out.loc[1, "n_phones"] == 2 and out.loc[1, "n_emails"] == 0
+    assert out.loc[2, "redacted_text"] == "no pii here at all"
+    assert out.loc[3, "redacted_text"] == "mixed: <EMAIL> then <PHONE> done"
+    assert out.loc[3, "n_emails"] == 1 and out.loc[3, "n_phones"] == 1
+
+
+def test_decontaminate_flags_oracle(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import decontaminate_flags
+
+    assert_matches_sql(decontaminate_flags(SF_DIR),
+                       entry.oracle_sql()["decontaminate_flags"])
+
+
+def test_decontaminate_flags_planted(ray_session):
+    """A train doc sharing a 5-gram with the eval slice is contaminated;
+    short docs fall back to unigram membership (canonical shingler rule)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines import textops
+
+    eval_text = "the quick brown fox jumps over the lazy dog"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),   # doc 0 = eval (0 % 97 == 0)
+        "text": [eval_text,
+                 "intro text then the quick brown fox jumps and more",  # shares 5-gram
+                 "completely unrelated content about ray data pipelines here",
+                 "fox",                                     # unigram hit ("fox" in eval? only if eval short)
+                 "quick brown wolf runs far away from here"]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = _to_table(textops.decontaminate_flags(d)).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert set(out.index) == {1, 2, 3, 4}          # eval doc excluded
+    assert bool(out.loc[1, "is_contaminated"])     # shared 5-gram
+    assert not bool(out.loc[2, "is_contaminated"])
+    # eval doc has >= 5 words -> only 5-grams in the eval set, so the
+    # single-word train doc ("fox") cannot match
+    assert not bool(out.loc[3, "is_contaminated"])
+    assert not bool(out.loc[4, "is_contaminated"])
