@@ -366,6 +366,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_counts": lambda sf: _fin(
             textops.doc_bpe_token_counts(sf),
             pa.schema([("doc_id", I64), ("n_bpe_tokens", I64)])),
+        "doc_tfidf": lambda sf: _fin(
+            textops.doc_tfidf(sf),
+            pa.schema([("doc_id", I64), ("token", STR), ("tf", I64),
+                       ("tfidf", F64)])),
         "doc_repetition_stats": lambda sf: _fin(
             textops.doc_repetition_stats(sf),
             pa.schema([("doc_id", I64), ("dup_word_frac", F64),
@@ -692,6 +696,19 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t1, '\+?[0-9][0-9() .-]{6,}[0-9]'))
                        ::BIGINT AS n_phones
             FROM e""",
+        "doc_tfidf": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS token
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM w GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   tf.tf * ln(n.n::DOUBLE / df.df) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n""",
         # split-by-id halves + first-wins-within-partition compose to
         # "duplicate of any lower-id same-text doc"; at fp_rate=1e-6 the
         # (deterministic) expected false-positive count at this sf is ~1e-4,

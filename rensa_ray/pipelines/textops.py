@@ -406,6 +406,58 @@ def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
     return ds.map_batches(_flag, batch_format="pyarrow")
 
 
+def doc_tfidf(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Per-(doc, token) TF-IDF scores: (doc_id, token, tf, tfidf) with
+    tfidf = tf * ln(N / df), N = corpus doc count, df = docs containing the
+    token.
+
+    One keyed shuffle total: the explode stage computes per-doc term counts
+    with Arrow C++ kernels (lower → split_whitespace → flatten → groupby),
+    then a single hash-partition on the token co-locates every (doc, token)
+    row of a token, so df, idf, and the final score are all computed inside
+    the partition kernel — no df broadcast, no second shuffle.  N comes from
+    parquet metadata (no extra pass).
+    """
+    import ray.data as rd
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).count()
+
+    def _tf(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(b["text"], "")))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(np_col(b, "doc_id"), lens)
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "token": flat})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))  # boundary empties
+        tf = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
+            [("token", "count")])
+        tf = tf.rename_columns(["doc_id", "token", "tf"])
+        key = fxhash64_bytes_list(
+            [t.encode("utf-8") for t in tf["token"].to_pylist()])
+        return tf.append_column("__key", pa.array(key, pa.uint64()))
+
+    exploded = ds.map_batches(_tf, batch_format="pyarrow")
+
+    def _score(g: pa.Table) -> pa.Table:
+        # (doc, token) rows may repeat across input batches of one doc — re-sum,
+        # then df per token and the join are Arrow C++ hash ops in-partition.
+        tf = pa.TableGroupBy(g, ["doc_id", "token"]).aggregate([("tf", "sum")])
+        tf = tf.rename_columns(["doc_id", "token", "tf"])
+        df_t = pa.TableGroupBy(tf, "token").aggregate([("doc_id", "count")])
+        df_t = df_t.rename_columns(["token", "df"])
+        j = tf.join(df_t, "token")
+        tfv = np_col(j, "tf").astype(np.int64)
+        idf = np.log(float(n_docs) / np_col(j, "df").astype(np.float64))
+        return pa.table({"doc_id": j["doc_id"], "token": j["token"],
+                         "tf": pa.array(tfv),
+                         "tfidf": pa.array(tfv * idf, pa.float64())})
+
+    return partitionwise(exploded, _score, "__key", num_parts)
+
+
 def events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 

@@ -462,3 +462,10 @@ def test_decontaminate_flags_planted(ray_session):
     # single-word train doc ("fox") cannot match
     assert not bool(out.loc[3, "is_contaminated"])
     assert not bool(out.loc[4, "is_contaminated"])
+
+
+def test_doc_tfidf_oracle(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import doc_tfidf
+
+    assert_matches_sql(doc_tfidf(SF_DIR), entry.oracle_sql()["doc_tfidf"])
