@@ -404,6 +404,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": lambda sf: _fin(
             textops.events_hourly(sf),
             pa.schema([("event_type", STR), ("hour", TS), ("n_events", I64)])),
+        "events_range_join": lambda sf: _fin(
+            textops.events_range_join(sf),
+            pa.schema([("event_id", I64), ("match_event_id", I64),
+                       ("gap_seconds", F64)])),
+        "events_asof_join": lambda sf: _fin(
+            textops.events_asof_join(sf),
+            pa.schema([("event_id", I64), ("user_id", I64), ("ts", TS),
+                       ("prior_event_id", I64), ("prior_value", F64)])),
         "user_sessions": lambda sf: _fin(
             textops.user_sessions(sf),
             pa.schema([("user_id", I64), ("n_sessions", I64), ("n_events", I64)])),
@@ -748,6 +756,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "events_range_join": """
+            SELECT l.event_id, r.event_id AS match_event_id,
+                   (epoch_us(l.ts) - epoch_us(r.ts)) / 1e6 AS gap_seconds
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 60 MINUTE AND l.ts""",
+        "events_asof_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS prior_event_id, r.value AS prior_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "user_sessions": """
             WITH o AS (
               SELECT user_id, ts,

@@ -406,6 +406,148 @@ def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
     return ds.map_batches(_flag, batch_format="pyarrow")
 
 
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click",
+                     num_parts: int = DEFAULT_PARTS):
+    """As-of join: each ``left_type`` event gets the user's most recent
+    ``right_type`` event at-or-before its timestamp (NULL if none) —
+    the temporal join Ray Data has no native operator for.
+
+    One keyed shuffle on user_id; the partition kernel is a fully
+    vectorized merge: both sides lexsorted by (user, ts, side) with the
+    right side ordered first at timestamp ties (ts >= semantics), then a
+    single ``np.maximum.accumulate`` forward-fill finds each left row's
+    latest preceding right row; rows whose fill crosses a user boundary are
+    nulled by a user-equality check.  O(n log n) per partition, no per-user
+    Python.  The partitioning assumption: all events of one user fit one
+    partition (user activity streams are bounded; salt per time-range if a
+    single entity's history outgrows a worker).
+
+    Output: (event_id, user_id, ts, prior_event_id, prior_value).
+    """
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _pick(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        b = b.filter(keep)
+        return pa.table({
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "user_id": b["user_id"],
+            "value": b["value"],
+            "__is_left": pc.equal(b["event_type"], left_type),
+        })
+
+    slim = ds.map_batches(_pick, batch_format="pyarrow")
+
+    def _asof(g: pa.Table) -> pa.Table:
+        users = np_col(g, "user_id").astype(np.int64)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_left = np_col(g, "__is_left").astype(bool)
+        eid = np_col(g, "event_id").astype(np.int64)
+        val = np_col(g, "value").astype(np.float64)
+        n = len(users)
+        # right rows sort before left rows at equal (user, ts): ties count
+        order = np.lexsort((is_left, ts, users))
+        tag = is_left[order]
+        # forward-fill the SORT POSITION of the latest right row seen
+        fill = np.maximum.accumulate(
+            np.where(tag, -1, np.arange(n, dtype=np.int64)))
+        sel = np.flatnonzero(tag)            # left rows, in sorted order
+        left_rows = order[sel]
+        prior_pos = fill[sel]
+        prior_rows = order[np.maximum(prior_pos, 0)]
+        # a fill that crossed into another user's run is not a match
+        ok = (prior_pos >= 0) & (users[prior_rows] == users[left_rows])
+        null_mask = ~ok
+        return pa.table({
+            "event_id": pa.array(eid[left_rows]),
+            "user_id": pa.array(users[left_rows]),
+            "ts": pa.array(ts[left_rows], pa.int64()).cast(g["ts"].type),
+            "prior_event_id": pa.array(eid[prior_rows], mask=null_mask),
+            "prior_value": pa.array(val[prior_rows], mask=null_mask),
+        })
+
+    return partitionwise(slim, _asof, "user_id", num_parts)
+
+
+def events_range_join(sf_dir: str, left_type: str = "purchase",
+                      right_type: str = "click", window_minutes: int = 60,
+                      num_parts: int = DEFAULT_PARTS):
+    """Range join: every (left, right) event pair of one user with the right
+    event inside ``[left.ts - window, left.ts]`` — the banded temporal join
+    (each purchase paired with all clicks of the preceding hour).
+
+    Same one-shuffle shape as ``events_asof_join``: partition by user, sort
+    both sides by (user, ts); each left row's match set is a contiguous run
+    bounded by two vectorized ``searchsorted`` calls over a composite
+    (user, ts) key, expanded with a ragged repeat/arange — no per-row Python,
+    no cross joins.  Fan-out is bounded by events-per-user-per-window (the
+    documented partitioning assumption; cap the window for adversarial
+    entities).
+
+    Output: (event_id, match_event_id, gap_seconds).
+    """
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def _pick(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        b = b.filter(keep)
+        return pa.table({
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "user_id": b["user_id"],
+            "__is_left": pc.equal(b["event_type"], left_type),
+        })
+
+    slim = ds.map_batches(_pick, batch_format="pyarrow")
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def _range(g: pa.Table) -> pa.Table:
+        users = np_col(g, "user_id").astype(np.int64)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_left = np_col(g, "__is_left").astype(bool)
+        eid = np_col(g, "event_id").astype(np.int64)
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "match_event_id": pa.array([], pa.int64()),
+                          "gap_seconds": pa.array([], pa.float64())})
+        if len(users) == 0 or not is_left.any() or is_left.all():
+            return empty
+        # composite uint key (user, ts): user in high bits, us-ts offset low
+        # (2^48 us ≈ 8.9 years of span; user_id < 2^16 per partition —
+        # re-key with wider fields for larger id spaces)
+        t0 = ts.min()
+        shift = np.uint64(48)
+        key = (users.astype(np.uint64) << shift) | (ts - t0).astype(np.uint64)
+        l_eid, l_key, l_ts = eid[is_left], key[is_left], ts[is_left]
+        # window lower bound, clamped at the user's key base (no underflow
+        # into the previous user's range)
+        l_off = l_key & ((np.uint64(1) << shift) - np.uint64(1))
+        lo_key = l_key - np.minimum(l_off, np.uint64(win_us))
+        r = ~is_left
+        r_order = np.argsort(key[r], kind="stable")
+        r_eid = eid[r][r_order]
+        r_key = key[r][r_order]
+        r_ts = ts[r][r_order]
+        lo = np.searchsorted(r_key, lo_key, side="left")
+        hi = np.searchsorted(r_key, l_key, side="right")
+        cnt = hi - lo
+        out_left = np.repeat(np.arange(len(l_eid)), cnt)
+        # ragged [lo_i, hi_i) ranges flattened
+        out_right = np.repeat(lo, cnt) + (
+            np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        gap = (l_ts[out_left] - r_ts[out_right]) / 1e6
+        return pa.table({
+            "event_id": pa.array(l_eid[out_left]),
+            "match_event_id": pa.array(r_eid[out_right]),
+            "gap_seconds": pa.array(gap, pa.float64()),
+        })
+
+    return partitionwise(slim, _range, "user_id", num_parts)
+
+
 def doc_tfidf(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     """Per-(doc, token) TF-IDF scores: (doc_id, token, tf, tfidf) with
     tfidf = tf * ln(N / df), N = corpus doc count, df = docs containing the

@@ -469,3 +469,90 @@ def test_doc_tfidf_oracle(ray_session):
     from rensa_ray.pipelines.textops import doc_tfidf
 
     assert_matches_sql(doc_tfidf(SF_DIR), entry.oracle_sql()["doc_tfidf"])
+
+
+def test_events_asof_join_oracle(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import events_asof_join
+
+    assert_matches_sql(events_asof_join(SF_DIR),
+                       entry.oracle_sql()["events_asof_join"])
+
+
+def test_events_asof_join_planted(ray_session):
+    """Edge semantics: ts-equal right row matches (>=), no-prior gives NULL,
+    users never see each other's events."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines import textops
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:10",   # u1 click, purchase
+         "2024-01-01 00:00:10",                          # u2 click at tie-ts
+         "2024-01-01 00:00:10",                          # u2 purchase (tie)
+         "2024-01-01 00:00:05",                          # u3 purchase, no click
+         "2024-01-01 00:00:20", "2024-01-01 00:00:30"])  # u1 click2, purchase2
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2, 3, 1, 1], pa.int64()),
+        "event_type": ["click", "purchase", "click", "purchase", "purchase",
+                       "click", "purchase"],
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0], pa.float64()),
+        "props": ["{}"] * 7})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (_to_table(textops.events_asof_join(d, num_parts=2))
+               .to_pandas().set_index("event_id").sort_index())
+    assert out.loc[1, "prior_event_id"] == 0          # plain prior
+    assert out.loc[3, "prior_event_id"] == 2          # equal-ts right matches
+    assert pd.isna(out.loc[4, "prior_event_id"])      # no click for u3
+    assert out.loc[6, "prior_event_id"] == 5          # latest, not first
+
+
+def test_events_range_join_oracle(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import events_range_join
+
+    assert_matches_sql(events_range_join(SF_DIR),
+                       entry.oracle_sql()["events_range_join"])
+
+
+def test_events_range_join_planted(ray_session):
+    """Window boundaries inclusive at both ends; multiple matches expand;
+    other users' events excluded."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines import textops
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00",   # 0 u1 click (exactly 60m before purchase)
+         "2024-01-01 00:30:00",   # 1 u1 click (inside)
+         "2024-01-01 01:00:00",   # 2 u1 purchase
+         "2023-12-31 23:59:59",   # 3 u1 click (61m 1s before -> outside)
+         "2024-01-01 00:45:00",   # 4 u2 click (other user)
+         "2024-01-01 02:30:00"])  # 5 u1 purchase (no clicks in window)
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 1], pa.int64()),
+        "event_type": ["click", "click", "purchase", "click", "click",
+                       "purchase"],
+        "value": pa.array([0.0] * 6, pa.float64()),
+        "props": ["{}"] * 6})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (_to_table(textops.events_range_join(d, num_parts=2))
+               .to_pandas().sort_values(["event_id", "match_event_id"]))
+    pairs = list(zip(out["event_id"], out["match_event_id"]))
+    assert pairs == [(2, 0), (2, 1)]
+    gaps = dict(zip(pairs, out["gap_seconds"]))
+    assert gaps[(2, 0)] == 3600.0 and gaps[(2, 1)] == 1800.0
