@@ -346,6 +346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": lambda sf: _fin(
             textops.top_tokens(sf, k=20),
             pa.schema([("token", STR), ("cnt", I64)])),
+        "approx_distinct_tokens": lambda sf: _fin(
+            textops.approx_distinct_tokens(sf),
+            pa.schema([("approx_distinct", I64)])),
         "distinct_token_count": lambda sf: _fin(
             textops.distinct_token_count(sf),
             pa.schema([("n_distinct", I64)])),

@@ -406,6 +406,31 @@ def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
     return ds.map_batches(_flag, batch_format="pyarrow")
 
 
+def approx_distinct_tokens(sf_dir: str, p: int = 14):
+    """Approximate distinct whitespace-token count via HyperLogLog —
+    the shuffle-free sketch lane beside the exact ``distinct_token_count``
+    (which must all-to-all every token at 100 TB).  Per-block 2^p-byte
+    register rows max-fold on the driver; relative error ~1.04/sqrt(2^p)
+    (0.8% at p=14).  Output: one row (approx_distinct).
+    """
+    from ..kernels.hll import approx_distinct
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _hashes(b: pa.Table) -> np.ndarray:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.fill_null(b["text"], "")))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return np.asarray(
+            fxhash64_bytes_list([t.encode("utf-8")
+                                 for t in toks.to_pylist()]),
+            dtype=np.uint64)
+
+    est = approx_distinct(ds, _hashes, p=p)
+    return pa.table({"approx_distinct": pa.array([int(round(est))],
+                                                 pa.int64())})
+
+
 def events_asof_join(sf_dir: str, left_type: str = "purchase",
                      right_type: str = "click",
                      num_parts: int = DEFAULT_PARTS):
