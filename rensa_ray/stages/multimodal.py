@@ -1,14 +1,19 @@
 """Multimodal column stages — image/audio/video as opaque binary + metadata.
 
-The PPM (P6) path is a REAL decoder/encoder/resizer implemented in pure
-numpy (the format is a trivial header + raw RGB bytes, so no codec library
-is needed): ``ImageDecodeStage`` detects ``P6`` payloads and decodes +
-resizes them for real.  Compressed formats (JPEG/PNG/audio/video) remain
-STUBBED — no codec libraries exist in this environment — behind the same
-``decode_fn`` hook, with a deterministic fake keeping the Ray-side plumbing
-(schema contract, actor-pool stage shape, batch sizing, output layout)
-real and tested.  Plug PIL/torchaudio/ffmpeg in via ``decode_fn`` on a
-real deployment.
+Two REAL codecs implemented in pure numpy (both formats are header + raw
+samples, so no codec library is needed):
+
+- PPM (P6) images — decode/encode/nearest-resize (``ImageDecodeStage``);
+- RIFF/WAVE audio — full chunk-walking PCM parse (u8/s16/s32/f32, any
+  channel count), mono downmix, linear resample, fixed-length clips
+  (``AudioDecodeStage``), plus real DSP features (RMS/ZCR/spectral
+  centroid/rolloff via batched rFFT) in ``AudioFeatureStage``.
+
+Compressed formats (JPEG/PNG/MP3/video) remain STUBBED — no codec libraries
+exist in this environment — behind the same ``decode_fn`` hook, with a
+deterministic fake keeping the Ray-side plumbing (schema contract,
+actor-pool stage shape, batch sizing, output layout) real and tested.
+Plug PIL/torchaudio/ffmpeg in via ``decode_fn`` on a real deployment.
 
 Design notes for 100 TB media corpora:
 
@@ -89,6 +94,174 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64),
                       w - 1)
     return img[rows[:, None], cols[None, :]]
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE decode → ((n, channels) float32 in [-1, 1], rate).
+
+    Real parsing, no codec library: walks RIFF chunks, reads the ``fmt ``
+    block (PCM u8 / s16 / s32 and IEEE float32), slices the ``data`` chunk
+    straight into numpy.  Unknown chunks are skipped per spec (word-aligned).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if channels < 1:
+        raise ValueError("invalid channel count")
+    if audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV encoding fmt={audio_format} bits={bits}")
+    n = len(x) // channels
+    return x[: n * channels].reshape(n, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n,) or (n, channels) float32 in [-1, 1] → 16-bit PCM WAV bytes."""
+    x = np.atleast_2d(np.asarray(samples, np.float32))
+    if x.shape[0] == 1 and x.ndim == 2 and samples.ndim == 1:
+        x = x.T
+    n, ch = x.shape
+    pcm = np.rint(np.clip(x * 32767.0, -32768, 32767)).astype("<i2").tobytes()
+    fmt = (np.uint16(1).tobytes() + np.uint16(ch).tobytes()
+           + np.uint32(rate).tobytes() + np.uint32(rate * ch * 2).tobytes()
+           + np.uint16(ch * 2).tobytes() + np.uint16(16).tobytes())
+    chunks = b"WAVE" + b"fmt " + np.uint32(len(fmt)).tobytes() + fmt \
+        + b"data" + np.uint32(len(pcm)).tobytes() + pcm
+    return b"RIFF" + np.uint32(len(chunks)).tobytes() + chunks
+
+
+def resample_linear(x: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
+    """Vectorized linear-interpolation resample of a mono float array."""
+    if rate_in == rate_out or len(x) == 0:
+        return np.asarray(x, np.float32)
+    n_out = max(1, int(round(len(x) * rate_out / rate_in)))
+    pos = np.arange(n_out, dtype=np.float64) * (len(x) - 1) / max(n_out - 1, 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, len(x) - 1)
+    frac = (pos - lo).astype(np.float32)
+    return (x[lo] * (1.0 - frac) + x[hi] * frac).astype(np.float32)
+
+
+class AudioDecodeStage:
+    """map_batches actor: (key, payload binary) → fixed-length mono clips.
+
+    RIFF/WAVE payloads are REALLY decoded (pure-numpy PCM parse), downmixed
+    to mono, resampled to ``target_rate`` and truncated/zero-padded to
+    ``target_seconds`` — a ``fixed_size_list<float32>`` column ready for
+    batched model inference.  Non-WAV payloads go through ``decode_fn``
+    (default: a deterministic fake) exactly like the image stage's codec
+    hook.  Metadata columns: orig_rate, orig_samples, is_real_decode.
+    """
+
+    def __init__(self, key_col: str = "url", payload_col: str = "payload",
+                 target_rate: int = 4000, target_seconds: float = 1.0,
+                 decode_fn=None):
+        self.key_col = key_col
+        self.payload_col = payload_col
+        self.target_rate = target_rate
+        self.n_out = int(target_rate * target_seconds)
+        self.decode_fn = decode_fn
+
+    def _fake(self, payload: bytes) -> tuple[np.ndarray, int]:
+        raw = _fake_decode(payload, 1).reshape(-1).astype(np.float32)
+        x = (np.resize(raw, self.n_out) - 128.0) / 128.0
+        return x.reshape(-1, 1), self.target_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.zeros((len(batch), self.n_out), np.float32)
+        rates = np.zeros(len(batch), np.int32)
+        lens = np.zeros(len(batch), np.int64)
+        real = np.zeros(len(batch), bool)
+        for i, p in enumerate(batch[self.payload_col].to_pylist()):
+            p = b"" if p is None else p
+            try:
+                x, rate = decode_wav(p)
+                real[i] = True
+            except ValueError:
+                x, rate = (self.decode_fn(p) if self.decode_fn is not None
+                           else self._fake(p))
+            rates[i], lens[i] = rate, x.shape[0]
+            mono = x.mean(axis=1)
+            mono = resample_linear(mono, rate, self.target_rate)
+            n = min(len(mono), self.n_out)
+            out[i, :n] = mono[:n]
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "audio": pa.FixedSizeListArray.from_arrays(
+                pa.array(out.reshape(-1), pa.float32()), self.n_out),
+            "orig_rate": pa.array(rates),
+            "orig_samples": pa.array(lens),
+            "is_real_decode": pa.array(real),
+        })
+
+
+class AudioFeatureStage:
+    """map_batches actor: decoded clip column → DSP feature vectors.
+
+    Real, fully vectorized signal features over fixed frames (no per-row
+    Python beyond the batch reshape): RMS energy, zero-crossing rate,
+    spectral centroid and 85% rolloff (both from one batched rFFT), pooled
+    mean+std over frames → a ``fixed_size_list<float32>[8]`` column.  Swap
+    in batched model embeddings via ``feature_fn`` — same contract.
+    """
+
+    def __init__(self, audio_col: str = "audio", key_col: str = "url",
+                 frame: int = 512, rate: int = 4000, feature_fn=None):
+        self.audio_col = audio_col
+        self.key_col = key_col
+        self.frame = frame
+        self.rate = rate
+        self.feature_fn = feature_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.audio_col].combine_chunks()
+        size = col.type.list_size
+        x = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, size)
+        if self.feature_fn is not None:
+            feats = np.asarray(self.feature_fn(x), np.float32)
+        else:
+            nf = size // self.frame
+            fr = x[:, : nf * self.frame].reshape(len(x), nf, self.frame)
+            rms = np.sqrt((fr ** 2).mean(axis=2) + 1e-12)
+            zcr = (np.diff(np.signbit(fr), axis=2) != 0).mean(axis=2)
+            spec = np.abs(np.fft.rfft(fr, axis=2))
+            power = spec.sum(axis=2) + 1e-12
+            freqs = np.fft.rfftfreq(self.frame, d=1.0 / self.rate)
+            centroid = (spec * freqs).sum(axis=2) / power
+            cum = np.cumsum(spec, axis=2)
+            roll_idx = (cum >= 0.85 * power[..., None]).argmax(axis=2)
+            rolloff = freqs[roll_idx]
+            per_frame = np.stack([rms, zcr, centroid, rolloff], axis=2)
+            feats = np.concatenate(
+                [per_frame.mean(axis=1), per_frame.std(axis=1)],
+                axis=1).astype(np.float32)
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "audio_feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), feats.shape[1]),
+        })
 
 
 class ImageDecodeStage:

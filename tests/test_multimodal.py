@@ -101,3 +101,127 @@ def test_decode_and_featurize_pipeline(ray_session):
     assert len(out) == 20
     assert set(out.columns) == {"url", "feature"}
     assert all(len(v) == 16 for v in out["feature"])
+
+
+# ------------------------------------------------------ audio (real codec)
+
+def _sine(freq=440.0, rate=8000, seconds=0.5):
+    t = np.arange(int(rate * seconds)) / rate
+    return np.sin(2 * np.pi * freq * t).astype(np.float32)
+
+
+def test_wav_roundtrip_16bit():
+    from rensa_ray.stages.multimodal import decode_wav, encode_wav
+
+    x = _sine()
+    payload = encode_wav(x, 8000)
+    y, rate = decode_wav(payload)
+    assert rate == 8000 and y.shape == (len(x), 1)
+    # |x|/32768 scale mismatch (32767 vs 32768) + 0.5 LSB rounding
+    np.testing.assert_allclose(y[:, 0], x, atol=1.6 / 32768)
+
+
+def test_wav_formats_and_chunk_walk():
+    from rensa_ray.stages.multimodal import decode_wav
+
+    def wav_bytes(fmt_code, bits, data, ch=1, rate=4000, extra_chunk=True):
+        fmt = (np.uint16(fmt_code).tobytes() + np.uint16(ch).tobytes()
+               + np.uint32(rate).tobytes()
+               + np.uint32(rate * ch * bits // 8).tobytes()
+               + np.uint16(ch * bits // 8).tobytes()
+               + np.uint16(bits).tobytes())
+        body = b"WAVE"
+        if extra_chunk:  # unknown odd-sized chunk must be skipped (+pad)
+            body += b"LIST" + np.uint32(3).tobytes() + b"abc\x00"
+        body += b"fmt " + np.uint32(len(fmt)).tobytes() + fmt
+        body += b"data" + np.uint32(len(data)).tobytes() + data
+        return b"RIFF" + np.uint32(len(body)).tobytes() + body
+
+    # u8: 128 is zero, 255 ~ +1
+    y, r = decode_wav(wav_bytes(1, 8, bytes([128, 255, 0])))
+    np.testing.assert_allclose(y[:, 0], [0.0, 127 / 128, -1.0], atol=1e-6)
+    # s32
+    d = np.array([0, 2**31 - 1, -(2**31)], "<i4").tobytes()
+    y, _ = decode_wav(wav_bytes(1, 32, d))
+    np.testing.assert_allclose(y[:, 0], [0.0, 1.0, -1.0], atol=1e-6)
+    # f32
+    d = np.array([0.25, -0.5], "<f4").tobytes()
+    y, _ = decode_wav(wav_bytes(3, 32, d))
+    np.testing.assert_allclose(y[:, 0], [0.25, -0.5])
+    # stereo s16 keeps channel layout
+    d = np.array([1000, -1000, 2000, -2000], "<i2").tobytes()
+    y, _ = decode_wav(wav_bytes(1, 16, d, ch=2))
+    assert y.shape == (2, 2)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav(b"nope")
+    with _pytest.raises(ValueError):
+        decode_wav(wav_bytes(1, 24, b"\x00" * 6))  # 24-bit unsupported
+
+
+def test_resample_linear_preserves_tone():
+    from rensa_ray.stages.multimodal import resample_linear
+
+    x = _sine(freq=100, rate=8000, seconds=1.0)
+    y = resample_linear(x, 8000, 4000)
+    assert len(y) == 4000
+    # zero-crossing count (~2*freq per second) is rate-invariant
+    zc = lambda a: int((np.diff(np.signbit(a)) != 0).sum())
+    assert abs(zc(y) - zc(x)) <= 2
+
+
+def test_audio_decode_stage_mixed_payloads(ray_session):
+    import ray.data as rd
+
+    from rensa_ray.stages.multimodal import AudioDecodeStage, encode_wav
+
+    wav_a = encode_wav(_sine(freq=440, rate=8000, seconds=2.0), 8000)  # long
+    wav_b = encode_wav(_sine(freq=200, rate=2000, seconds=0.25), 2000)  # short
+    t = pa.table({"url": ["a", "b", "junk"],
+                  "payload": pa.array([wav_a, wav_b, b"not audio"],
+                                      pa.binary())})
+    out = (rd.from_arrow(t)
+           .map_batches(AudioDecodeStage,
+                        fn_constructor_kwargs={"target_rate": 4000,
+                                               "target_seconds": 1.0},
+                        batch_format="pyarrow", batch_size=8, concurrency=1)
+           .to_pandas().set_index("url"))
+    assert out.loc["a", "is_real_decode"] and out.loc["b", "is_real_decode"]
+    assert not out.loc["junk", "is_real_decode"]
+    assert out.loc["a", "orig_rate"] == 8000 and out.loc["b", "orig_rate"] == 2000
+    a = np.array(out.loc["a", "audio"])  # truncated to 1s at 4kHz
+    b = np.array(out.loc["b", "audio"])
+    assert len(a) == 4000 and len(b) == 4000
+    assert (b[1005:] == 0).all()  # 0.25s clip → 1000 samples at 4kHz + pad
+    assert (np.abs(a) > 0).any()
+
+
+def test_audio_feature_stage_dsp(ray_session):
+    import ray.data as rd
+
+    from rensa_ray.stages.multimodal import (
+        AudioDecodeStage,
+        AudioFeatureStage,
+        encode_wav,
+    )
+
+    wav = encode_wav(_sine(freq=440, rate=4000, seconds=1.0), 4000)
+    dc = encode_wav(np.full(4000, 0.5, np.float32), 4000)
+    t = pa.table({"url": ["tone", "dc"],
+                  "payload": pa.array([wav, dc], pa.binary())})
+    ds = rd.from_arrow(t).map_batches(
+        AudioDecodeStage,
+        fn_constructor_kwargs={"target_rate": 4000, "target_seconds": 1.0},
+        batch_format="pyarrow", concurrency=1)
+    out = (ds.map_batches(AudioFeatureStage,
+                          fn_constructor_kwargs={"rate": 4000},
+                          batch_format="pyarrow", concurrency=1)
+           .to_pandas().set_index("url"))
+    tone = np.array(out.loc["tone", "audio_feature"])
+    flat = np.array(out.loc["dc", "audio_feature"])
+    assert tone.shape == (8,)
+    # mean ZCR of a 440 Hz tone at 4 kHz ~ 2*440/4000 = 0.22
+    assert abs(tone[1] - 0.22) < 0.03
+    # spectral centroid near the tone frequency; DC signal near 0 Hz
+    assert 350 < tone[2] < 550
+    assert flat[1] == 0.0 and flat[2] < 50
