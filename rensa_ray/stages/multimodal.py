@@ -77,6 +77,55 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy uncompressed 24/32-bit BMP decode → (H, W, 3) uint8 RGB.
+
+    Handles the standard BITMAPINFOHEADER layout: bottom-up (or top-down,
+    negative height) rows, BGR(A) byte order, rows padded to 4 bytes.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    raster = np.frombuffer(payload, np.uint8, count=stride * h,
+                           offset=data_off).reshape(h, stride)
+    px = raster[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB, drop alpha
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP bytes."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("BMP encoder wants RGB")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    raster = rows.tobytes()
+    header = (b"BM" + np.uint32(54 + len(raster)).tobytes() + b"\x00" * 4
+              + np.uint32(54).tobytes()
+              + np.uint32(40).tobytes()
+              + np.int32(w).tobytes() + np.int32(h).tobytes()
+              + np.uint16(1).tobytes() + np.uint16(24).tobytes()
+              + np.uint32(0).tobytes() + np.uint32(len(raster)).tobytes()
+              + b"\x00" * 16)
+    return header + raster
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 → binary PPM (P6) bytes."""
     h, w, c = img.shape
@@ -288,11 +337,17 @@ class ImageDecodeStage:
     def decode(self, payload: bytes) -> np.ndarray:
         if payload.startswith(b"P6"):
             img = decode_ppm(payload)
-            th, tw = self.target_hw
-            if img.shape[:2] != (th, tw):
-                img = resize_nearest(img, th, tw)
-            return img
-        return self.fallback(payload)
+        elif payload.startswith(b"BM"):
+            try:
+                img = decode_bmp(payload)
+            except ValueError:
+                return self.fallback(payload)
+        else:
+            return self.fallback(payload)
+        th, tw = self.target_hw
+        if img.shape[:2] != (th, tw):
+            img = resize_nearest(img, th, tw)
+        return img
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()

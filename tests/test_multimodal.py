@@ -225,3 +225,43 @@ def test_audio_feature_stage_dsp(ray_session):
     # spectral centroid near the tone frequency; DC signal near 0 Hz
     assert 350 < tone[2] < 550
     assert flat[1] == 0.0 and flat[2] < 50
+
+
+def test_bmp_roundtrip_and_layout():
+    from rensa_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), np.uint8)  # odd width → row padding
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    # 32-bit BGRA variant with top-down rows
+    h, w = 2, 3
+    px = rng.integers(0, 256, (h, w, 4), np.uint8)
+    raster = px.tobytes()
+    hdr = (b"BM" + np.uint32(54 + len(raster)).tobytes() + b"\x00" * 4
+           + np.uint32(54).tobytes() + np.uint32(40).tobytes()
+           + np.int32(w).tobytes() + np.int32(-h).tobytes()
+           + np.uint16(1).tobytes() + np.uint16(32).tobytes()
+           + np.uint32(0).tobytes() + np.uint32(len(raster)).tobytes()
+           + b"\x00" * 16)
+    out = decode_bmp(hdr + raster)
+    assert (out == px[:, :, 2::-1]).all()  # BGRA → RGB, rows kept top-down
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_bmp(b"BMbad")
+
+
+def test_image_stage_decodes_bmp(ray_session):
+    import ray.data as rd
+
+    from rensa_ray.stages.multimodal import ImageDecodeStage, encode_bmp
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    t = pa.table({"url": ["bmp"],
+                  "payload": pa.array([encode_bmp(img)], pa.binary())})
+    out = (rd.from_arrow(t)
+           .map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        concurrency=1)
+           .to_pandas())
+    got = np.array(out.loc[0, "image"]).reshape(8, 8, 3)
+    assert (got == img).all()
