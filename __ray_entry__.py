@@ -243,6 +243,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _fin(duplicate_flags_rho(_docs_ds(sf_dir), cfg),
                     pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
 
+    def near_dup_flags_against(sf_dir):
+        # cross-corpus lane: docs with doc_id % 7 == 0 act as the reference
+        # corpus; every other doc is flagged iff it near-dups a reference
+        # doc (scalar-LSH-parity pytest oracle; not SQL-expressible)
+        import numpy as np
+
+        from rensa_ray.pipelines.dedup import duplicate_flags_against
+
+        cfg = DedupConfig(num_parts=16, concurrency=None)
+
+        def _slice(rem_ok):
+            def _f(b):
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(rem_ok(ids % 7)))
+            return _f
+
+        new = _docs_ds(sf_dir).map_batches(_slice(lambda r: r != 0),
+                                           batch_format="pyarrow")
+        ref = _docs_ds(sf_dir).map_batches(_slice(lambda r: r == 0),
+                                           batch_format="pyarrow")
+        return _fin(duplicate_flags_against(new, ref, cfg),
+                    pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
+
     def minhash_clusters(sf_dir):
         cfg = DedupConfig(num_parts=16, concurrency=None)
         return _fin(near_dup_clusters(_docs_ds(sf_dir), cfg),
@@ -286,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": minhash_clusters,
         "minhash_clusters_verified": minhash_clusters_verified,
         "minhash_dup_pairs": minhash_dup_pairs,
+        "near_dup_flags_against": near_dup_flags_against,
         "minhash_dedup_kept": minhash_dedup_kept,
         "substring_dup_pairs": lambda sf: _fin(
             substring.substring_dup_pairs(sf, min_len=10),

@@ -296,6 +296,83 @@ def duplicate_flags(ds, cfg: DedupConfig, sig_ds=None):
     return partitionwise(all_ids.union(hit_ids), _merge, id_col, cfg.num_parts)
 
 
+def duplicate_flags_against(new_ds, ref_ds, cfg: DedupConfig):
+    """Cross-corpus near-dup flags: (id, is_dup) for every NEW doc, True iff
+    it shares an LSH band bucket with ANY reference-corpus doc.
+
+    New docs never flag each other — these are the semantics of querying an
+    LSH index prebuilt from the reference corpus
+    (``RMinHashLSH.insert_matrix`` + ``query_duplicate_flags_matrix``,
+    src/lsh/py.rs), re-expressed shuffle-native: both sides band-explode
+    with a side marker, one keyed shuffle on the bucket co-locates them, and
+    a bucket flags its new members iff a reference row is present.  Use it
+    for near-dup-level decontamination (train vs eval benchmarks) or
+    delta-dedup of a fresh crawl against an existing corpus.
+    """
+    id_col = cfg.id_col
+
+    def _mark(side: int):
+        def _m(b: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: b[id_col],
+                "band_id": b["band_id"],
+                "band_hash": b["band_hash"],
+                "__ref": pa.array(np.full(len(b), side, np.int8)),
+            })
+        return _m
+
+    # The ref side is materialized BEFORE the union: two live signer actor
+    # pools in one streaming DAG can reserve every CPU between them and
+    # starve the downstream tasks (the documented double-pool hazard —
+    # see duplicate_flags' comment).  The reference corpus is the small
+    # side by design (benchmarks / an existing index), so this is cheap
+    # and doubles as its checkpoint boundary.
+    ref_bands = band_table(compute_signatures(ref_ds, cfg), cfg).map_batches(
+        _mark(1), batch_format="pyarrow").materialize()
+    new_bands = band_table(compute_signatures(new_ds, cfg), cfg).map_batches(
+        _mark(0), batch_format="pyarrow")
+    both = new_bands.union(ref_bands)
+
+    def _collide(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return g.select([id_col])
+        bh = np_col(g, "band_hash").astype(np.uint64)
+        bid = np_col(g, "band_id").astype(np.int64)
+        ids = np_col(g, id_col)
+        is_ref = np_col(g, "__ref") > 0
+        order, gid, counts = run_ids(bh, bid)
+        has_ref = np.zeros(len(counts), np.int8)
+        np.maximum.at(has_ref, gid, is_ref[order].astype(np.int8))
+        hit = (has_ref[gid] > 0) & ~is_ref[order]
+        return pa.table({id_col: pa.array(np.unique(ids[order][hit]))})
+
+    flagged = partitionwise(both, _collide, "band_hash", cfg.num_parts)
+
+    all_ids = new_ds.select_columns([id_col]).map_batches(
+        lambda b: b.append_column("__f", pa.array(np.zeros(len(b), np.int8))),
+        batch_format="pyarrow")
+    hit_ids = flagged.map_batches(
+        lambda b: b.append_column("__f", pa.array(np.ones(len(b), np.int8))),
+        batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        ids = np_col(group, id_col)
+        f = np_col(group, "__f")
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array(ids),
+                             "is_dup": pa.array([], pa.bool_())})
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        flag = np.zeros(len(counts), dtype=np.int8)
+        np.maximum.at(flag, gid, f[order])
+        first = np.zeros(len(gid), dtype=bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        return pa.table({id_col: pa.array(ids[order][first]),
+                         "is_dup": pa.array(flag > 0)})
+
+    return partitionwise(all_ids.union(hit_ids), _merge, id_col, cfg.num_parts)
+
+
 def duplicate_flags_oph_rescued(ds, cfg: DedupConfig):
     """OPH fast-path duplicate flags with the sparse-row ≥2-band rule — the
     analogue of the reference's rho one-shot recall/precision extensions

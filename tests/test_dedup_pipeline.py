@@ -284,3 +284,53 @@ def test_near_dup_pairs_connectivity(ray_session):
     paired = set(pairs.id_a) | set(pairs.id_b)
     lonely = clusters[~clusters.doc_id.isin(paired)]
     assert (lonely.doc_id == lonely.cluster_id).all()
+
+
+def test_duplicate_flags_against_matches_lsh_query(ray_session):
+    """Cross-corpus flags == querying an LSH index prebuilt from the
+    reference corpus (insert_matrix + query_duplicate_flags_matrix), and
+    new-vs-new duplicates must NOT flag."""
+    import ray.data as rd
+
+    from rensa_ray.kernels.shingle import tokenize_to_ngrams
+    from rensa_ray.pipelines.dedup import duplicate_flags_against
+    from rensa_ray.state.lsh import RMinHashLSH
+    from rensa_ray.state.minhash import RMinHash
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    ref_docs = [" ".join(rng.choice(vocab, rng.integers(15, 50)))
+                for _ in range(60)]
+    new_docs = [" ".join(rng.choice(vocab, rng.integers(15, 50)))
+                for _ in range(60)]
+    new_docs[5] = ref_docs[10]          # exact copy of a ref doc
+    w = ref_docs[20].split()
+    w[0] = "changed"
+    new_docs[17] = " ".join(w)          # near-dup of a ref doc
+    new_docs[40] = new_docs[33]         # new-vs-new duplicate: must NOT flag
+
+    def _ds(docs, start):
+        t = pa.table({"doc_id": pa.array(np.arange(start, start + len(docs)),
+                                         pa.int64()),
+                      "text": pa.array(docs)})
+        return rd.from_arrow(t).repartition(3)
+
+    got = (duplicate_flags_against(_ds(new_docs, 0), _ds(ref_docs, 1000), CFG)
+           .to_pandas().sort_values("doc_id"))
+    assert len(got) == len(new_docs)
+
+    # scalar oracle: LSH index of the reference, matrix query of the new side
+    ref_mat = RMinHash.digest_matrix_from_token_sets(
+        [tokenize_to_ngrams(t, CFG.ngram_size) for t in ref_docs],
+        CFG.num_perm, CFG.seed)
+    new_mat = RMinHash.digest_matrix_from_token_sets(
+        [tokenize_to_ngrams(t, CFG.ngram_size) for t in new_docs],
+        CFG.num_perm, CFG.seed)
+    lsh = RMinHashLSH(CFG.threshold, CFG.num_perm, CFG.num_bands)
+    lsh.insert_matrix(list(range(1000, 1000 + len(ref_docs))), ref_mat)
+    want = lsh.query_duplicate_flags_matrix(new_mat)
+
+    assert got["is_dup"].tolist() == want
+    flagged = set(got[got.is_dup]["doc_id"])
+    assert {5, 17} <= flagged           # planted cross-corpus dups caught
+    assert 40 not in flagged and 33 not in flagged  # new-vs-new ignored
