@@ -416,6 +416,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pa.schema([("doc_id", I64), ("is_contaminated", BOOL)])),
         "incremental_dedup": _incremental_dedup_query,
         "incremental_dedup_bloom": _incremental_dedup_bloom_query,
+        "chunk_documents": lambda sf: _fin(
+            textops.chunk_documents(sf),
+            pa.schema([("doc_id", I64), ("chunk_id", I64),
+                       ("chunk_text", STR), ("n_tokens", I64)])),
         "pack_sequences": lambda sf: _fin(
             __import__("rensa_ray.pipelines.pack", fromlist=["pack_sequences"])
             .pack_sequences(sf, capacity=2048),
@@ -731,6 +735,26 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t1, '\+?[0-9][0-9() .-]{6,}[0-9]'))
                        ::BIGINT AS n_phones
             FROM e""",
+        # stride = 48 (max_tokens 64, overlap 16); chunk count =
+        # ceil(max(n-16, 1) / 48); chunk i = tokens [i*48, min(i*48+64, n))
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            c AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(0,
+                         CAST(ceil(GREATEST(len(w) - 16, 1) / 48.0) AS BIGINT)
+                             - 1)) AS chunk_id
+              FROM t)
+            SELECT doc_id, chunk_id,
+                   array_to_string(
+                       w[chunk_id * 48 + 1 :
+                         LEAST(chunk_id * 48 + 64, len(w))], ' ')
+                       AS chunk_text,
+                   LEAST(chunk_id * 48 + 64, len(w)) - chunk_id * 48
+                       AS n_tokens
+            FROM c""",
         "doc_tfidf": r"""
             WITH w AS (
               SELECT doc_id,

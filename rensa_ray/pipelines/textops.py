@@ -406,6 +406,50 @@ def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
     return ds.map_batches(_flag, batch_format="pyarrow")
 
 
+def chunk_documents(sf_dir: str, max_tokens: int = 64, overlap: int = 16):
+    """Split documents into overlapping fixed-token-window chunks —
+    the standard context-window prep for training/embedding pipelines.
+
+    Chunk i of a doc covers whitespace tokens
+    ``[i*stride, min(i*stride + max_tokens, n))`` with
+    ``stride = max_tokens - overlap``; a doc emits
+    ``ceil(max(n - overlap, 1) / stride)`` chunks, so no chunk starts inside
+    the previous chunk's tail overlap.  Pure per-row map (flat_map layout,
+    no shuffle); chunk text is single-space-normalized so both sides of the
+    oracle agree byte-for-byte.
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _chunks(b: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        cid_out: list[int] = []
+        txt_out: list[str] = []
+        ntok_out: list[int] = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = ("" if t is None else t).split()
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = -(-max(n - overlap, 1) // stride)
+            for i in range(n_chunks):
+                a, z = i * stride, min(i * stride + max_tokens, n)
+                ids_out.append(did)
+                cid_out.append(i)
+                txt_out.append(" ".join(toks[a:z]))
+                ntok_out.append(z - a)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "chunk_id": pa.array(cid_out, pa.int64()),
+                         "chunk_text": pa.array(txt_out, pa.string()),
+                         "n_tokens": pa.array(ntok_out, pa.int64())})
+
+    return ds.map_batches(_chunks, batch_format="pyarrow")
+
+
 def approx_distinct_tokens(sf_dir: str, p: int = 14):
     """Approximate distinct whitespace-token count via HyperLogLog —
     the shuffle-free sketch lane beside the exact ``distinct_token_count``

@@ -334,3 +334,18 @@ def test_duplicate_flags_against_matches_lsh_query(ray_session):
     flagged = set(got[got.is_dup]["doc_id"])
     assert {5, 17} <= flagged           # planted cross-corpus dups caught
     assert 40 not in flagged and 33 not in flagged  # new-vs-new ignored
+
+
+def test_flags_invariant_to_input_partitioning(ray_session, corpus_and_oracle):
+    """Identical output whatever the input block structure — no
+    arrival-order or per-block state leaks into the distributed result."""
+    import ray.data as rd
+
+    docs, flags, _, _ = corpus_and_oracle
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = (duplicate_flags(ds, CFG)
+               .to_pandas().sort_values("doc_id"))
+        assert out["is_dup"].tolist() == flags, f"nblocks={nblocks}"

@@ -556,3 +556,48 @@ def test_events_range_join_planted(ray_session):
     assert pairs == [(2, 0), (2, 1)]
     gaps = dict(zip(pairs, out["gap_seconds"]))
     assert gaps[(2, 0)] == 3600.0 and gaps[(2, 1)] == 1800.0
+
+
+def test_chunk_documents_oracle(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import chunk_documents
+
+    assert_matches_sql(chunk_documents(SF_DIR),
+                       entry.oracle_sql()["chunk_documents"])
+
+
+def test_chunk_documents_planted(ray_session):
+    """Window/overlap arithmetic: chunks tile the doc, each chunk repeats
+    the previous chunk's last `overlap` tokens, short docs emit one chunk."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from rensa_ray.pipelines import textops
+
+    long_doc = " ".join(f"t{i}" for i in range(100))
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": [long_doc, "a b c", "   "]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = (_to_table(textops.chunk_documents(d, max_tokens=10, overlap=4))
+               .to_pandas())
+    g = out[out.doc_id == 0].sort_values("chunk_id")
+    # stride 6; chunks = ceil(max(100-4,1)/6) = 16
+    assert g.chunk_id.tolist() == list(range(16))
+    assert g.n_tokens.iloc[0] == 10 and g.n_tokens.iloc[-1] == 100 - 15 * 6
+    toks0 = g.chunk_text.iloc[0].split()
+    toks1 = g.chunk_text.iloc[1].split()
+    assert toks0[6:] == toks1[:4]                       # overlap repeats
+    # tiling: chunk starts every stride tokens
+    assert toks1[0] == "t6"
+    # reassembly: first chunk + each chunk's tail after overlap = the doc
+    rebuilt = toks0 + sum((c.split()[4:] for c in g.chunk_text.iloc[1:]), [])
+    assert rebuilt == long_doc.split()
+    short = out[out.doc_id == 1]
+    assert len(short) == 1 and short.n_tokens.iloc[0] == 3
+    assert (out.doc_id != 2).all()                       # blank doc: no chunks
+    with _pytest.raises(ValueError):
+        textops.chunk_documents(SF_DIR, max_tokens=8, overlap=8)
