@@ -364,6 +364,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_longest": lambda sf: _fin(
             textops.top_longest(sf),
             pa.schema([("doc_id", I64), ("n_chars", I64)])),
+        "top_docs_per_lang": lambda sf: _fin(
+            textops.top_docs_per_lang(sf),
+            pa.schema([("lang", STR), ("doc_id", I64), ("n_chars", I64),
+                       ("rank", I64)])),
+        "length_percentiles": lambda sf: _fin(
+            textops.length_percentiles(sf),
+            pa.schema([("p25", F64), ("p50", F64), ("p75", F64),
+                       ("p99", F64)])),
         "length_histogram": lambda sf: _fin(
             textops.length_histogram(sf),
             pa.schema([("bucket_lo", I64), ("n_docs", I64)])),
@@ -735,6 +743,20 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t1, '\+?[0-9][0-9() .-]{6,}[0-9]'))
                        ::BIGINT AS n_phones
             FROM e""",
+        "top_docs_per_lang": """
+            WITH r AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents)
+            SELECT lang, doc_id, n_chars, rank::BIGINT AS rank
+            FROM r WHERE rank <= 3""",
+        "length_percentiles": """
+            SELECT quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.50) AS p50,
+                   quantile_cont(n_chars, 0.75) AS p75,
+                   quantile_cont(n_chars, 0.99) AS p99
+            FROM documents""",
         # stride = 48 (max_tokens 64, overlap 16); chunk count =
         # ceil(max(n-16, 1) / 48); chunk i = tokens [i*48, min(i*48+64, n))
         "chunk_documents": r"""

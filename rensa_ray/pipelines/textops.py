@@ -406,6 +406,83 @@ def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
     return ds.map_batches(_flag, batch_format="pyarrow")
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 3, num_parts: int = DEFAULT_PARTS):
+    """Group-wise top-k: the k longest docs per language, ranked.
+
+    One keyed shuffle on lang; inside each partition a single lexsort by
+    (lang, -n_chars, doc_id) plus a run-position mask picks the top k —
+    no per-group Python, deterministic ties (doc_id ascending).
+    Output: (lang, doc_id, n_chars, rank).
+    """
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        key = fxhash64_bytes_list(
+            [("" if v is None else v).encode() for v in b["lang"].to_pylist()])
+        return b.append_column("__key", pa.array(key, pa.uint64()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+
+    def _topk(g: pa.Table) -> pa.Table:
+        ids = np_col(g, "doc_id").astype(np.int64)
+        nch = np_col(g, "n_chars").astype(np.int64)
+        lang_key = np_col(g, "__key").astype(np.uint64)
+        order = np.lexsort((ids, -nch, lang_key))
+        lk = lang_key[order]
+        new_grp = np.ones(len(lk), dtype=bool)
+        new_grp[1:] = lk[1:] != lk[:-1]
+        # rank = position within the group's sorted run
+        grp_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(lk)), 0))
+        rank = np.arange(len(lk)) - grp_start + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table({"lang": g["lang"].take(pa.array(sel, pa.int64())),
+                         "doc_id": pa.array(ids[sel]),
+                         "n_chars": pa.array(nch[sel]),
+                         "rank": pa.array(rank[keep].astype(np.int64))})
+
+    return partitionwise(keyed, _topk, "__key", num_parts)
+
+
+def length_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.99)):
+    """Exact corpus-wide percentiles of n_chars, computed distributively.
+
+    Each block emits its (value, count) histogram (bounded by the distinct
+    value count, not the row count); the driver merges the tiny histograms
+    and evaluates the interpolated order statistics — DuckDB
+    ``quantile_cont`` semantics, exact, with no global sort of the data.
+    Output: one row (p25, p50, p75, p99).
+    """
+    ds = _docs(sf_dir, ["n_chars"])
+
+    def _hist(b: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(b, "n_chars").aggregate([("n_chars", "count")])
+        return agg.rename_columns(["value", "cnt"])
+
+    merged: dict[int, int] = {}
+    for blk in (ds.map_batches(_hist, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for v, c in zip(np_col(blk, "value"), np_col(blk, "cnt")):
+            merged[int(v)] = merged.get(int(v), 0) + int(c)
+    values = np.array(sorted(merged), dtype=np.float64)
+    counts = np.array([merged[int(v)] for v in values], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def _q(q: float) -> float:
+        # quantile_cont: linear interpolation at h = (n-1)*q between
+        # order statistics x_{floor(h)} and x_{floor(h)+1} (0-indexed)
+        h = (n - 1) * q
+        lo_i, frac = int(np.floor(h)), h - np.floor(h)
+        x_lo = values[np.searchsorted(cum, lo_i + 1)]
+        x_hi = values[np.searchsorted(cum, min(lo_i + 2, n))]
+        return float(x_lo + frac * (x_hi - x_lo))
+
+    cols = {f"p{int(q * 100)}": pa.array([_q(q)], pa.float64()) for q in qs}
+    return pa.table(cols)
+
+
 def chunk_documents(sf_dir: str, max_tokens: int = 64, overlap: int = 16):
     """Split documents into overlapping fixed-token-window chunks —
     the standard context-window prep for training/embedding pipelines.

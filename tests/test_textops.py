@@ -601,3 +601,36 @@ def test_chunk_documents_planted(ray_session):
     assert (out.doc_id != 2).all()                       # blank doc: no chunks
     with _pytest.raises(ValueError):
         textops.chunk_documents(SF_DIR, max_tokens=8, overlap=8)
+
+
+def test_top_docs_per_lang_oracle(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import top_docs_per_lang
+
+    assert_matches_sql(top_docs_per_lang(SF_DIR),
+                       entry.oracle_sql()["top_docs_per_lang"])
+
+
+def test_length_percentiles_oracle_and_interpolation(ray_session):
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import length_percentiles
+
+    assert_matches_sql(length_percentiles(SF_DIR),
+                       entry.oracle_sql()["length_percentiles"])
+    # planted interpolation check: values 10,20,30,40 → p50 = 25.0
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines import textops
+
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": ["x"] * 4,
+                  "n_chars": pa.array([10, 20, 30, 40], pa.int64())})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = textops.length_percentiles(d).to_pandas()
+    assert out.loc[0, "p50"] == 25.0
+    assert np.isclose(out.loc[0, "p25"], 10 + 0.75 * 10)   # h = 0.75
+    assert np.isclose(out.loc[0, "p99"], 30 + 0.97 * 10)   # h = 2.97
