@@ -405,6 +405,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textops.doc_tfidf(sf),
             pa.schema([("doc_id", I64), ("token", STR), ("tf", I64),
                        ("tfidf", F64)])),
+        # zlib is not expressible in DuckDB — rows-only; semantics pinned by
+        # the planted pytest (repetitive vs prose vs empty docs)
+        "doc_compression_ratio": lambda sf: _fin(
+            textops.doc_compression_ratio(sf),
+            pa.schema([("doc_id", I64), ("raw_bytes", I64),
+                       ("compression_ratio", F64)])),
         "doc_repetition_stats": lambda sf: _fin(
             textops.doc_repetition_stats(sf),
             pa.schema([("doc_id", I64), ("dup_word_frac", F64),

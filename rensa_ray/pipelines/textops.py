@@ -406,6 +406,33 @@ def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
     return ds.map_batches(_flag, batch_format="pyarrow")
 
 
+def doc_compression_ratio(sf_dir: str, level: int = 6):
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the classic
+    cheap repetitiveness signal for web-corpus filtering: machine-generated
+    or boilerplate pages compress far below prose, so a low ratio (or an
+    extreme high one on binary junk) gates the doc out.  Pure map, no
+    shuffle; the loop is zlib C time, not Python.  Ratio is 0.0 for empty
+    docs.  Output: (doc_id, raw_bytes, compression_ratio).
+    """
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _ratio(b: pa.Table) -> pa.Table:
+        raws = [("" if t is None else t).encode("utf-8")
+                for t in b["text"].to_pylist()]
+        sizes = np.array([len(r) for r in raws], np.int64)
+        comp = np.array([len(zlib.compress(r, level)) if r else 0
+                         for r in raws], np.int64)
+        ratio = np.divide(comp, sizes, out=np.zeros(len(raws)),
+                          where=sizes > 0)
+        return pa.table({"doc_id": b["doc_id"],
+                         "raw_bytes": pa.array(sizes),
+                         "compression_ratio": pa.array(ratio, pa.float64())})
+
+    return ds.map_batches(_ratio, batch_format="pyarrow")
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3, num_parts: int = DEFAULT_PARTS):
     """Group-wise top-k: the k longest docs per language, ranked.
 

@@ -265,3 +265,24 @@ def test_image_stage_decodes_bmp(ray_session):
            .to_pandas())
     got = np.array(out.loc[0, "image"]).reshape(8, 8, 3)
     assert (got == img).all()
+
+
+def test_wav_roundtrip_property():
+    """Property: any float32 signal in [-1, 1] survives 16-bit WAV encode →
+    decode within quantization error, at any rate/shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rensa_ray.stages.multimodal import decode_wav, encode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.floats(min_value=-1.0, max_value=1.0, width=32),
+                    min_size=1, max_size=300),
+           st.sampled_from([1000, 8000, 44100]))
+    def _roundtrip(vals, rate):
+        x = np.array(vals, np.float32)
+        y, r = decode_wav(encode_wav(x, rate))
+        assert r == rate and y.shape == (len(x), 1)
+        np.testing.assert_allclose(y[:, 0], x, atol=1.6 / 32768)
+
+    _roundtrip()

@@ -634,3 +634,28 @@ def test_length_percentiles_oracle_and_interpolation(ray_session):
     assert out.loc[0, "p50"] == 25.0
     assert np.isclose(out.loc[0, "p25"], 10 + 0.75 * 10)   # h = 0.75
     assert np.isclose(out.loc[0, "p99"], 30 + 0.97 * 10)   # h = 2.97
+
+
+def test_doc_compression_ratio(ray_session):
+    """Repetitive text compresses far below prose; empties give 0; ratios
+    positive and bounded for real docs."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines import textops
+
+    rng = np.random.default_rng(12)
+    prose = " ".join(f"w{v}" for v in rng.integers(0, 5000, 400))
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["spam ham " * 200, prose, ""]})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = (_to_table(textops.doc_compression_ratio(d))
+               .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "compression_ratio"] < 0.05      # boilerplate
+    assert out.loc[1, "compression_ratio"] > 0.3       # high-entropy prose
+    assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
+    assert out.loc[2, "compression_ratio"] == 0.0 and out.loc[2, "raw_bytes"] == 0
+    assert out.loc[1, "raw_bytes"] == len(prose.encode())
