@@ -846,7 +846,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, l.ts,
                    r.event_id AS prior_event_id, r.value AS prior_value
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+            ASOF LEFT JOIN (
+              -- dedupe equal-(user, ts) right rows to the max event_id: the
+              -- Ray lane pins the same deterministic tie-break, where plain
+              -- ASOF JOIN's pick among equal-timestamp matches is unspecified
+              SELECT user_id, ts, max(event_id) AS event_id,
+                     arg_max(value, event_id) AS value
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts) r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "user_sessions": """
             WITH o AS (

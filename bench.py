@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 WEB_DOCS = int(os.environ.get("RENSA_BENCH_WEB_DOCS", "50000"))
+# this host shows ~6x per-query wall-time variance between invisible
+# host-state windows (BASELINE.md first-touch-fault evidence); a single
+# trial can misrepresent the engine in either direction, so every reported
+# number is the MEDIAN of >=TRIALS timed runs after one untimed warm-up,
+# and the min/max spread is emitted beside it
+TRIALS = max(1, int(os.environ.get("RENSA_BENCH_TRIALS", "3")))
 # scaling runs need enough parallel work that fixed per-stage overheads
 # (actor-pool spin-up, checkpoint round-trips, driver CC) don't dominate
 SCALE_DOCS = int(os.environ.get("RENSA_BENCH_SCALE_DOCS", "6000000"))
@@ -100,6 +106,12 @@ def _flagship_webdedup(num_cpus: int, n_docs: int) -> dict:
             "stages": {k: v["wall_sec"] for k, v in manifest["stages"].items()}}
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
 def run_suite() -> dict:
     _init_ray(NUM_CPUS)
     import __ray_entry__ as mod
@@ -118,19 +130,30 @@ def run_suite() -> dict:
         "doc_repetition_stats", "pack_sequences", "rho_dup_flags",
     ]
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in headline:
-        t0 = time.time()
-        qfns[name](SF_DIR)
-        times[name] = round(time.time() - t0, 3)
+        qfns[name](SF_DIR)  # untimed warm-up (page cache, actor spin-up)
+        trials = []
+        for _ in range(TRIALS):
+            t0 = time.time()
+            qfns[name](SF_DIR)
+            trials.append(round(time.time() - t0, 3))
+        times[name] = round(_median(trials), 3)
+        spread[name] = [min(trials), max(trials)]
 
-    web = _flagship_webdedup(NUM_CPUS, WEB_DOCS)
+    _flagship_webdedup(NUM_CPUS, WEB_DOCS)  # untimed warm-up
+    webs = [_flagship_webdedup(NUM_CPUS, WEB_DOCS) for _ in range(TRIALS)]
+    web = sorted(webs, key=lambda w: w["sec"])[len(webs) // 2]
     times["webcorpus_dedup"] = web["sec"]
+    spread["webcorpus_dedup"] = [min(w["sec"] for w in webs),
+                                 max(w["sec"] for w in webs)]
 
     total = round(sum(times.values()), 3)
     return {
         "metric": "dedup+ops suite wall time (flagship: 50k-doc web corpus near-dup dedup)",
         "value": total, "unit": "sec", "queries": times,
         "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "trials_per_query": TRIALS, "query_spread_sec": spread,
         "web_docs": WEB_DOCS, "web_docs_per_sec": web["docs_per_sec"],
         "web_stage_sec": web["stages"],
     }

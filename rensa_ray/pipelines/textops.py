@@ -496,6 +496,11 @@ def length_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.99)):
     counts = np.array([merged[int(v)] for v in values], dtype=np.int64)
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        # empty input: one row of nulls (quantiles of nothing), matching
+        # DuckDB's quantile_cont over zero rows
+        return pa.table({f"p{int(q * 100)}": pa.array([None], pa.float64())
+                         for q in qs})
 
     def _q(q: float) -> float:
         # quantile_cont: linear interpolation at h = (n-1)*q between
@@ -621,8 +626,13 @@ def events_asof_join(sf_dir: str, left_type: str = "purchase",
         eid = np_col(g, "event_id").astype(np.int64)
         val = np_col(g, "value").astype(np.float64)
         n = len(users)
-        # right rows sort before left rows at equal (user, ts): ties count
-        order = np.lexsort((is_left, ts, users))
+        # right rows sort before left rows at equal (user, ts): ties count.
+        # event_id is the innermost key so duplicate (user, ts) right rows
+        # break ties DETERMINISTICALLY: the forward-fill picks the max
+        # event_id among them (DuckDB ASOF leaves this unspecified — the
+        # oracle dedupes its right side per (user, ts) with arg_max to the
+        # same rule)
+        order = np.lexsort((eid, is_left, ts, users))
         tag = is_left[order]
         # forward-fill the SORT POSITION of the latest right row seen
         fill = np.maximum.accumulate(
@@ -688,24 +698,32 @@ def events_range_join(sf_dir: str, left_type: str = "purchase",
                           "gap_seconds": pa.array([], pa.float64())})
         if len(users) == 0 or not is_left.any() or is_left.all():
             return empty
-        # composite uint key (user, ts): user in high bits, us-ts offset low
-        # (2^48 us ≈ 8.9 years of span; user_id < 2^16 per partition —
-        # re-key with wider fields for larger id spaces)
-        t0 = ts.min()
-        shift = np.uint64(48)
-        key = (users.astype(np.uint64) << shift) | (ts - t0).astype(np.uint64)
-        l_eid, l_key, l_ts = eid[is_left], key[is_left], ts[is_left]
-        # window lower bound, clamped at the user's key base (no underflow
-        # into the previous user's range)
-        l_off = l_key & ((np.uint64(1) << shift) - np.uint64(1))
-        lo_key = l_key - np.minimum(l_off, np.uint64(win_us))
+        # RANK-based composite key (user_rank, ts_rank): both sides' ts are
+        # ranked over the union of right timestamps and the query bounds, so
+        # the composite stays < n_users * (3n + 1) — fits int64 for ANY
+        # user-id space and time span (the previous user<<48 packing silently
+        # collided user ids >= 2^16)
         r = ~is_left
-        r_order = np.argsort(key[r], kind="stable")
-        r_eid = eid[r][r_order]
-        r_key = key[r][r_order]
+        r_order = np.lexsort((ts[r], users[r]))
+        r_users = users[r][r_order]
         r_ts = ts[r][r_order]
-        lo = np.searchsorted(r_key, lo_key, side="left")
-        hi = np.searchsorted(r_key, l_key, side="right")
+        r_eid = eid[r][r_order]
+        l_users, l_ts, l_eid = users[is_left], ts[is_left], eid[is_left]
+        lo_ts = l_ts - win_us
+        uniq_ts = np.unique(np.concatenate([r_ts, lo_ts, l_ts]))
+        uniq_u = np.unique(users)
+        M = np.int64(len(uniq_ts) + 1)
+        if len(uniq_u) * M >= np.iinfo(np.int64).max:  # ~1.7e9-row partition
+            raise ValueError("events_range_join partition too large for the "
+                             "rank composite — raise num_parts")
+        r_key = (np.searchsorted(uniq_u, r_users).astype(np.int64) * M
+                 + np.searchsorted(uniq_ts, r_ts))
+        l_urank = np.searchsorted(uniq_u, l_users).astype(np.int64) * M
+        # window [l.ts - win, l.ts], both ends inclusive
+        lo = np.searchsorted(r_key, l_urank + np.searchsorted(uniq_ts, lo_ts),
+                             side="left")
+        hi = np.searchsorted(r_key, l_urank + np.searchsorted(uniq_ts, l_ts),
+                             side="right")
         cnt = hi - lo
         out_left = np.repeat(np.arange(len(l_eid)), cnt)
         # ragged [lo_i, hi_i) ranges flattened

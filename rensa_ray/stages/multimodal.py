@@ -172,6 +172,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     bits = int.from_bytes(fmt[14:16], "little")
     if channels < 1:
         raise ValueError("invalid channel count")
+    if rate <= 0:
+        # a zero rate would later ZeroDivisionError in resample_linear
+        # OUTSIDE the stage's ValueError fallback, killing the whole batch
+        raise ValueError("invalid sample rate")
     if audio_format == 3 and bits == 32:
         x = np.frombuffer(data, "<f4").astype(np.float32)
     elif audio_format == 1 and bits == 16:

@@ -261,6 +261,10 @@ def incremental_dedup_exact_bloom(new_ds, bloom_path: str,
         parent = os.path.dirname(bloom_path)
         if parent:
             os.makedirs(parent, exist_ok=True)
-        with open(bloom_path, "wb") as f:
+        # atomic sidecar update: a crash mid-write must not leave a
+        # truncated file that from_bytes rejects, bricking the lane
+        tmp_path = bloom_path + f".tmp.{os.getpid()}"
+        with open(tmp_path, "wb") as f:
             f.write(bloom.to_bytes())
+        os.replace(tmp_path, bloom_path)
     return out.select_columns([id_col, "is_dup"])

@@ -157,6 +157,10 @@ def test_wav_formats_and_chunk_walk():
         decode_wav(b"nope")
     with _pytest.raises(ValueError):
         decode_wav(wav_bytes(1, 24, b"\x00" * 6))  # 24-bit unsupported
+    with _pytest.raises(ValueError):
+        # rate 0 must be a ValueError here, NOT a ZeroDivisionError later in
+        # resample_linear outside the stage's fallback
+        decode_wav(wav_bytes(1, 16, b"\x00\x00", rate=0))
 
 
 def test_resample_linear_preserves_tone():

@@ -659,3 +659,90 @@ def test_doc_compression_ratio(ray_session):
     assert out.loc[0, "compression_ratio"] < out.loc[1, "compression_ratio"]
     assert out.loc[2, "compression_ratio"] == 0.0 and out.loc[2, "raw_bytes"] == 0
     assert out.loc[1, "raw_bytes"] == len(prose.encode())
+
+def test_events_range_join_wide_user_ids(ray_session):
+    """user_id >= 2^16 must not collide key ranges (the old packed composite
+    silently merged users 0 and 65536); rank-based keys handle any id space."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines import textops
+
+    # user A = 0, user B = 2^16: under the old (user << 48) packing, B's key
+    # range aliased A's at matching ts offsets
+    ts = pd.to_datetime(
+        ["2024-01-01 00:30:00",   # 0: A click (inside A's window)
+         "2024-01-01 01:00:00",   # 1: A purchase
+         "2024-01-01 00:40:00",   # 2: B click (inside B's window only)
+         "2024-01-01 01:00:00"])  # 3: B purchase
+    t = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([0, 0, 1 << 16, 1 << 16], pa.int64()),
+        "event_type": ["click", "purchase", "click", "purchase"],
+        "value": pa.array([0.0] * 4, pa.float64()),
+        "props": ["{}"] * 4})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (_to_table(textops.events_range_join(d, num_parts=1))
+               .to_pandas().sort_values(["event_id", "match_event_id"]))
+    assert list(zip(out["event_id"], out["match_event_id"])) == [(1, 0), (3, 2)]
+
+
+def test_events_asof_join_tie_break_is_max_event_id(ray_session):
+    """Duplicate (user, ts) right rows: the pinned deterministic tie-break is
+    max event_id, matching the oracle's arg_max dedup (plain DuckDB ASOF
+    leaves the equal-ts pick unspecified)."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines import textops
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:00",  # u1 ties (clicks)
+         "2024-01-01 00:00:00",                          # u1 third tie
+         "2024-01-01 00:00:05"])                         # u1 purchase
+    t = pa.table({
+        "event_id": pa.array([7, 3, 5, 9], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": ["click", "click", "click", "purchase"],
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "props": ["{}"] * 4})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (_to_table(textops.events_asof_join(d, num_parts=1))
+               .to_pandas().set_index("event_id"))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{d}/events.parquet')")
+        want = con.execute(entry.oracle_sql()["events_asof_join"]).df()
+    assert out.loc[9, "prior_event_id"] == 7            # max event_id of ties
+    assert out.loc[9, "prior_value"] == 1.0             # that same row's value
+    assert int(want.loc[0, "prior_event_id"]) == 7      # oracle agrees
+
+
+def test_length_percentiles_empty_input(ray_session):
+    """Zero-row documents table: one row of nulls, not an IndexError."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines import textops
+
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "n_chars": pa.array([], pa.int64())})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = textops.length_percentiles(d).to_pandas()
+    assert len(out) == 1
+    assert out.isna().all(axis=None)
