@@ -210,6 +210,53 @@ def band_table(sig_ds, cfg: DedupConfig, include_sig: bool = False):
                               batch_size=None)
 
 
+def _compact_bands_and_count(sig_ds, cfg: DedupConfig):
+    """Materialize the slim per-doc band-hash columns ONCE, then derive BOTH
+    the live band table and a sample-before-explode count pass from it.
+
+    The checkpoint-less analogue of the flagship's count trick
+    (webdedup.py: the signature checkpoint is re-read and row-sampled BEFORE
+    band explosion).  Here the materialized unit is (id, bh0..bh{B-1}) —
+    ~72 B/doc at 8 bands versus ~160 B/doc for the exploded band table the
+    old path pinned, and the signer still executes exactly once (both
+    consumers re-derive from the materialized compact blocks, never from
+    the signer stage).  Returns (band_ds, count_ds, count_pre_shift).
+    """
+    cols = [cfg.id_col] + [f"bh{b}" for b in range(cfg.num_bands)]
+    compact = (with_band_columns(sig_ds, cfg)
+               .select_columns(cols).materialize())
+    bands = band_table_from_columns(compact, cfg)
+    shift = cfg.salt_sample_shift
+    if shift > 0:
+        id_col = cfg.id_col
+        sh = np.uint64(64 - shift)
+
+        def _sample_rows(b: pa.Table) -> pa.Table:
+            ids = np_col(b, id_col).astype(np.uint64)
+            keep = ((ids * _SALT_MIX) >> sh) == 0
+            return b.filter(pa.array(keep))
+
+        sampled = compact.map_batches(_sample_rows, batch_format="pyarrow",
+                                      batch_size=None)
+    else:
+        sampled = compact
+    return bands, band_table_from_columns(sampled, cfg), shift
+
+
+def _edges_from_sigs(sig_ds, cfg: DedupConfig):
+    """Candidate edges with the scale-correct count pass for each mode:
+    verify runs band tables with signatures (plain path), auto-salt runs
+    route the hot-bucket count through the compact materialize."""
+    if cfg.verify:
+        return candidate_edges(band_table(sig_ds, cfg, include_sig=True),
+                               cfg, with_sig=True)
+    if cfg.num_salts == 0:
+        bands, count_ds, pre_shift = _compact_bands_and_count(sig_ds, cfg)
+        return candidate_edges(bands, cfg, count_ds=count_ds,
+                               count_pre_shift=pre_shift)
+    return candidate_edges(band_table(sig_ds, cfg), cfg)
+
+
 def flagged_doc_ids(band_ds, cfg: DedupConfig):
     """Distinct doc ids sharing any (band_id, band_hash) bucket (L6 parity)."""
     id_col = cfg.id_col
@@ -243,14 +290,20 @@ def duplicate_flags(ds, cfg: DedupConfig, sig_ds=None):
     if sig_ds is None:
         sig_ds = compute_signatures(ds, cfg)
     id_col = cfg.id_col
-    bands = band_table(sig_ds, cfg)
     hot_keys = None
     if cfg.num_salts == 0:
-        bands = bands.materialize()  # consumed by count pass + flag path
-        keys, _salts, sampled = _detect_hot_buckets(bands, cfg)
+        # compact (id, bh*) materialize, NOT the exploded band table: count
+        # pass and flag path both re-derive bands from the compact blocks
+        # (sampled>=2 still PROVES true bucket size >= 2 — sampling before
+        # explosion keeps per-bucket counts a subset of true membership)
+        bands, count_ds, pre_shift = _compact_bands_and_count(sig_ds, cfg)
+        keys, _salts, sampled = _detect_hot_buckets(count_ds, cfg,
+                                                    pre_shift=pre_shift)
         proven = sampled >= 2
         if proven.any():
             hot_keys = keys[proven]
+    else:
+        bands = band_table(sig_ds, cfg)
     if hot_keys is None:
         flagged = flagged_doc_ids(bands, cfg)
     else:
@@ -542,8 +595,7 @@ def near_dup_clusters(ds, cfg: DedupConfig, sig_ds=None):
 
     if sig_ds is None:
         sig_ds = compute_signatures(ds, cfg)
-    bands = band_table(sig_ds, cfg, include_sig=cfg.verify)
-    edges = candidate_edges(bands, cfg, with_sig=cfg.verify)
+    edges = _edges_from_sigs(sig_ds, cfg)
     labels = connected_components(edges, num_parts=cfg.num_parts)  # (node, label)
     id_col = cfg.id_col
     if labels.count() == 0:
@@ -592,8 +644,7 @@ def near_dup_pairs(ds, cfg: DedupConfig, sig_ds=None):
     """
     if sig_ds is None:
         sig_ds = compute_signatures(ds, cfg)
-    bands = band_table(sig_ds, cfg, include_sig=cfg.verify)
-    edges = candidate_edges(bands, cfg, with_sig=cfg.verify)
+    edges = _edges_from_sigs(sig_ds, cfg)
     return edges.map_batches(
         lambda b: pa.table({"id_a": b["src"].cast(pa.int64()),
                             "id_b": b["dst"].cast(pa.int64())}),
@@ -777,7 +828,12 @@ def _candidate_edges_salted(band_ds, cfg: DedupConfig, count_ds=None,
         hot_keys = hot_salts = None       # manual mode: every bucket is hot
     else:
         if count_ds is None:
-            # one signer execution; counts and edges both read these blocks
+            # SAFETY NET for direct candidate_edges callers only — every
+            # default entry point (duplicate_flags / near_dup_clusters /
+            # near_dup_pairs via _edges_from_sigs, the flagship via its
+            # checkpoint) supplies a count_ds derived from a compact
+            # (id, bh*) materialize, so the exploded band table is never
+            # pinned on a default path
             band_ds = band_ds.materialize()
             count_ds = band_ds
             count_pre_shift = 0

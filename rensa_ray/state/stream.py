@@ -17,49 +17,141 @@ The reference's inline deduplicators are arrival-order first-wins
 
 from __future__ import annotations
 
-import copy
-
 import numpy as np
 import pyarrow as pa
 
-from .dedup import RMinHashDeduplicator
-from .minhash import RMinHash
+from .dedup import default_num_bands
 
 
 class StreamingDedupStage:
-    """map_batches actor: (id, text) → (id, is_dup) in arrival order."""
+    """map_batches actor: (id, text) → (id, is_dup) in arrival order.
+
+    Semantics match ``RMinHashDeduplicator.add`` row by row (duplicate iff
+    the key is already stored OR any same-LSH-bucket stored signature is
+    within ``threshold`` slot-Jaccard; survivors are inserted first-wins),
+    but each micro-batch is processed with the batch kernels: one
+    ``rmin_digest_matrix`` call, one ``band_hashes_matrix`` call, and an
+    intra-batch bucket-collision triage so that ONLY rows actually involved
+    in a bucket collision (or a repeated key) walk the sequential
+    arrival-order path — unique rows are flagged and bulk-inserted without
+    any per-row Python LSH work.  Signatures live in one growable uint32
+    matrix per actor, so the verify step is a vectorized equality-mean over
+    candidate rows instead of per-object ``RMinHash.jaccard`` calls.
+    """
+
+    _GROW = 4096  # signature-store growth quantum (rows)
 
     def __init__(self, threshold: float = 0.8, num_perm: int = 128,
                  num_bands: int | None = None, seed: int = 42,
                  ngram_size: int = 3, id_col: str = "doc_id",
                  text_col: str = "text"):
-        self.dedup = RMinHashDeduplicator(threshold, num_perm, use_lsh=True,
-                                          num_bands=num_bands, seed=seed)
+        if not (0.0 < threshold <= 1.0):
+            raise ValueError("threshold must be in (0, 1]")
+        nb = num_bands if num_bands is not None else default_num_bands(
+            threshold, num_perm)
+        if num_perm % nb != 0:
+            raise ValueError("num_perm must be divisible by num_bands")
+        self.threshold = threshold
         self.num_perm = num_perm
+        self.num_bands = nb
         self.seed = seed
         self.ngram_size = ngram_size
         self.id_col = id_col
         self.text_col = text_col
-        # template RMinHash built ONCE per actor: per-row instances are
-        # shallow clones sharing the permutation arrays (rebuilding the
-        # 128-step Xoshiro seed loop per row dominated the stage otherwise)
-        self._template = RMinHash(num_perm, seed)
+        # stored state: band_hash -> [store row] per band, key -> store row,
+        # and the signature matrix (rows appended on insert)
+        self._tables: list[dict[int, list[int]]] = [dict() for _ in range(nb)]
+        self._keys: dict[str, int] = {}
+        self._sigs = np.empty((self._GROW, num_perm), dtype=np.uint32)
+        self._n = 0
 
+    # ------------------------------------------------------------ internals
+    def _insert(self, key: str, sig_row: np.ndarray, bh_row: np.ndarray) -> None:
+        if self._n == len(self._sigs):
+            grown = np.empty((len(self._sigs) + max(self._GROW, len(self._sigs) // 2),
+                              self.num_perm), dtype=np.uint32)
+            grown[: self._n] = self._sigs[: self._n]
+            self._sigs = grown
+        idx = self._n
+        self._sigs[idx] = sig_row
+        self._n += 1
+        self._keys[key] = idx
+        for b in range(self.num_bands):
+            self._tables[b].setdefault(int(bh_row[b]), []).append(idx)
+
+    def _is_sig_dup(self, sig_row: np.ndarray, bh_row: np.ndarray) -> bool:
+        cand: set[int] = set()
+        for b in range(self.num_bands):
+            lst = self._tables[b].get(int(bh_row[b]))
+            if lst:
+                cand.update(lst)
+        if not cand:
+            return False
+        ci = np.fromiter(cand, np.int64, len(cand))
+        sims = (self._sigs[ci] == sig_row).mean(axis=1)
+        return bool((sims >= self.threshold).any())
+
+    # ---------------------------------------------------------------- stage
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..kernels.shingle import batch_shingle_hashes
         from ..kernels.sketch import rmin_digest_matrix
+        from ..stages.band import band_hashes_matrix
 
         texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
-        ids = batch[self.id_col].to_pylist()
+        keys = [str(k) for k in batch[self.id_col].to_pylist()]
+        n = len(keys)
+        if n == 0:
+            return pa.table({self.id_col: batch[self.id_col],
+                             "is_dup": pa.array([], pa.bool_())})
         hashes, offsets = batch_shingle_hashes(texts, self.ngram_size)
         mat = rmin_digest_matrix(hashes, offsets, self.num_perm, self.seed)
-        flags = []
-        for i, key in enumerate(ids):
-            mh = copy.copy(self._template)  # shares immutable _a/_b
-            mh._sig = mat[i].copy()         # own row (don't pin the matrix)
-            flags.append(not self.dedup.add(str(key), mh))
+        bh = band_hashes_matrix(mat, self.num_bands)
+
+        # triage: a row needs the sequential path iff (a) it shares a band
+        # bucket with another batch row, (b) any of its buckets exists in
+        # the stored index, or (c) its key repeats within the batch (the
+        # reference only registers keys of STORED docs, so a repeat of a
+        # rejected key must be re-evaluated in order).  Everything else is
+        # provably unaffected by intra-batch ordering.
+        collide = np.zeros(n, dtype=bool)
+        for b in range(self.num_bands):
+            col = bh[:, b]
+            order = np.argsort(col, kind="stable")
+            s = col[order]
+            boundary = np.ones(n, dtype=bool)
+            boundary[1:] = s[1:] != s[:-1]
+            gid = np.cumsum(boundary) - 1
+            counts = np.bincount(gid)
+            collide[order[counts[gid] >= 2]] = True
+            tab = self._tables[b]
+            if tab:
+                for p in np.flatnonzero(boundary):
+                    if int(s[p]) in tab:
+                        g = int(gid[p])
+                        collide[order[p: p + int(counts[g])]] = True
+
+        seen_in_batch: dict[str, int] = {}
+        repeat = np.zeros(n, dtype=bool)
+        for i, k in enumerate(keys):
+            if k in seen_in_batch:
+                repeat[i] = repeat[seen_in_batch[k]] = True
+            else:
+                seen_in_batch[k] = i
+
+        flags = np.zeros(n, dtype=bool)
+        sequential = collide | repeat
+        for i in range(n):
+            k = keys[i]
+            if k in self._keys:
+                flags[i] = True
+                continue
+            if sequential[i]:
+                if self._is_sig_dup(mat[i], bh[i]):
+                    flags[i] = True
+                    continue
+            self._insert(k, mat[i], bh[i])
         return pa.table({self.id_col: batch[self.id_col],
-                         "is_dup": pa.array(flags, pa.bool_())})
+                         "is_dup": pa.array(flags)})
 
 
 def incremental_dedup_against_checkpoint(new_ds, band_checkpoint_dir: str, cfg,

@@ -330,3 +330,59 @@ def test_embedding_dedup_kept(ray_session, tmp_path):
     lsh = embedding_dedup_kept(sf_dir, threshold=0.9, num_bits=10,
                                num_tables=8, num_parts=4).to_pandas()
     assert set(lsh["vec_id"]) == want_kept  # recall ≈1 at these params
+
+
+def test_streaming_stage_batched_matches_scalar_deduplicator():
+    """The batched StreamingDedupStage must reproduce the per-row
+    ``RMinHashDeduplicator.add`` verdicts exactly — same LSH bucket
+    candidacy, same signature-Jaccard verify, same first-wins ordering,
+    including repeated keys whose first occurrence was REJECTED (the
+    reference never registers rejected keys, so the repeat is re-evaluated
+    on its own merits).  No Ray needed: the stage is a plain callable."""
+    import copy
+
+    from rensa_ray.kernels.shingle import batch_shingle_hashes
+    from rensa_ray.kernels.sketch import rmin_digest_matrix
+    from rensa_ray.state.dedup import RMinHashDeduplicator
+    from rensa_ray.state.minhash import RMinHash
+    from rensa_ray.state.stream import StreamingDedupStage
+
+    rng = np.random.default_rng(7)
+    texts, ids = [], []
+    for i in range(300):
+        r = rng.random()
+        if r < 0.3 and texts:
+            texts.append(texts[rng.integers(0, len(texts))])  # exact dup
+        elif r < 0.55 and texts:
+            t = texts[rng.integers(0, len(texts))].split()
+            for _ in range(max(1, len(t) // 15)):
+                t[rng.integers(0, len(t))] = f"z{rng.integers(0, 50)}"
+            texts.append(" ".join(t))  # near dup (straddles the threshold)
+        else:
+            texts.append(" ".join(
+                f"w{rng.integers(0, 400)}" for _ in range(60)) + f" uniq{i}")
+        ids.append(int(rng.integers(0, 250)) if rng.random() < 0.1 and ids
+                   else i)
+
+    ded = RMinHashDeduplicator(0.8, 128, use_lsh=True, seed=42)
+    tmpl = RMinHash(128, 42)
+    hashes, offsets = batch_shingle_hashes(texts, 3)
+    mat = rmin_digest_matrix(hashes, offsets, 128, 42)
+    oracle = []
+    for i, k in enumerate(ids):
+        mh = copy.copy(tmpl)
+        mh._sig = mat[i].copy()
+        oracle.append(not ded.add(str(k), mh))
+    assert 20 < sum(oracle) < 280  # fixture exercises both verdicts
+
+    stage = StreamingDedupStage(threshold=0.8)
+    got = []
+    for lo, hi in [(0, 100), (100, 101), (101, 300)]:  # uneven micro-batches
+        b = pa.table({"doc_id": pa.array(ids[lo:hi], pa.int64()),
+                      "text": pa.array(texts[lo:hi])})
+        got.extend(stage(b)["is_dup"].to_pylist())
+    assert got == oracle
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert stage(empty).num_rows == 0
