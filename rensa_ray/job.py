@@ -7,6 +7,14 @@ On a real cluster the flagship dedup runs as:
 
 (in this sandbox: ``python -m rensa_ray.job --input /tmp/corpus --out /tmp/out``).
 
+``python -m rensa_ray.job --rehearse`` is the one-command scale rehearsal:
+generate the deterministic synthetic web corpus (default 20M docs, the
+BASELINE.md holding-run size), run the checkpointed flagship, then simulate
+a crash (delete the final stage checkpoint) and re-run — asserting that
+finished stages are NOT recomputed (their files untouched on disk) and the
+resumed output is value-identical (order-independent checksum).  Exits
+non-zero if any assertion fails; prints one JSON report.
+
 The job connects to whatever cluster ``RAY_ADDRESS`` points at (Ray's job
 runtime sets it; standalone runs fall back to a local session), reads every
 ``RENSA_RAY_*`` tuning knob through ``DedupConfig.from_env``, executes the
@@ -26,14 +34,141 @@ import json
 import sys
 
 
+def _assignments_checksum(ds) -> tuple[int, int]:
+    """Order-independent (checksum, n_rows) over (uid, cluster_uid, is_dup).
+
+    Per-batch vectorized mix + commutative u64 sum, reduced through Ray —
+    nothing materializes on the driver, so this works at rehearsal scale.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def _mix(b: pa.Table) -> pa.Table:
+        uid = b["uid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cu = b["cluster_uid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dup = b["is_dup"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (uid * np.uint64(0x9E3779B97F4A7C15)
+                 ^ cu * np.uint64(0xBF58476D1CE4E5B9)
+                 ^ dup * np.uint64(0x94D049BB133111EB))
+            h ^= h >> np.uint64(29)
+            s = np.uint64(h.sum())
+        return pa.table({"s": pa.array([int(s)], pa.uint64()),
+                         "n": pa.array([len(b)], pa.int64())})
+
+    parts = ds.map_batches(_mix, batch_format="pyarrow").take_all()
+    total = 0
+    for r in parts:
+        total = (total + int(r["s"])) & ((1 << 64) - 1)
+    return total, sum(int(r["n"]) for r in parts)
+
+
+def _rehearse(args) -> int:
+    """Scale rehearsal: flagship at --rehearse-docs + kill/resume assertion."""
+    import os
+    import shutil
+    import time
+
+    from .pipelines.dedup import DedupConfig
+    from .pipelines.webdedup import run_web_dedup
+    from .sources.corpus import write_corpus, write_corpus_parallel
+
+    n_docs = args.rehearse_docs
+    base = args.out or f"/tmp/rensa_rehearse/{n_docs}"
+    cdir = os.path.join(base, "corpus_base", "corpus")
+    marker = os.path.join(base, "corpus_base", "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(os.path.join(base, "corpus_base"), ignore_errors=True)
+        writer = write_corpus_parallel if n_docs >= 200_000 else write_corpus
+        writer(os.path.join(base, "corpus_base"), n_docs=n_docs, seed=42)
+        with open(marker, "w") as f:
+            f.write("ok")
+    out_dir = os.path.join(base, "out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    import dataclasses
+
+    cfg = DedupConfig.from_env(id_col="uid")
+    patch = {}
+    if "RENSA_RAY_CONCURRENCY" not in os.environ:
+        patch["concurrency"] = None
+    if "RENSA_RAY_NUM_PARTS" not in os.environ:
+        import ray
+
+        from .pipelines.common import dir_parquet_bytes, suggest_num_parts
+
+        cores = int(ray.cluster_resources().get("CPU", 8))
+        patch["num_parts"] = suggest_num_parts(dir_parquet_bytes(cdir), cores)
+    cfg = dataclasses.replace(cfg, **patch)
+
+    t0 = time.time()
+    out1, m1 = run_web_dedup(cdir, out_dir, cfg=cfg, checkpoint=True)
+    sum1, rows1 = _assignments_checksum(out1)
+    wall1 = time.time() - t0
+
+    failures: list[str] = []
+    if rows1 != n_docs:
+        failures.append(f"first run rows {rows1} != {n_docs}")
+
+    # snapshot finished-stage files, then simulate a crash after 'labels'
+    keep_stages = ("stage=signatures", "stage=labels")
+    mtimes = {}
+    for st in keep_stages:
+        d = os.path.join(out_dir, st)
+        mtimes[st] = {f: os.stat(os.path.join(d, f)).st_mtime_ns
+                      for f in os.listdir(d)}
+    shutil.rmtree(os.path.join(out_dir, "stage=assignments"))
+
+    t1 = time.time()
+    out2, m2 = run_web_dedup(cdir, out_dir, cfg=cfg, checkpoint=True)
+    sum2, rows2 = _assignments_checksum(out2)
+    wall2 = time.time() - t1
+
+    for st in keep_stages:
+        d = os.path.join(out_dir, st)
+        now = {f: os.stat(os.path.join(d, f)).st_mtime_ns
+               for f in os.listdir(d)}
+        if now != mtimes[st]:
+            failures.append(f"resume recomputed {st} (files changed on disk)")
+    if (sum1, rows1) != (sum2, rows2):
+        failures.append(
+            f"resumed output differs: ({sum1}, {rows1}) vs ({sum2}, {rows2})")
+
+    report = {
+        "mode": "rehearse", "docs": n_docs, "rows": rows1,
+        "first_run_sec": round(wall1, 2),
+        "docs_per_sec": round(n_docs / max(wall1, 1e-9), 1),
+        "resume_sec": round(wall2, 2),
+        "stages_first": {k: v["wall_sec"] for k, v in m1["stages"].items()},
+        "stages_resume": {k: v["wall_sec"] for k, v in m2["stages"].items()},
+        "checksum": sum1, "resume_identical": (sum1, rows1) == (sum2, rows2),
+        "finished_stages_untouched": not any(
+            "recomputed" in f for f in failures),
+        "failures": failures, "out": out_dir,
+    }
+    json.dump(report, sys.stdout, indent=2, default=str)
+    print()
+    return 1 if failures else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m rensa_ray.job",
         description="Checkpointed web-corpus near-dup dedup job.")
-    p.add_argument("--input", required=True,
+    p.add_argument("--input",
                    help="parquet dir of web pages (url, warc_ts, html, text, lang)")
-    p.add_argument("--out", required=True,
+    p.add_argument("--out",
                    help="output dir for stage checkpoints + assignments")
+    p.add_argument("--rehearse", action="store_true",
+                   help="one-command scale rehearsal: synthetic corpus → "
+                        "flagship → kill last stage → resume; asserts "
+                        "stage-skip + identical output, exits non-zero on "
+                        "any failure")
+    p.add_argument("--rehearse-docs", type=int,
+                   default=int(__import__("os").environ.get(
+                       "RENSA_REHEARSE_DOCS", "20000000")),
+                   help="rehearsal corpus size (default 20M, the BASELINE.md "
+                        "holding-run scale; override for a quick drill)")
     p.add_argument("--use-html", action="store_true",
                    help="extract text from the html column (byte-identical "
                         "invariant) instead of reading the text column")
@@ -43,6 +178,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="num_cpus for a standalone local session (ignored "
                         "when attaching to a running cluster)")
     args = p.parse_args(argv)
+    if not args.rehearse and (args.input is None or args.out is None):
+        p.error("--input and --out are required (unless --rehearse)")
 
     import ray
 
@@ -54,6 +191,11 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.rehearse:
+        rc = _rehearse(args)
+        ray.shutdown()
+        return rc
 
     from .pipelines.dedup import DedupConfig
     from .pipelines.webdedup import UID_COL, run_web_dedup

@@ -23,12 +23,17 @@ Pipeline shape (two keyed shuffles, same as the plain flags lane):
          → hash-partition on id: count folded/unfolded band matches, apply
            required (1, or ≥2 for sparse rows) + the rescue rule → is_dup
 
-Scan-order caveat: the reference checks at most
-``RENSA_RHO_SPARSE_VERIFY_MAX_CANDIDATES`` bucket partners in matrix row
-order; this lane scans partners in ascending doc id.  The outcomes differ
-only for buckets where >max_candidates sparse partners straddle the
-threshold — flags are identical whenever ids are assigned in row order
-(tests/test_rho_distributed.py pins parity against the scalar one-shot).
+Scan-order caveat (a TESTED contract, not just a comment): the reference
+checks at most ``RENSA_RHO_SPARSE_VERIFY_MAX_CANDIDATES`` bucket partners in
+matrix row order; this lane scans partners in ascending doc id and, before
+the bounded scan, vectorizes the equal-svsig pass without a horizon.  The
+outcomes differ only for buckets where >max_candidates sparse partners
+straddle the threshold, and always in the recall-SUPERSET direction — a
+true duplicate hidden behind 16+ gate-failing partners is flagged here and
+missed by the reference
+(tests/test_rho_distributed.py::test_rho_scan_horizon_divergence_is_a_recall_superset
+constructs exactly that bucket; the other tests there pin flag parity
+against the scalar one-shot whenever ids are assigned in row order).
 """
 
 from __future__ import annotations

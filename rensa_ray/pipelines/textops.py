@@ -348,9 +348,22 @@ def doc_pii_redact(sf_dir: str):
     return ds.map_batches(_r, batch_format="pyarrow")
 
 
-def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
+def decontaminate_flags(sf_dir: str | None = None, ngram_size: int = 5,
+                        eval_mod: int = 97, *, train_ds=None, eval_ds=None,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        eval_text_col: str | None = None):
     """Benchmark decontamination: flag training docs sharing any word
-    ``ngram_size``-gram with the held-out eval slice (doc_id % eval_mod == 0).
+    ``ngram_size``-gram with a held-out eval set.
+
+    Two modes, one broadcast design:
+
+    - **two-table** (production shape): pass ``train_ds`` and ``eval_ds``
+      explicitly — the eval benchmarks are their own table (any dataset with
+      ``eval_text_col``, defaulting to ``text_col``); every training row is
+      flagged.
+    - **id-slice stand-in** (the driver-oracle mode): pass ``sf_dir`` only;
+      the eval side is the ``doc_id % eval_mod == 0`` slice of the documents
+      table and the output covers the complementary training slice.
 
     The standard pre-training hygiene step (GPT-3 App. C / PaLM style): the
     eval side is tiny versus the corpus, so its n-gram set is collected once,
@@ -360,36 +373,59 @@ def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
     table vs a benchmark suite.  Short docs (< ngram_size words) fall back to
     unigrams, matching the canonical shingler (kernels/shingle.py).
 
-    Output: (doc_id, is_contaminated) over training docs only.
+    Output: (doc_id, is_contaminated) over training docs.
     """
     import ray
 
     from ..kernels.shingle import batch_shingle_hashes
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    two_table = eval_ds is not None
+    if two_table:
+        if train_ds is None:
+            if sf_dir is None:
+                raise ValueError("two-table mode needs train_ds or sf_dir")
+            train_ds = _docs(sf_dir, [id_col, text_col])
+    else:
+        if sf_dir is None:
+            raise ValueError("pass sf_dir (id-slice mode) or eval_ds")
+        train_ds = _docs(sf_dir, [id_col, text_col])
 
-    # Pass 1: eval-slice n-gram hash set (small side). In production the eval
-    # benchmarks are their own tiny table; the id-slice here stands in for it.
-    def _eval_grams(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        m = ids % eval_mod == 0
-        if not m.any():
+    ev_col = eval_text_col if eval_text_col is not None else text_col
+
+    # Pass 1: eval n-gram hash set (the bounded small side by nature).
+    def _grams_of(b: pa.Table, mask=None, col: str = text_col) -> pa.Table:
+        texts = b[col].to_pylist()
+        if mask is not None:
+            texts = [t for t, keep in zip(texts, mask) if keep]
+        texts = ["" if t is None else t for t in texts]
+        if not texts:
             return pa.table({"h": pa.array([], pa.uint64())})
-        texts = ["" if t is None else t
-                 for t, keep in zip(b["text"].to_pylist(), m) if keep]
         h, _ = batch_shingle_hashes(texts, ngram_size)
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
-    rows = ds.map_batches(_eval_grams, batch_format="pyarrow").take_all()
+    if two_table:
+        gram_src = eval_ds.map_batches(lambda b: _grams_of(b, col=ev_col),
+                                       batch_format="pyarrow")
+    else:
+        def _eval_slice_grams(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            return _grams_of(b, mask=ids % eval_mod == 0)
+
+        gram_src = train_ds.map_batches(_eval_slice_grams,
+                                        batch_format="pyarrow")
+    rows = gram_src.take_all()
     ev = np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
     ref = ray.put(ev)
 
     def _flag(b: pa.Table) -> pa.Table:
         grams = ray.get(ref)  # zero-copy plasma read, shared per node
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        m = ids % eval_mod != 0
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        if two_table:
+            m = np.ones(len(ids), dtype=bool)
+        else:
+            m = ids % eval_mod != 0
         texts = ["" if t is None else t
-                 for t, keep in zip(b["text"].to_pylist(), m) if keep]
+                 for t, keep in zip(b[text_col].to_pylist(), m) if keep]
         h, offs = batch_shingle_hashes(texts, ngram_size)
         if len(grams) and len(h):
             idx = np.searchsorted(grams, h)
@@ -403,7 +439,7 @@ def decontaminate_flags(sf_dir: str, ngram_size: int = 5, eval_mod: int = 97):
         return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
                          "is_contaminated": pa.array(contaminated)})
 
-    return ds.map_batches(_flag, batch_format="pyarrow")
+    return train_ds.map_batches(_flag, batch_format="pyarrow")
 
 
 def doc_compression_ratio(sf_dir: str, level: int = 6):

@@ -9,11 +9,16 @@ samples, so no codec library is needed):
   (``AudioDecodeStage``), plus real DSP features (RMS/ZCR/spectral
   centroid/rolloff via batched rFFT) in ``AudioFeatureStage``.
 
-Compressed formats (JPEG/PNG/MP3/video) remain STUBBED — no codec libraries
-exist in this environment — behind the same ``decode_fn`` hook, with a
-deterministic fake keeping the Ray-side plumbing (schema contract,
-actor-pool stage shape, batch sizing, output layout) real and tested.
-Plug PIL/torchaudio/ffmpeg in via ``decode_fn`` on a real deployment.
+Compressed images (JPEG/PNG/GIF/WebP/...) decode through an OPTIONAL,
+import-guarded PIL path in ``ImageDecodeStage``: when Pillow is installed
+the stage really decodes them (per-actor import, once, in ``__init__``);
+when it isn't — as in this container — payloads route to the ``decode_fn``
+hook, default a deterministic fake keeping the Ray-side plumbing (schema
+contract, actor-pool stage shape, batch sizing, output layout) real and
+tested.  MP3/video likewise remain ``decode_fn`` hooks (torchaudio/ffmpeg
+in production).  The PIL wiring itself is tested in both modes:
+skip-if-absent with real Pillow, and against an injected stub codec where
+Pillow is missing (tests/test_multimodal.py).
 
 Design notes for 100 TB media corpora:
 
@@ -31,6 +36,18 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+
+def load_pil_image_module():
+    """Optional Pillow import, guarded: returns ``PIL.Image`` or None.
+
+    Module-level so tests can monkeypatch it with a stub codec; called once
+    per actor from ``ImageDecodeStage.__init__`` (never per batch)."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
 
 
 def _fake_decode(payload: bytes, channels: int = 3) -> np.ndarray:
@@ -329,14 +346,31 @@ class ImageDecodeStage:
 
     def __init__(self, key_col: str = "url", payload_col: str = "payload",
                  decode_fn=None, channels: int = 3,
-                 target_hw: tuple[int, int] = (8, 8)):
+                 target_hw: tuple[int, int] = (8, 8), use_pil: bool = True):
         self.key_col = key_col
         self.payload_col = payload_col
         self.channels = channels
         self.target_hw = target_hw
-        # per-actor setup: real deployments load the codec/model here once
+        # per-actor setup: codecs load here once, never per batch.  Pillow
+        # is OPTIONAL — absent (as in this container) the compressed-format
+        # path falls through to decode_fn / the deterministic fake.
+        self.pil = load_pil_image_module() if use_pil else None
         self.fallback = decode_fn if decode_fn is not None else (
             lambda b: _fake_decode(b, channels))
+
+    def _decode_pil(self, payload: bytes) -> np.ndarray | None:
+        """Real compressed-image decode via Pillow, or None to fall back."""
+        import io
+
+        try:
+            with self.pil.open(io.BytesIO(payload)) as im:
+                im = im.convert("L" if self.channels == 1 else "RGB")
+                arr = np.asarray(im, dtype=np.uint8)
+        except Exception:  # undecodable/truncated payload → decode_fn hook
+            return None
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
 
     def decode(self, payload: bytes) -> np.ndarray:
         if payload.startswith(b"P6"):
@@ -347,7 +381,9 @@ class ImageDecodeStage:
             except ValueError:
                 return self.fallback(payload)
         else:
-            return self.fallback(payload)
+            img = self._decode_pil(payload) if self.pil is not None else None
+            if img is None:
+                return self.fallback(payload)
         th, tw = self.target_hw
         if img.shape[:2] != (th, tw):
             img = resize_nearest(img, th, tw)

@@ -290,3 +290,90 @@ def test_wav_roundtrip_property():
         np.testing.assert_allclose(y[:, 0], x, atol=1.6 / 32768)
 
     _roundtrip()
+
+
+class _StubImage:
+    """Minimal PIL.Image.Image stand-in: context manager + convert + array."""
+
+    def __init__(self, arr):
+        self._arr = arr
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def convert(self, mode):
+        if mode == "L":
+            return _StubImage(self._arr.mean(axis=2).astype(np.uint8))
+        return _StubImage(self._arr)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._arr if dtype is None else self._arr.astype(dtype)
+        return np.array(a) if copy else a
+
+
+class _StubPILModule:
+    """PIL.Image module stand-in: decodes b'STUB' + H + W + raw RGB bytes."""
+
+    @staticmethod
+    def open(bio):
+        data = bio.read()
+        if not data.startswith(b"STUB"):
+            raise OSError("cannot identify image file")
+        h, w = data[4], data[5]
+        raster = np.frombuffer(data, np.uint8, count=h * w * 3, offset=6)
+        return _StubImage(raster.reshape(h, w, 3).copy())
+
+
+def test_image_decode_pil_wiring_with_stub_codec(monkeypatch):
+    """The optional-PIL path: a codec module returned by
+    load_pil_image_module() must be loaded ONCE in __init__, used for
+    non-PPM/BMP payloads, resized to target_hw, and undecodable payloads
+    must still fall through to decode_fn/_fake.  Exercised with an injected
+    stub so the wiring is tested even where Pillow is absent."""
+    from rensa_ray.stages import multimodal as mm
+
+    monkeypatch.setattr(mm, "load_pil_image_module", lambda: _StubPILModule)
+    stage = mm.ImageDecodeStage(target_hw=(8, 8))
+    assert stage.pil is _StubPILModule
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    payload = b"STUB" + bytes([4, 4]) + img.tobytes()
+    got = stage.decode(payload)
+    assert got.shape == (8, 8, 3)
+    # nearest-neighbor upsample of a 4x4 by 2x: each source pixel twice
+    assert np.array_equal(got[::2, ::2], img)
+
+    junk = b"\x89PNG not really a png"
+    fake = stage.decode(junk)
+    from rensa_ray.stages.multimodal import _fake_decode
+    assert np.array_equal(fake, _fake_decode(junk, 3))  # fell back
+
+    # PPM payloads never consult the codec module
+    from rensa_ray.stages.multimodal import encode_ppm
+    ppm = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert np.array_equal(stage.decode(encode_ppm(ppm)), ppm)
+
+    off = mm.ImageDecodeStage(use_pil=False)
+    assert off.pil is None
+
+
+def test_image_decode_pil_real_codec():
+    """Real-Pillow lane: skipped where Pillow is absent (this container);
+    in richer environments it proves compressed payloads really decode."""
+    import io
+
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="PNG")  # lossless
+    stage = ImageDecodeStage(target_hw=(8, 8))
+    assert stage.pil is not None
+    assert np.array_equal(stage.decode(buf.getvalue()), img)

@@ -82,3 +82,25 @@ def test_job_cli_smoke(tmp_path):
     report = json.loads(out.stdout)
     assert report["rows"] == 120
     assert set(report["stages"]) == {"signatures", "labels", "assignments"}
+
+
+def test_job_rehearse_cli(tmp_path):
+    """`python -m rensa_ray.job --rehearse` — the one-command scale
+    rehearsal — must run flagship + kill/resume in its own process, assert
+    stage-skip and output identity, and exit 0 with a JSON verdict."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "rensa_ray.job", "--rehearse",
+         "--rehearse-docs", "3000", "--num-cpus", "2",
+         "--out", str(tmp_path / "rhz")],
+        capture_output=True, text=True, timeout=420,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out.stdout)
+    assert report["rows"] == 3000
+    assert report["resume_identical"] is True
+    assert report["finished_stages_untouched"] is True
+    assert report["failures"] == []

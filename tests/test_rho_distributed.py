@@ -125,3 +125,58 @@ def test_rho_flags_pathological_sparse_bucket(ray_session):
     wall = time.time() - t0
     assert got["is_dup"].iloc[:n_dup].all()       # every clone flagged
     assert wall < 60, f"pathological bucket took {wall:.0f}s"
+
+
+def test_rho_scan_horizon_divergence_is_a_recall_superset(ray_session):
+    """Pins the documented scan-order/horizon divergence (rho_dedup.py module
+    docstring) as a tested contract.
+
+    Fixture: Y = X + one appended word whose extra shingle loses every main
+    sketch probe (digest(Y) == digest(X), so X and Y share every folded
+    bucket) but wins 4 of 8 sparse-verify slots (sv similarity 0.5 < 0.75,
+    the gate REJECTS X↔Y pairs).  With 20 copies of X ahead of 2 copies of
+    Y, the reference's 16-candidate row-order scan exhausts its horizon on
+    failing X partners before either Y reaches its identical twin → the
+    scalar one-shot misses the true Y-Y duplicate pair.  The distributed
+    lane's vectorized equal-svsig pass ignores the horizon by design and
+    flags both Ys.  The divergence is therefore a strict recall SUPERSET on
+    >max_candidates straddling buckets — never a lost flag."""
+    import ray.data as rd
+
+    from rensa_ray.kernels.rho import RhoParams, sparse_verify_similarity
+    from rensa_ray.kernels.shingle import shingle_hashes_scalar
+
+    X = " ".join(f"x23w{i}" for i in range(15))
+    Y = X + " z3515"
+    docs = [X] * 20 + [Y] * 2
+
+    # --- fixture invariants (fail fast if kernels ever change) ----------
+    sets = [shingle_hashes_scalar(t, CFG.ngram_size) for t in docs]
+    flat = np.concatenate([np.asarray(s, np.uint64) for s in sets])
+    off = np.zeros(len(sets) + 1, np.int64)
+    np.cumsum([len(s) for s in sets], out=off[1:])
+    m = RMinHash.digest_matrix_from_flat_token_hashes_rho(
+        flat, off, CFG.num_perm, CFG.seed)
+    mat = np.asarray(m.matrix)
+    sc = m.rho_sidecar
+    assert (mat[20] == mat[0]).all()            # Y collides with X everywhere
+    assert sc.sparse_active[:22].all()          # every row is sparse
+    sim = sparse_verify_similarity(sc.sparse_signatures[0],
+                                   sc.sparse_signatures[20])
+    assert sim < 0.75                           # the gate rejects X↔Y
+    assert RhoParams.from_env(CFG.num_perm).sparse_verify_perm > 0
+
+    # --- the reference's bounded row-order scan misses the Y-Y pair -----
+    lsh = RMinHashLSH(threshold=CFG.threshold, num_perm=CFG.num_perm,
+                      num_bands=CFG.num_bands)
+    scalar = lsh.query_duplicate_flags_matrix_one_shot(m)
+    assert scalar[:20] == [True] * 20
+    assert scalar[20:] == [False, False]        # horizon exhausted on X's
+
+    # --- the distributed lane flags the true pair (superset, no losses) -
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs)}))
+    got = duplicate_flags_rho(ds, CFG).to_pandas().sort_values("doc_id")
+    assert got["is_dup"].iloc[:20].all()
+    assert got["is_dup"].iloc[20:].all()        # the documented divergence

@@ -746,3 +746,31 @@ def test_length_percentiles_empty_input(ray_session):
         out = textops.length_percentiles(d).to_pandas()
     assert len(out) == 1
     assert out.isna().all(axis=None)
+
+def test_decontaminate_flags_two_table(ray_session):
+    """Production shape: eval benchmarks as their OWN table — every training
+    row is judged (no id-slice carve-out), the eval gram set is broadcast,
+    and custom id/text column names pass through."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines import textops
+
+    eval_ds = rd.from_arrow(pa.table({
+        "prompt": ["the quick brown fox jumps over the lazy dog",
+                   "four score and seven years ago our fathers brought"]}))
+    train = pa.table({
+        "uid": pa.array([10, 11, 12, 13], pa.int64()),
+        "body": ["intro text then the quick brown fox jumps and more",  # hit
+                 "completely unrelated content about ray data pipelines",
+                 "he said four score and seven years ago our leaders",  # hit
+                 "the quick brown fox jumps over the lazy dog"]})       # hit
+    out = _to_table(textops.decontaminate_flags(
+        train_ds=rd.from_arrow(train), eval_ds=eval_ds,
+        id_col="uid", text_col="body",
+        eval_text_col="prompt")).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert set(out.index) == {10, 11, 12, 13}      # no row excluded
+    assert bool(out.loc[10, "is_contaminated"])
+    assert not bool(out.loc[11, "is_contaminated"])
+    assert bool(out.loc[12, "is_contaminated"])
+    assert bool(out.loc[13, "is_contaminated"])
