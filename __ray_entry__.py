@@ -317,6 +317,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_pairs_winnowed": lambda sf: _fin(
             substring.substring_dup_pairs_winnowed(sf, min_len=10, window=8),
             pa.schema([("id_a", I64), ("id_b", I64)])),
+        "substring_dup_spans": lambda sf: _fin(
+            substring.substring_dup_spans(sf, min_len=10),
+            pa.schema([("doc_id", I64), ("n_tokens", I64),
+                       ("dup_tokens", I64), ("dup_ratio", F64)])),
+        "substring_dup_spans_sa": lambda sf: _fin(
+            substring.substring_dup_spans_sa(sf, min_len=10),
+            pa.schema([("doc_id", I64), ("n_tokens", I64),
+                       ("dup_tokens", I64), ("dup_ratio", F64)])),
         "simhash_sketches": lambda sf: _fin(
             simjoin.simhash_sketches(sf),
             pa.schema([("doc_id", I64), ("simhash", U64)])),
@@ -516,6 +524,39 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT DISTINCT doc_id, s FROM g)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id""",
+        # span coverage == union of duplicated 10-windows (every position in
+        # a duplicated run >= 10 lies in a duplicated 10-gram and vice
+        # versa); interval union via the sorted running-max-end formula
+        "substring_dup_spans": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+')
+                     END AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS s
+              FROM t, LATERAL unnest(generate_series(1, len(w) - 9)) AS u(i)
+              WHERE len(w) >= 10),
+            c AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2),
+            d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (s)),
+            mx AS (
+              SELECT doc_id, pos AS s0, pos + 10 AS e0,
+                     MAX(pos + 10) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              FROM d),
+            cov AS (
+              SELECT doc_id,
+                     SUM(GREATEST(e0 - GREATEST(s0, COALESCE(pe, s0)), 0))
+                       AS dup_tokens
+              FROM mx GROUP BY doc_id)
+            SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+                   COALESCE(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   CASE WHEN len(t.w) > 0
+                        THEN COALESCE(cov.dup_tokens, 0)::DOUBLE / len(t.w)
+                        ELSE 0.0 END AS dup_ratio
+            FROM t LEFT JOIN cov USING (doc_id)""",
         "cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -25,6 +25,23 @@ fingerprinting of token windows:
 
 Both lanes accept ``max_df`` (drop fingerprints whose posting list exceeds
 it — boilerplate runs) like the n-gram join; default None keeps exactness.
+
+Span-level (ExactSubstr) dedup — Lee et al.'s actual output shape, which
+token positions of each doc are covered by a duplicated run:
+
+- ``substring_dup_spans`` — EXACT global coverage: every window fingerprint
+  shuffles WITH its position and multiplicity (>=2 occurrences anywhere,
+  including elsewhere in the same doc, marks all its positions); a second
+  doc-keyed shuffle unions the [pos, pos+L) intervals per doc.  Equivalent
+  to suffix-array coverage because every position inside a duplicated run
+  of length l >= L lies in some duplicated L-window, and the union of those
+  windows is exactly the run.  DuckDB-oracle-paired.
+- ``substring_dup_spans_sa`` — the ZERO-SHUFFLE lane: each Ray partition
+  builds a real suffix array (kernels.suffix, prefix doubling + rank-table
+  LCPs) over its concatenated docs and extracts coverage locally —
+  partition-local duplicates only, a strict subset of the exact lane
+  (equal when candidate docs are co-partitioned, e.g. after a bucketing
+  stage or in the single-partition case; pinned in tests).
 """
 
 from __future__ import annotations
@@ -186,3 +203,137 @@ def substring_dup_pairs_winnowed(sf_dir: str, min_len: int = 10,
     guaranteed to catch shared runs of ≥ min_len + window - 1 words."""
     return _pairs_from_fingerprints(
         _fingerprints(sf_dir, min_len, winnow=window), num_parts, max_df)
+
+
+def _span_output(ids: np.ndarray, n_tok: np.ndarray,
+                 dup_tok: np.ndarray) -> pa.Table:
+    ratio = np.where(n_tok > 0, dup_tok / np.maximum(n_tok, 1), 0.0)
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.int64)),
+        "n_tokens": pa.array(n_tok.astype(np.int64)),
+        "dup_tokens": pa.array(dup_tok.astype(np.int64)),
+        "dup_ratio": pa.array(ratio.astype(np.float64)),
+    })
+
+
+def substring_dup_spans(sf_dir: str, min_len: int = 10, num_parts: int = 32):
+    """EXACT span-level (ExactSubstr) dedup stats, globally.
+
+    Per doc: how many token positions are covered by a run of >= min_len
+    words occurring >= 2 times anywhere in the corpus (other docs or
+    elsewhere in the same doc).  Two keyed shuffles: windows group by
+    fingerprint (multiplicity >= 2 -> every occurrence's (doc, pos) flows
+    on), then by doc for the interval union.  Output:
+    (doc_id, n_tokens, dup_tokens, dup_ratio) for EVERY document.
+    """
+    import ray.data as rd
+
+    L = min_len
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        words, offsets = batch_shingle_hashes(texts, 1)
+        H, didx, pos = _window_hashes(words, offsets, L)
+        ids = np_col(batch, "doc_id")
+        return pa.table({"fp": pa.array(H, pa.uint64()),
+                         "doc_id": pa.array(ids[didx], pa.int64()),
+                         "pos": pa.array(pos.astype(np.int32), pa.int32())})
+
+    wins = ds.map_batches(_emit, batch_format="pyarrow", batch_size=1024)
+
+    def _dup_positions(g: pa.Table) -> pa.Table:
+        fp = np_col(g, "fp").astype(np.uint64)
+        ids = np_col(g, "doc_id")
+        pos = np_col(g, "pos")
+        # multiplicity counts every occurrence — same-doc repeats included
+        order, gid, counts = run_ids(fp)
+        dup = counts[gid] >= 2
+        return pa.table({"doc_id": pa.array(ids[order][dup], pa.int64()),
+                         "pos": pa.array(pos[order][dup], pa.int32()),
+                         "n_tok": pa.array(
+                             np.zeros(int(dup.sum()), np.int32), pa.int32())})
+
+    dup_rows = partitionwise(wins, _dup_positions, "fp", num_parts)
+
+    def _markers(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        _w, offsets = batch_shingle_hashes(texts, 1)
+        sizes = (offsets[1:] - offsets[:-1]).astype(np.int32)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "pos": pa.array(np.full(len(batch), -1, np.int32), pa.int32()),
+            "n_tok": pa.array(sizes, pa.int32())})
+
+    markers = ds.map_batches(_markers, batch_format="pyarrow",
+                             batch_size=1024)
+
+    def _union(g: pa.Table) -> pa.Table:
+        ids = np_col(g, "doc_id").astype(np.int64)
+        pos = np_col(g, "pos").astype(np.int64)
+        ntk = np_col(g, "n_tok").astype(np.int64)
+        if len(ids) == 0:
+            return _span_output(np.empty(0, np.int64), np.empty(0, np.int64),
+                                np.empty(0, np.int64))
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        ids_s, pos_s, ntk_s = ids[order], pos[order], ntk[order]
+        n_docs = len(counts)
+        n_of = np.zeros(n_docs, np.int64)
+        np.maximum.at(n_of, gid, ntk_s)           # marker rows carry n_tok
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        base = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(n_of, out=base[1:])
+        diff = np.zeros(base[-1] + 1, np.int64)
+        m = pos_s >= 0                            # dup-position rows
+        starts = base[gid[m]] + pos_s[m]
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, starts + L, -1)           # windows fit by construction
+        cov = (np.cumsum(diff[:-1]) > 0) if base[-1] else np.zeros(0, bool)
+        dup_tok = np.bincount(
+            np.repeat(np.arange(n_docs), n_of), weights=cov,
+            minlength=n_docs).astype(np.int64) if base[-1] else \
+            np.zeros(n_docs, np.int64)
+        return _span_output(ids_s[first], n_of, dup_tok)
+
+    return partitionwise(dup_rows.union(markers), _union, "doc_id", num_parts)
+
+
+def substring_dup_spans_sa(sf_dir: str, min_len: int = 10,
+                           batch_size: int = 1024,
+                           override_num_blocks: int | None = None):
+    """Zero-shuffle suffix-array lane: per Ray partition, build a real
+    suffix array over the concatenated docs (kernels.suffix) and extract
+    duplicated-run coverage locally.
+
+    Detects duplicates within a partition only — per-doc dup_tokens is a
+    SUBSET of ``substring_dup_spans`` (equal when candidate docs are
+    co-partitioned, e.g. single partition or after content bucketing);
+    self-repetition within a doc is always caught.  This is the Lee et al.
+    single-machine model applied per shard: no shuffle, O(n log^2 n) per
+    partition, the 100-TB shape when paired with a bucketing stage.
+    """
+    import ray.data as rd
+
+    from ..kernels.suffix import duplicated_coverage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=override_num_blocks)
+
+    def _cov(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        words, offsets = batch_shingle_hashes(texts, 1)
+        covered = duplicated_coverage(words, offsets, min_len)
+        sizes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        n = len(sizes)
+        dup_tok = np.bincount(
+            np.repeat(np.arange(n), sizes), weights=covered,
+            minlength=n).astype(np.int64) if len(covered) else \
+            np.zeros(n, np.int64)
+        return _span_output(np_col(batch, "doc_id").astype(np.int64),
+                            sizes, dup_tok)
+
+    return ds.map_batches(_cov, batch_format="pyarrow", batch_size=batch_size)

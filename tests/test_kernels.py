@@ -307,3 +307,62 @@ def test_adaptive_permutation_cache_bit_identical():
         got = S.rmin_digest_matrix(toks, off, 64, 7, perms=(a, b), cache=cache)
         assert (want == got).all()
     assert len(cache.keys) > 0  # promotions actually happened
+
+
+def test_suffix_array_and_lcp_match_bruteforce():
+    """Prefix-doubling SA + rank-table LCPs vs O(n^2 log n) brute force."""
+    import numpy as np
+
+    from rensa_ray.kernels.suffix import lcp_adjacent, suffix_array_with_levels
+
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        n = int(rng.integers(0, 120))
+        t = rng.integers(0, int(rng.integers(2, 9)), n).astype(np.int64)
+        sa, levels = suffix_array_with_levels(t)
+        brute = sorted(range(n), key=lambda i: list(t[i:]))
+        assert list(sa) == brute
+        if n >= 2:
+            lcp = lcp_adjacent(sa, levels)
+            for k in range(n - 1):
+                a, b = t[sa[k]:], t[sa[k + 1]:]
+                e = 0
+                while e < len(a) and e < len(b) and a[e] == b[e]:
+                    e += 1
+                assert lcp[k] == e
+
+
+def test_duplicated_coverage_matches_ngram_bruteforce():
+    """SA coverage == union of duplicated L-window positions (multiplicity
+    >= 2 counting every occurrence, same doc included)."""
+    import numpy as np
+
+    from rensa_ray.kernels.suffix import duplicated_coverage
+
+    rng = np.random.default_rng(1)
+
+    def brute(docs, L):
+        grams: dict = {}
+        for d, doc in enumerate(docs):
+            for p in range(len(doc) - L + 1):
+                grams.setdefault(tuple(doc[p:p + L]), []).append((d, p))
+        cov = [np.zeros(len(doc), bool) for doc in docs]
+        for occ in grams.values():
+            if len(occ) >= 2:
+                for d, p in occ:
+                    cov[d][p:p + L] = True
+        return (np.concatenate(cov) if docs and sum(map(len, docs))
+                else np.zeros(0, bool))
+
+    for _ in range(60):
+        nd = int(rng.integers(1, 6))
+        docs = [list(rng.integers(0, int(rng.integers(2, 7)),
+                                  int(rng.integers(0, 60))))
+                for _ in range(nd)]
+        L = int(rng.integers(1, 8))
+        off = np.zeros(nd + 1, np.int64)
+        np.cumsum([len(d) for d in docs], out=off[1:])
+        flat = (np.concatenate([np.asarray(d, np.uint64) for d in docs])
+                if off[-1] else np.zeros(0, np.uint64))
+        assert np.array_equal(duplicated_coverage(flat, off, L),
+                              brute(docs, L))

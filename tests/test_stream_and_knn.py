@@ -386,3 +386,41 @@ def test_streaming_stage_batched_matches_scalar_deduplicator():
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "text": pa.array([], pa.string())})
     assert stage(empty).num_rows == 0
+
+
+def test_substring_dup_spans_planted(ray_session, tmp_path):
+    """Exact span lane: planted cross-doc run + self-repeat + empty doc;
+    the SA lane equals it at one partition and is a subset at many."""
+    from rensa_ray.pipelines.substring import (
+        substring_dup_spans,
+        substring_dup_spans_sa,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(80)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(12, 40))))
+             for _ in range(40)]
+    run = " ".join(rng.choice(vocab, 12))
+    texts[3] = texts[3] + " " + run          # cross-doc shared 12-run
+    texts[7] = run + " " + texts[7]
+    texts[9] = run + " filler " + run        # self-repeat inside one doc
+    texts[11] = ""                           # empty doc
+
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    got = substring_dup_spans(sf_dir, min_len=10, num_parts=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(texts)
+    assert got.loc[3, "dup_tokens"] >= 12 and got.loc[7, "dup_tokens"] >= 12
+    assert got.loc[9, "dup_tokens"] >= 24    # both copies of the run
+    assert got.loc[11, "n_tokens"] == 0 and got.loc[11, "dup_ratio"] == 0.0
+
+    sa1 = substring_dup_spans_sa(sf_dir, min_len=10, batch_size=None,
+                                 override_num_blocks=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd_cols = ["doc_id", "n_tokens", "dup_tokens"]
+    assert (sa1[pd_cols].values == got[pd_cols].values).all()
+
+    sa_multi = substring_dup_spans_sa(sf_dir, min_len=10, batch_size=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (sa_multi["dup_tokens"] <= got["dup_tokens"]).all()
+    assert sa_multi.loc[9, "dup_tokens"] >= 24   # self-repeat never missed
