@@ -128,6 +128,7 @@ def run_suite() -> dict:
         "simhash_dup_flags", "exact_dedup_kept", "ngram_jaccard_pairs",
         "cosine_pairs_lsh", "cosine_topk", "top_tokens", "user_sessions",
         "doc_repetition_stats", "pack_sequences", "rho_dup_flags",
+        "substring_dup_spans", "substring_dup_spans_sa",
     ]
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
