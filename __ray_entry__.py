@@ -123,6 +123,26 @@ def _keep_best_query(sf_dir):
     return _fin(near_dedup_keep_best(ds, cfg), pa.schema([("doc_id", I64)]))
 
 
+def _streaming_dedup_query(sf_dir):
+    """Single-actor arrival-order first-wins lane (the batched
+    ``StreamingDedupStage``): (doc_id, is_dup) over the documents table in
+    ascending-id arrival order.  Sequential by semantics (concurrency=1,
+    one read block), so rows-only at the driver; verdict parity with the
+    scalar ``RMinHashDeduplicator`` is pinned in
+    tests/test_stream_and_knn.py."""
+    import ray.data as rd
+
+    from rensa_ray.state.stream import StreamingDedupStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=1)
+    out = ds.map_batches(
+        StreamingDedupStage, fn_constructor_kwargs={"threshold": 0.8},
+        batch_format="pyarrow", batch_size=1024, concurrency=1)
+    return _fin(out, pa.schema([("doc_id", I64), ("is_dup", BOOL)]))
+
+
 def _incremental_dedup_query(sf_dir):
     """Streaming/incremental lane in the driver contract: dedup the second
     half of the corpus against a band-table checkpoint built from the first
@@ -325,6 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             substring.substring_dup_spans_sa(sf, min_len=10),
             pa.schema([("doc_id", I64), ("n_tokens", I64),
                        ("dup_tokens", I64), ("dup_ratio", F64)])),
+        "substring_dedup_cut": lambda sf: _fin(
+            substring.substring_dedup_cut(sf, min_len=10),
+            pa.schema([("doc_id", I64), ("clean_text", STR),
+                       ("n_tokens", I64), ("removed_tokens", I64)])),
+        "streaming_dedup": _streaming_dedup_query,
         "simhash_sketches": lambda sf: _fin(
             simjoin.simhash_sketches(sf),
             pa.schema([("doc_id", I64), ("simhash", U64)])),
@@ -557,6 +582,39 @@ def oracle_sql() -> dict[str, str]:
                         THEN COALESCE(cov.dup_tokens, 0)::DOUBLE / len(t.w)
                         ELSE 0.0 END AS dup_ratio
             FROM t LEFT JOIN cov USING (doc_id)""",
+        # drop every token position covered by a duplicated 10-window and
+        # re-join the survivors (whitespace-normalized lowercase)
+        "substring_dedup_cut": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+')
+                     END AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS s
+              FROM t, LATERAL unnest(generate_series(1, len(w) - 9)) AS u(i)
+              WHERE len(w) >= 10),
+            c AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2),
+            d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (s)),
+            covpos AS (
+              SELECT DISTINCT doc_id, pos + k AS p
+              FROM d, LATERAL unnest(generate_series(0, 9)) AS v(k)),
+            pos_all AS (
+              SELECT t.doc_id, i AS pos, w[i] AS word
+              FROM t, LATERAL unnest(generate_series(1, len(w))) AS q(i)),
+            keep AS (
+              SELECT a.doc_id, a.pos, a.word
+              FROM pos_all a ANTI JOIN covpos cp
+                ON a.doc_id = cp.doc_id AND a.pos = cp.p),
+            ka AS (
+              SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                     COUNT(*) AS kept
+              FROM keep GROUP BY doc_id)
+            SELECT t.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
+                   len(t.w)::BIGINT AS n_tokens,
+                   (len(t.w) - COALESCE(ka.kept, 0))::BIGINT AS removed_tokens
+            FROM t LEFT JOIN ka USING (doc_id)""",
         "cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -301,6 +301,100 @@ def substring_dup_spans(sf_dir: str, min_len: int = 10, num_parts: int = 32):
     return partitionwise(dup_rows.union(markers), _union, "doc_id", num_parts)
 
 
+def substring_dedup_cut(sf_dir: str, min_len: int = 10, num_parts: int = 32):
+    """ExactSubstr REWRITE: drop every token covered by a duplicated run of
+    >= min_len words (both/all occurrences — the deterministic variant of
+    Lee et al.'s span cutting) and re-join the survivors.
+
+    Output (doc_id, clean_text, n_tokens, removed_tokens) for every doc;
+    ``clean_text`` is whitespace-normalized lowercase (the tokenizer's
+    canonical form — the only form in which "token position" is
+    well-defined).  Shape: the spans lanes' fingerprint-multiplicity
+    shuffle, then ONE doc-keyed shuffle carrying the corpus text once (the
+    op rewrites every document, so output ~ input size by nature).
+    """
+    import ray.data as rd
+
+    L = min_len
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        words, offsets = batch_shingle_hashes(texts, 1)
+        H, didx, pos = _window_hashes(words, offsets, L)
+        ids = np_col(batch, "doc_id")
+        return pa.table({"fp": pa.array(H, pa.uint64()),
+                         "doc_id": pa.array(ids[didx], pa.int64()),
+                         "pos": pa.array(pos.astype(np.int32), pa.int32())})
+
+    wins = ds.map_batches(_emit, batch_format="pyarrow", batch_size=1024)
+
+    def _dup_positions(g: pa.Table) -> pa.Table:
+        fp = np_col(g, "fp").astype(np.uint64)
+        ids = np_col(g, "doc_id")
+        pos = np_col(g, "pos")
+        order, gid, counts = run_ids(fp)
+        dup = counts[gid] >= 2
+        k = int(dup.sum())
+        return pa.table({"doc_id": pa.array(ids[order][dup], pa.int64()),
+                         "pos": pa.array(pos[order][dup], pa.int32()),
+                         "text": pa.array([None] * k, pa.string())})
+
+    dup_rows = partitionwise(wins, _dup_positions, "fp", num_parts)
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "pos": pa.array(np.full(len(batch), -1, np.int32), pa.int32()),
+            "text": batch["text"].cast(pa.string())})
+
+    docs = ds.map_batches(_doc_rows, batch_format="pyarrow", batch_size=1024)
+
+    def _cut(g: pa.Table) -> pa.Table:
+        ids = np_col(g, "doc_id").astype(np.int64)
+        pos = np_col(g, "pos").astype(np.int64)
+        texts = g["text"].to_pylist()
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "removed_tokens": pa.array([], pa.int64())})
+        order = np.lexsort((pos, ids))
+        ids_s, pos_s = ids[order], pos[order]
+        first = np.zeros(len(ids_s), bool)
+        first[0] = True
+        first[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.concatenate([starts[1:], [len(ids_s)]])
+        out_ids, out_txt, out_n, out_rm = [], [], [], []
+        for s, e in zip(starts, ends):
+            # the doc's text row sorts first (pos == -1, exactly one)
+            t = texts[order[s]]
+            words = ("" if t is None else t).lower().split()
+            n = len(words)
+            p = pos_s[s + 1: e]                # dup window starts, ascending
+            if len(p):
+                diff = np.zeros(n + 1, np.int64)
+                np.add.at(diff, p, 1)
+                np.add.at(diff, p + L, -1)
+                cov = np.cumsum(diff[:-1]) > 0
+                kept = [w for w, c in zip(words, cov) if not c]
+                removed = int(cov.sum())
+            else:
+                kept, removed = words, 0
+            out_ids.append(int(ids_s[s]))
+            out_txt.append(" ".join(kept))
+            out_n.append(n)
+            out_rm.append(removed)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "clean_text": pa.array(out_txt, pa.string()),
+                         "n_tokens": pa.array(out_n, pa.int64()),
+                         "removed_tokens": pa.array(out_rm, pa.int64())})
+
+    return partitionwise(dup_rows.union(docs), _cut, "doc_id", num_parts)
+
+
 def substring_dup_spans_sa(sf_dir: str, min_len: int = 10,
                            batch_size: int = 1024,
                            override_num_blocks: int | None = None):

@@ -424,3 +424,43 @@ def test_substring_dup_spans_planted(ray_session, tmp_path):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (sa_multi["dup_tokens"] <= got["dup_tokens"]).all()
     assert sa_multi.loc[9, "dup_tokens"] >= 24   # self-repeat never missed
+
+
+def test_substring_dedup_cut_planted(ray_session, tmp_path):
+    """ExactSubstr rewrite: the duplicated run disappears from BOTH docs,
+    untouched docs come back whitespace-normalized lowercase, and token
+    accounting matches the spans lane."""
+    from rensa_ray.pipelines.substring import (
+        substring_dedup_cut,
+        substring_dup_spans,
+    )
+
+    rng = np.random.default_rng(6)
+    vocab = [f"v{i}" for i in range(90)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(12, 30))))
+             for _ in range(20)]
+    run_words = [f"r{i}" for i in range(12)]          # distinct from vocab
+    run = " ".join(run_words)
+    texts[2] = texts[2] + " " + run
+    texts[5] = run + " " + texts[5]
+    texts[8] = "  MiXeD   Case \t doc  "              # normalization only
+
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    cut = substring_dedup_cut(sf_dir, min_len=10, num_parts=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    spans = substring_dup_spans(sf_dir, min_len=10, num_parts=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+
+    assert len(cut) == len(texts)
+    # removed == the spans lane's dup_tokens, doc by doc
+    assert (cut["removed_tokens"] == spans["dup_tokens"]).all()
+    assert (cut["n_tokens"] == spans["n_tokens"]).all()
+    # the run is gone from both carriers; their own prose survives
+    for d in (2, 5):
+        for w in run_words:
+            assert w not in cut.loc[d, "clean_text"].split()
+    assert cut.loc[2, "clean_text"] == " ".join(texts[2].lower().split()[:-12])
+    assert cut.loc[5, "clean_text"] == " ".join(texts[5].lower().split()[12:])
+    # untouched doc: canonical form, nothing removed
+    assert cut.loc[8, "clean_text"] == "mixed case doc"
+    assert cut.loc[8, "removed_tokens"] == 0
