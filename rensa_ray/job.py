@@ -63,13 +63,43 @@ def _assignments_checksum(ds) -> tuple[int, int]:
     return total, sum(int(r["n"]) for r in parts)
 
 
+def _auto_config(input_dir: str):
+    """The submit-path DedupConfig: env knobs + the two auto defaults
+    (task-pool signer, input/cores-sized shuffle partitions).  Shared by
+    normal job runs and --rehearse so the rehearsal exercises EXACTLY the
+    configuration a real submission would run."""
+    import dataclasses
+    import os
+
+    import ray
+
+    from .pipelines.dedup import DedupConfig
+    from .pipelines.webdedup import UID_COL
+
+    cfg = DedupConfig.from_env(id_col=UID_COL)
+    patch: dict = {}
+    if "RENSA_RAY_CONCURRENCY" not in os.environ:
+        # task-pool signer by default: a fixed actor pool sized larger than
+        # the cluster deadlocks (reserves CPUs the shuffle stages need),
+        # and sized smaller idles cores — tasks fit every cluster size
+        patch["concurrency"] = None
+    if "RENSA_RAY_NUM_PARTS" not in os.environ:
+        # auto-size shuffle partitions from input bytes + cluster cores so
+        # the same submit command works from a laptop corpus to 100 TB
+        from .pipelines.common import dir_parquet_bytes, suggest_num_parts
+
+        cores = int(ray.cluster_resources().get("CPU", 8))
+        patch["num_parts"] = suggest_num_parts(
+            dir_parquet_bytes(input_dir), cores)
+    return dataclasses.replace(cfg, **patch)
+
+
 def _rehearse(args) -> int:
     """Scale rehearsal: flagship at --rehearse-docs + kill/resume assertion."""
     import os
     import shutil
     import time
 
-    from .pipelines.dedup import DedupConfig
     from .pipelines.webdedup import run_web_dedup
     from .sources.corpus import write_corpus, write_corpus_parallel
 
@@ -86,20 +116,7 @@ def _rehearse(args) -> int:
     out_dir = os.path.join(base, "out")
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    import dataclasses
-
-    cfg = DedupConfig.from_env(id_col="uid")
-    patch = {}
-    if "RENSA_RAY_CONCURRENCY" not in os.environ:
-        patch["concurrency"] = None
-    if "RENSA_RAY_NUM_PARTS" not in os.environ:
-        import ray
-
-        from .pipelines.common import dir_parquet_bytes, suggest_num_parts
-
-        cores = int(ray.cluster_resources().get("CPU", 8))
-        patch["num_parts"] = suggest_num_parts(dir_parquet_bytes(cdir), cores)
-    cfg = dataclasses.replace(cfg, **patch)
+    cfg = _auto_config(cdir)
 
     t0 = time.time()
     out1, m1 = run_web_dedup(cdir, out_dir, cfg=cfg, checkpoint=True)
@@ -197,26 +214,9 @@ def main(argv: list[str] | None = None) -> int:
         ray.shutdown()
         return rc
 
-    from .pipelines.dedup import DedupConfig
-    from .pipelines.webdedup import UID_COL, run_web_dedup
+    from .pipelines.webdedup import run_web_dedup
 
-    import dataclasses
-    import os
-
-    cfg = DedupConfig.from_env(id_col=UID_COL)
-    if "RENSA_RAY_CONCURRENCY" not in os.environ:
-        # task-pool signer by default: a fixed actor pool sized larger than
-        # the cluster deadlocks (reserves CPUs the shuffle stages need),
-        # and sized smaller idles cores — tasks fit every cluster size
-        cfg = dataclasses.replace(cfg, concurrency=None)
-    if "RENSA_RAY_NUM_PARTS" not in os.environ:
-        # auto-size shuffle partitions from input bytes + cluster cores so
-        # the same submit command works from a laptop corpus to 100 TB
-        from .pipelines.common import dir_parquet_bytes, suggest_num_parts
-
-        cores = int(ray.cluster_resources().get("CPU", 8))
-        cfg = dataclasses.replace(cfg, num_parts=suggest_num_parts(
-            dir_parquet_bytes(args.input), cores))
+    cfg = _auto_config(args.input)
     out, manifest = run_web_dedup(args.input, args.out, cfg=cfg,
                                   use_html=args.use_html,
                                   checkpoint=not args.no_checkpoint)

@@ -117,7 +117,6 @@ def duplicated_coverage(word_hashes: np.ndarray, offsets: np.ndarray,
     # interleave: doc0 tokens, sep0, doc1 tokens, sep1, ...
     m = total + n_docs
     seq = np.empty(m, np.int64)
-    new_starts = offsets[:-1] + np.arange(n_docs)      # doc start in seq
     sep_pos = offsets[1:] + np.arange(n_docs)          # separator slots
     tok_pos = np.arange(total) + np.repeat(np.arange(n_docs), sizes)
     seq[tok_pos] = compact

@@ -205,6 +205,42 @@ def substring_dup_pairs_winnowed(sf_dir: str, min_len: int = 10,
         _fingerprints(sf_dir, min_len, winnow=window), num_parts, max_df)
 
 
+def _window_fp_rows(ds, min_len: int):
+    """(doc_id, text) dataset → (fp, doc_id, pos) rows for EVERY in-doc
+    window of ``min_len`` words (positions kept, multiplicity preserved —
+    unlike ``_fingerprints``, which dedupes per doc for the pairs lanes)."""
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        words, offsets = batch_shingle_hashes(texts, 1)
+        H, didx, pos = _window_hashes(words, offsets, min_len)
+        ids = np_col(batch, "doc_id")
+        return pa.table({"fp": pa.array(H, pa.uint64()),
+                         "doc_id": pa.array(ids[didx], pa.int64()),
+                         "pos": pa.array(pos.astype(np.int32), pa.int32())})
+
+    return ds.map_batches(_emit, batch_format="pyarrow", batch_size=1024)
+
+
+def _dup_position_rows(wins, num_parts: int, pad_name: str, pad_fn):
+    """Fingerprint-keyed shuffle → (doc_id, pos, <pad>) rows of every window
+    whose fingerprint occurs >= 2 times globally (same-doc repeats count).
+    ``pad_fn(k)`` builds the extra column so the result unions cleanly with
+    each lane's per-doc marker rows."""
+
+    def _dup_positions(g: pa.Table) -> pa.Table:
+        fp = np_col(g, "fp").astype(np.uint64)
+        ids = np_col(g, "doc_id")
+        pos = np_col(g, "pos")
+        order, gid, counts = run_ids(fp)
+        dup = counts[gid] >= 2
+        return pa.table({"doc_id": pa.array(ids[order][dup], pa.int64()),
+                         "pos": pa.array(pos[order][dup], pa.int32()),
+                         pad_name: pad_fn(int(dup.sum()))})
+
+    return partitionwise(wins, _dup_positions, "fp", num_parts)
+
+
 def _span_output(ids: np.ndarray, n_tok: np.ndarray,
                  dup_tok: np.ndarray) -> pa.Table:
     ratio = np.where(n_tok > 0, dup_tok / np.maximum(n_tok, 1), 0.0)
@@ -231,31 +267,10 @@ def substring_dup_spans(sf_dir: str, min_len: int = 10, num_parts: int = 32):
     L = min_len
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-
-    def _emit(batch: pa.Table) -> pa.Table:
-        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
-        words, offsets = batch_shingle_hashes(texts, 1)
-        H, didx, pos = _window_hashes(words, offsets, L)
-        ids = np_col(batch, "doc_id")
-        return pa.table({"fp": pa.array(H, pa.uint64()),
-                         "doc_id": pa.array(ids[didx], pa.int64()),
-                         "pos": pa.array(pos.astype(np.int32), pa.int32())})
-
-    wins = ds.map_batches(_emit, batch_format="pyarrow", batch_size=1024)
-
-    def _dup_positions(g: pa.Table) -> pa.Table:
-        fp = np_col(g, "fp").astype(np.uint64)
-        ids = np_col(g, "doc_id")
-        pos = np_col(g, "pos")
-        # multiplicity counts every occurrence — same-doc repeats included
-        order, gid, counts = run_ids(fp)
-        dup = counts[gid] >= 2
-        return pa.table({"doc_id": pa.array(ids[order][dup], pa.int64()),
-                         "pos": pa.array(pos[order][dup], pa.int32()),
-                         "n_tok": pa.array(
-                             np.zeros(int(dup.sum()), np.int32), pa.int32())})
-
-    dup_rows = partitionwise(wins, _dup_positions, "fp", num_parts)
+    wins = _window_fp_rows(ds, L)
+    dup_rows = _dup_position_rows(
+        wins, num_parts, "n_tok",
+        lambda k: pa.array(np.zeros(k, np.int32), pa.int32()))
 
     def _markers(batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch["text"].to_pylist()]
@@ -318,30 +333,9 @@ def substring_dedup_cut(sf_dir: str, min_len: int = 10, num_parts: int = 32):
     L = min_len
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-
-    def _emit(batch: pa.Table) -> pa.Table:
-        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
-        words, offsets = batch_shingle_hashes(texts, 1)
-        H, didx, pos = _window_hashes(words, offsets, L)
-        ids = np_col(batch, "doc_id")
-        return pa.table({"fp": pa.array(H, pa.uint64()),
-                         "doc_id": pa.array(ids[didx], pa.int64()),
-                         "pos": pa.array(pos.astype(np.int32), pa.int32())})
-
-    wins = ds.map_batches(_emit, batch_format="pyarrow", batch_size=1024)
-
-    def _dup_positions(g: pa.Table) -> pa.Table:
-        fp = np_col(g, "fp").astype(np.uint64)
-        ids = np_col(g, "doc_id")
-        pos = np_col(g, "pos")
-        order, gid, counts = run_ids(fp)
-        dup = counts[gid] >= 2
-        k = int(dup.sum())
-        return pa.table({"doc_id": pa.array(ids[order][dup], pa.int64()),
-                         "pos": pa.array(pos[order][dup], pa.int32()),
-                         "text": pa.array([None] * k, pa.string())})
-
-    dup_rows = partitionwise(wins, _dup_positions, "fp", num_parts)
+    wins = _window_fp_rows(ds, L)
+    dup_rows = _dup_position_rows(
+        wins, num_parts, "text", lambda k: pa.array([None] * k, pa.string()))
 
     def _doc_rows(batch: pa.Table) -> pa.Table:
         return pa.table({

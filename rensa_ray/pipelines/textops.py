@@ -436,7 +436,9 @@ def decontaminate_flags(sf_dir: str | None = None, ngram_size: int = 5,
         c = np.zeros(len(h) + 1, dtype=np.int64)
         np.cumsum(hit, out=c[1:])
         contaminated = (c[offs[1:]] - c[offs[:-1]]) > 0
-        return pa.table({"doc_id": pa.array(ids[m], pa.int64()),
+        # keep the caller's id column name AND dtype — production id columns
+        # (e.g. webdedup's fxhash64 uid) are uint64 and overflow int64
+        return pa.table({id_col: b[id_col].filter(pa.array(m)),
                          "is_contaminated": pa.array(contaminated)})
 
     return train_ds.map_batches(_flag, batch_format="pyarrow")

@@ -358,14 +358,24 @@ class ImageDecodeStage:
         self.fallback = decode_fn if decode_fn is not None else (
             lambda b: _fake_decode(b, channels))
 
+    _PIL_MODES = {1: "L", 3: "RGB", 4: "RGBA"}
+
     def _decode_pil(self, payload: bytes) -> np.ndarray | None:
-        """Real compressed-image decode via Pillow, or None to fall back."""
+        """Real compressed-image decode via Pillow, or None to fall back.
+
+        Honors ``self.channels`` (1/3/4 → L/RGB/RGBA); any other channel
+        count falls back to ``decode_fn`` so every row of a batch keeps the
+        same (H, W, channels) shape — mixed widths would break the
+        fixed_size_list output column.
+        """
         import io
 
+        mode = self._PIL_MODES.get(self.channels)
+        if mode is None:
+            return None
         try:
             with self.pil.open(io.BytesIO(payload)) as im:
-                im = im.convert("L" if self.channels == 1 else "RGB")
-                arr = np.asarray(im, dtype=np.uint8)
+                arr = np.asarray(im.convert(mode), dtype=np.uint8)
         except Exception:  # undecodable/truncated payload → decode_fn hook
             return None
         if arr.ndim == 2:

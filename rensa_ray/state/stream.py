@@ -64,6 +64,12 @@ class StreamingDedupStage:
         self._keys: dict[str, int] = {}
         self._sigs = np.empty((self._GROW, num_perm), dtype=np.uint32)
         self._n = 0
+        # sorted stored-bucket hashes per band for the VECTORIZED triage
+        # (searchsorted membership beats O(unique x bands) dict probes);
+        # inserts buffer in _bh_pending and merge lazily at batch start
+        self._bh_sorted: list[np.ndarray] = [
+            np.empty(0, np.uint64) for _ in range(nb)]
+        self._bh_pending: list[list[int]] = [[] for _ in range(nb)]
 
     # ------------------------------------------------------------ internals
     def _insert(self, key: str, sig_row: np.ndarray, bh_row: np.ndarray) -> None:
@@ -77,7 +83,9 @@ class StreamingDedupStage:
         self._n += 1
         self._keys[key] = idx
         for b in range(self.num_bands):
-            self._tables[b].setdefault(int(bh_row[b]), []).append(idx)
+            h = int(bh_row[b])
+            self._tables[b].setdefault(h, []).append(idx)
+            self._bh_pending[b].append(h)
 
     def _is_sig_dup(self, sig_row: np.ndarray, bh_row: np.ndarray) -> bool:
         cand: set[int] = set()
@@ -115,6 +123,11 @@ class StreamingDedupStage:
         # provably unaffected by intra-batch ordering.
         collide = np.zeros(n, dtype=bool)
         for b in range(self.num_bands):
+            if self._bh_pending[b]:
+                self._bh_sorted[b] = np.unique(np.concatenate([
+                    self._bh_sorted[b],
+                    np.array(self._bh_pending[b], np.uint64)]))
+                self._bh_pending[b].clear()
             col = bh[:, b]
             order = np.argsort(col, kind="stable")
             s = col[order]
@@ -123,12 +136,11 @@ class StreamingDedupStage:
             gid = np.cumsum(boundary) - 1
             counts = np.bincount(gid)
             collide[order[counts[gid] >= 2]] = True
-            tab = self._tables[b]
-            if tab:
-                for p in np.flatnonzero(boundary):
-                    if int(s[p]) in tab:
-                        g = int(gid[p])
-                        collide[order[p: p + int(counts[g])]] = True
+            stored = self._bh_sorted[b]
+            if len(stored):
+                pos = np.searchsorted(stored, s)
+                pos[pos == len(stored)] = 0
+                collide[order[stored[pos] == s]] = True
 
         seen_in_batch: dict[str, int] = {}
         repeat = np.zeros(n, dtype=bool)

@@ -768,9 +768,32 @@ def test_decontaminate_flags_two_table(ray_session):
         train_ds=rd.from_arrow(train), eval_ds=eval_ds,
         id_col="uid", text_col="body",
         eval_text_col="prompt")).to_pandas()
-    out = out.set_index("doc_id").sort_index()
+    # the caller's id column name AND dtype pass through (uint64-safe)
+    out = out.set_index("uid").sort_index()
     assert set(out.index) == {10, 11, 12, 13}      # no row excluded
     assert bool(out.loc[10, "is_contaminated"])
     assert not bool(out.loc[11, "is_contaminated"])
     assert bool(out.loc[12, "is_contaminated"])
     assert bool(out.loc[13, "is_contaminated"])
+
+def test_decontaminate_flags_two_table_uint64_ids(ray_session):
+    """Production id columns (webdedup's fxhash64 uid) are uint64 with
+    values >= 2^63; the flag pass must preserve the caller's id dtype
+    instead of casting to int64 (which raised ArrowInvalid)."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines import textops
+
+    big = (1 << 63) + 5
+    train = pa.table({
+        "uid": pa.array([big, 7], pa.uint64()),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "completely unrelated content about ray data pipelines"]})
+    eval_ds = rd.from_arrow(pa.table({
+        "text": ["the quick brown fox jumps over the lazy dog"]}))
+    out = _to_table(textops.decontaminate_flags(
+        train_ds=rd.from_arrow(train), eval_ds=eval_ds,
+        id_col="uid")).to_pandas().set_index("uid").sort_index()
+    assert out.index.dtype == np.uint64
+    assert bool(out.loc[big, "is_contaminated"])
+    assert not bool(out.loc[7, "is_contaminated"])
