@@ -14,8 +14,10 @@ Formulation (all partition-wise, no per-key python):
 
 Each round is two hash-partitioned shuffles over (|V| + 2|E|) rows.  Rounds
 grow with component diameter; LSH candidate graphs are star-heavy so this
-converges in a handful of rounds.  ``checkpoint_dir`` writes labels per round
-so a killed run resumes from the last completed round.
+converges in a handful of rounds.  ``checkpoint_dir`` writes labels (+ a
+``_DONE`` marker) per round, and a re-invocation with the same dir resumes
+from the last COMPLETE round — labels are monotone, so resuming from any
+completed round is exact.
 """
 
 from __future__ import annotations
@@ -130,11 +132,33 @@ def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
                         "label": pa.array(labels, tbl.schema.field("src").type)})
         return rd.from_arrow(out)
 
-    labels = _distinct_nodes(edges, num_parts).map_batches(
-        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
-        batch_format="pyarrow").materialize()
+    start_round = 0
+    labels = None
+    if checkpoint_dir is not None:
+        # resume from the last COMPLETE round (dir + _DONE marker): a killed
+        # run restarts label propagation where it left off instead of from
+        # self-labels.  Labels are monotone non-increasing, so resuming from
+        # any completed round is always correct.
+        import os
 
-    for rnd in range(max_rounds):
+        import ray.data as rd
+
+        done = sorted(
+            int(d.split("=", 1)[1]) for d in (
+                os.listdir(checkpoint_dir) if os.path.isdir(checkpoint_dir)
+                else [])
+            if d.startswith("cc_round=") and os.path.exists(
+                os.path.join(checkpoint_dir, d, "_DONE")))
+        if done:
+            labels = rd.read_parquet(
+                f"{checkpoint_dir}/cc_round={done[-1]}").materialize()
+            start_round = done[-1] + 1
+    if labels is None:
+        labels = _distinct_nodes(edges, num_parts).map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow").materialize()
+
+    for rnd in range(start_round, max_rounds):
         new_labels, changed = _propagate_round(edges, labels, num_parts)
         labels = new_labels.materialize()
         # the sort's output block count tracks its INPUT block count, and
@@ -145,7 +169,12 @@ def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
         if labels.num_blocks() > 2 * num_parts:
             labels = labels.repartition(num_parts).materialize()
         if checkpoint_dir is not None:
+            import os
+
             labels.write_parquet(f"{checkpoint_dir}/cc_round={rnd}")
+            with open(os.path.join(checkpoint_dir, f"cc_round={rnd}",
+                                   "_DONE"), "w") as f:
+                f.write("ok")
         if changed == 0:
             break
     return labels
@@ -194,12 +223,21 @@ def _propagate_round(edges, labels, num_parts: int, pointer_jump: bool = True):
         # label of each edge endpoint (every edge node has a label row)
         pos = np.searchsorted(lk, ek)
         msg_label = lv[pos] if len(ek) else ev[:0]
-        # messages to neighbors + existing labels (keeps labels monotone)
+        # messages to neighbors + existing labels (keeps labels monotone).
+        # ``old`` rides along in the UINT64 domain with u64::MAX as the
+        # "message row, no old label" sentinel (an int64 -1 sentinel broke
+        # convergence detection for fxhash64 ids >= 2^63: the negative cast
+        # label always lost to -1 under max, so ``changed`` never reached 0
+        # and every run burned all max_rounds).  A genuine label of
+        # u64::MAX has probability 2^-64 per corpus — same class as the
+        # documented uid==0 sentinel note in webdedup.
         node = np.concatenate([ev, lk])
         lab = np.concatenate([msg_label, lv])
         return pa.table({"node": pa.array(node), "lab": pa.array(lab),
                          "old": pa.array(np.concatenate(
-                             [np.full(len(ev), -1, np.int64), lv.astype(np.int64)]))})
+                             [np.full(len(ev), np.iinfo(np.uint64).max,
+                                      np.uint64),
+                              lv.astype(np.uint64)]))})
 
     messages = partitionwise(unioned, _emit_messages, "key", num_parts)
 
@@ -217,9 +255,12 @@ def _propagate_round(edges, labels, num_parts: int, pointer_jump: bool = True):
         first[1:] = gid[1:] != gid[:-1]
         newlab = np.full(len(counts), np.iinfo(np.uint64).max, np.uint64)
         np.minimum.at(newlab, gid, lab[order])
-        oldlab = np.full(len(counts), -1, np.int64)
-        np.maximum.at(oldlab, gid, old[order])
-        changed = (newlab.astype(np.int64) != oldlab).astype(np.int64)
+        # every node has exactly one label row, so min-with-MAX-sentinel
+        # recovers its old label exactly (all-uint64 comparison — see
+        # _emit_messages for why the old int64 sentinel was wrong)
+        oldlab = np.full(len(counts), np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(oldlab, gid, old[order].astype(np.uint64))
+        changed = (newlab != oldlab).astype(np.int64)
         return pa.table({"node": pa.array(node[order][first]),
                          "label": pa.array(newlab.astype(node.dtype)),
                          "changed": pa.array(changed)})

@@ -125,6 +125,23 @@ def run_ids(*key_arrays: np.ndarray,
     return order, gid, counts
 
 
+def distinct_pair_rows(g: pa.Table, col_a: str = "src",
+                       col_b: str = "dst") -> pa.Table:
+    """Distinct (col_a, col_b) rows of one partition (run partitionwise
+    keyed on ``col_a``); preserves the input columns' arrow types."""
+    a = np_col(g, col_a).astype(np.uint64)
+    b = np_col(g, col_b).astype(np.uint64)
+    if len(a) == 0:
+        return pa.table({col_a: g[col_a], col_b: g[col_b]})
+    o, gg, _ = run_ids(a, b)
+    fst = np.zeros(len(gg), dtype=bool)
+    fst[0] = True
+    fst[1:] = gg[1:] != gg[:-1]
+    typ = g.schema.field(col_a).type
+    return pa.table({col_a: pa.array(a[o][fst]).cast(typ),
+                     col_b: pa.array(b[o][fst]).cast(typ)})
+
+
 def pairs_within_runs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """All unordered within-run pairs, fully vectorized.
 

@@ -716,17 +716,9 @@ _SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 def _distinct_pairs(g: pa.Table) -> pa.Table:
     """Global (src, dst) distinct — run partitionwise keyed on src."""
-    s = np_col(g, "src").astype(np.uint64)
-    d = np_col(g, "dst").astype(np.uint64)
-    if len(s) == 0:
-        return pa.table({"src": g["src"], "dst": g["dst"]})
-    o, gg, _ = run_ids(s, d)
-    fst = np.zeros(len(gg), dtype=bool)
-    fst[0] = True
-    fst[1:] = gg[1:] != gg[:-1]
-    typ = g.schema.field("src").type
-    return pa.table({"src": pa.array(s[o][fst]).cast(typ),
-                     "dst": pa.array(d[o][fst]).cast(typ)})
+    from .common import distinct_pair_rows
+
+    return distinct_pair_rows(g, "src", "dst")
 
 
 def _detect_hot_buckets(count_ds, cfg: DedupConfig, pre_shift: int = 0):

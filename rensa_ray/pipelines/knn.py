@@ -56,10 +56,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _load_matrix_local(sf_dir: str, max_vec_id: int | None = None):
-    """Driver-side load of the (small) broadcast side via pyarrow directly."""
+    """Driver-side load of the (small) broadcast side via pyarrow directly.
+
+    With ``max_vec_id`` set (the query-vector case), row groups whose
+    footer statistics prove ``min(vec_id) >= max_vec_id`` are skipped — the
+    driver reads a handful of row groups for its ~10 query vectors instead
+    of the whole corpus (statistics-free files fall back to a full read).
+    """
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/{EMB_FILE}", columns=["vec_id", "embedding"])
+    pf = pq.ParquetFile(f"{sf_dir}/{EMB_FILE}")
+    if max_vec_id is None:
+        tbl = pf.read(columns=["vec_id", "embedding"])
+    else:
+        vec_idx = pf.schema_arrow.get_field_index("vec_id")
+        groups = []
+        for g in range(pf.metadata.num_row_groups):
+            stats = pf.metadata.row_group(g).column(vec_idx).statistics
+            if stats is None or not stats.has_min_max \
+                    or stats.min < max_vec_id:
+                groups.append(g)
+        tbl = (pf.read_row_groups(groups, columns=["vec_id", "embedding"])
+               if groups else
+               pf.schema_arrow.empty_table().select(["vec_id", "embedding"]))
     ids = tbl["vec_id"].to_numpy()
     if max_vec_id is not None:
         mask = ids < max_vec_id
@@ -85,6 +104,10 @@ def cosine_topk(sf_dir: str, k: int = 5, num_queries: int = 10) -> pa.Table:
         q_ids, qn = ray.get(q_ref)
         ids = np_col(batch, "vec_id")
         m = _normalize(_emb_matrix(batch))
+        if m.size == 0 or qn.size == 0:  # empty block / no matching queries
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         scores = qn @ m.T  # (Q, B) float64
         # exclude self-matches
         self_mask = q_ids[:, None] == ids[None, :]
@@ -110,9 +133,13 @@ def cosine_topk(sf_dir: str, k: int = 5, num_queries: int = 10) -> pa.Table:
 
 def _reduce_topk(ds, k: int) -> pa.Table:
     """Final reduce over per-batch partial top-k rows (blocks × Q × k — tiny)."""
-    partial = pa.concat_tables(
-        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow",
-                                              batch_size=None)])
+    batches = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow",
+                                                    batch_size=None)]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    partial = pa.concat_tables(batches or [empty],
+                               promote_options="permissive")
     if partial.num_rows == 0:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "neighbor_id": pa.array([], pa.int64()),
@@ -150,6 +177,8 @@ def _sample_embeddings(sf_dir: str, max_rows: int) -> np.ndarray:
         seen += rb.num_rows
         if seen >= max_rows:
             break
+    if not batches:  # empty table → (0, 0) sample, caller handles
+        return np.empty((0, 0))
     tbl = pa.concat_tables(batches).slice(0, max_rows)
     return _emb_matrix(tbl)
 
@@ -163,6 +192,8 @@ def _train_centroids(sample: np.ndarray, num_centroids: int, seed: int,
     training sample only.
     """
     n = len(sample)
+    if n == 0:  # empty corpus: no cells (caller returns the empty result)
+        return np.empty((0, sample.shape[1] if sample.ndim == 2 else 0))
     num_centroids = min(num_centroids, max(n, 1))
     xs = _normalize(sample)
     idx = (splitmix64_stream(seed, num_centroids) % np.uint64(max(n, 1))
@@ -209,6 +240,10 @@ def cosine_topk_ivf(sf_dir: str, k: int = 5, num_queries: int = 10,
     cents = _train_centroids(_sample_embeddings(sf_dir, sample_rows),
                              num_centroids, seed)
     C = len(cents)
+    if qn.size == 0 or C == 0:  # no queries / empty corpus
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
     nprobe = min(nprobe, C)
     qc = qn @ cents.T
     probe = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
@@ -261,6 +296,9 @@ def cosine_pairs(sf_dir: str, threshold: float = 0.9):
         all_ids, all_n = ray.get(ref)  # zero-copy plasma read per task
         ids = np_col(batch, "vec_id")
         m = _normalize(_emb_matrix(batch))
+        if m.size == 0 or all_n.size == 0:  # empty block / empty corpus
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         scores = m @ all_n.T  # (B, N)
         mask = (scores >= threshold) & (ids[:, None] < all_ids[None, :])
         bi, aj = np.nonzero(mask)
@@ -314,8 +352,13 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
         flat = emb.flatten().to_numpy(zero_copy_only=False)
         dim = m.shape[1]
         tiled = np.tile(flat.reshape(n, dim), (num_tables, 1)).reshape(-1)
-        emb_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(tiled, pa.float32()), dim)
+        # plain list<float32> (not fixed_size_list) so empty batches emit
+        # the SAME schema — mixed-type blocks broke the groupby's table
+        # unification; _bucket_pairs re-derives dim from the data
+        rows = n * num_tables
+        emb_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (rows + 1) * dim, dim), pa.int32()),
+            pa.array(tiled, pa.float32()))
         return pa.table({"bucket": pa.array(keys.reshape(-1), pa.uint64()),
                          "vec_id": pa.array(rep_ids, pa.int64()),
                          "emb": emb_col})
@@ -329,8 +372,11 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
         bucket = np_col(g, "bucket").astype(np.uint64)
         ids = np_col(g, "vec_id")
         emb = g["emb"].combine_chunks()
-        dim = emb.type.list_size
-        m = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        if len(emb) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        vals = emb.flatten().to_numpy(zero_copy_only=False)
+        m = vals.reshape(len(emb), -1)
         m = _normalize(m.astype(np.float64))
         order, gid, counts = run_ids(bucket, ids.astype(np.uint64), n_group_keys=1)
         ids_s, m_s = ids[order], m[order]
@@ -347,20 +393,11 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
                          "id_b": pa.array(hi, pa.int64())})
 
     pairs = partitionwise(exploded, _bucket_pairs, "bucket", num_parts)
+    from .common import distinct_pair_rows
 
-    def _distinct(g: pa.Table) -> pa.Table:
-        a = np_col(g, "id_a").astype(np.uint64)
-        b = np_col(g, "id_b").astype(np.uint64)
-        if len(a) == 0:
-            return g
-        order, gid, _ = run_ids(a, b)
-        first = np.zeros(len(gid), bool)
-        first[0] = True
-        first[1:] = gid[1:] != gid[:-1]
-        return pa.table({"id_a": pa.array(a[order][first].astype(np.int64)),
-                         "id_b": pa.array(b[order][first].astype(np.int64))})
-
-    return partitionwise(pairs, _distinct, "id_a", num_parts)
+    return partitionwise(
+        pairs, lambda g: distinct_pair_rows(g, "id_a", "id_b"),
+        "id_a", num_parts)
 
 
 def embedding_label_centroids(sf_dir: str):
@@ -373,16 +410,22 @@ def embedding_label_centroids(sf_dir: str):
     def _partial(batch: pa.Table) -> pa.Table:
         lab = np_col(batch, "label").astype(np.int64)
         m = _emb_matrix(batch)
+        if m.size == 0:  # same list<float64> schema as non-empty blocks
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+                "vec_sum": pa.array([], pa.list_(pa.float64()))})
         uniq, inv = np.unique(lab, return_inverse=True)
-        dim = m.shape[1] if m.size else 0
+        dim = m.shape[1]
         sums = np.zeros((len(uniq), dim))
         np.add.at(sums, inv, m)
         cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         return pa.table({
             "label": pa.array(uniq),
             "n_vecs": pa.array(cnt),
-            "vec_sum": pa.FixedSizeListArray.from_arrays(
-                pa.array(sums.reshape(-1), pa.float64()), dim),
+            "vec_sum": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
+                pa.array(sums.reshape(-1), pa.float64())),
         })
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
@@ -391,10 +434,13 @@ def embedding_label_centroids(sf_dir: str):
         lab = np_col(g, "label")
         cnt = np_col(g, "n_vecs")
         vs = g["vec_sum"].combine_chunks()
-        dim = vs.type.list_size
-        m = vs.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        if len(vs) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64()),
+                             "centroid_norm": pa.array([], pa.float64())})
+        m = vs.flatten().to_numpy(zero_copy_only=False).reshape(len(vs), -1)
         uniq, inv = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(uniq), dim))
+        sums = np.zeros((len(uniq), m.shape[1]))
         np.add.at(sums, inv, m)
         n = np.zeros(len(uniq), np.int64)
         np.add.at(n, inv, cnt)

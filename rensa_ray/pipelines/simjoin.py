@@ -153,7 +153,14 @@ def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
                       ngram_size: int = 3, num_parts: int = 32):
     """(doc_id, is_dup): docs sharing a simhash band AND within Hamming
     distance ≤ max_hamming of a band-mate.  Pigeonhole guarantee: any pair
-    within distance < num_bands shares ≥1 exact band."""
+    within distance < num_bands shares ≥1 exact band — so ``max_hamming``
+    MUST be < ``num_bands`` or pairs in [num_bands, max_hamming] would be
+    silently missed when their differing bits span every band."""
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= num_bands={num_bands}: the "
+            f"banding only guarantees candidates for Hamming distance < "
+            f"num_bands; raise num_bands (e.g. {max_hamming + 1}) instead")
     from ..functions.simhash import hamming_distance
 
     sk = simhash_sketches(sf_dir, ngram_size)

@@ -79,6 +79,7 @@ class BloomFilter:
         self.fp_rate = float(fp_rate)
         self.seed = int(seed)
         self.n_added = 0
+        self._over_capacity_warned = False
         self._bits = np.zeros(self.num_bits // 64, dtype=np.uint64)
 
     # -------------------------------------------------------------- probes
@@ -113,6 +114,18 @@ class BloomFilter:
         bit = np.uint64(1) << (pos & np.uint64(63))
         np.bitwise_or.at(self._bits, word.ravel(), bit.ravel())
         self.n_added += int(len(fresh))
+        if self.n_added > self.capacity and not self._over_capacity_warned:
+            # past the sized load the REAL fp rate (here: unique docs
+            # wrongly flagged duplicate and dropped) grows without bound —
+            # surface it once instead of silently discarding data
+            import warnings
+
+            warnings.warn(
+                f"BloomFilter exceeded sized capacity ({self.n_added} > "
+                f"{self.capacity}): effective false-positive rate now "
+                f"above the configured {self.fp_rate}; re-size the filter "
+                f"or rotate the sidecar", RuntimeWarning, stacklevel=2)
+            self._over_capacity_warned = True
         return seen
 
     def add(self, key: int) -> bool:
@@ -154,6 +167,7 @@ class BloomFilter:
         obj.seed = int(header[3])
         obj.n_added = int(header[4])
         obj.fp_rate = float(np.frombuffer(data[40:48], dtype=np.float64)[0])
+        obj._over_capacity_warned = False
         obj._bits = np.frombuffer(data[48:], dtype=np.uint64).copy()
         if len(obj._bits) * 64 != obj.num_bits:
             raise ValueError("corrupt bloom payload")

@@ -111,3 +111,20 @@ def test_incremental_bloom_flow(ray_session):
             num_parts=2).to_pandas().set_index("doc_id").sort_index()
     assert f1["is_dup"].tolist() == [False, False, True, False]
     assert f2["is_dup"].tolist() == [True, False, True, False]
+
+
+def test_bloom_warns_once_past_capacity():
+    import warnings
+
+    from rensa_ray.state.bloom import BloomFilter
+
+    bf = BloomFilter(capacity=100, fp_rate=0.01, seed=1)
+    keys = np.arange(1, 301, dtype=np.uint64)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bf.add_many(keys[:150])
+        bf.add_many(keys[150:])
+        hits = [x for x in w if issubclass(x.category, RuntimeWarning)
+                and "capacity" in str(x.message)]
+    assert len(hits) == 1                      # warned exactly once
+    assert bf.n_added == 300

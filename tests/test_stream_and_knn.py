@@ -464,3 +464,40 @@ def test_substring_dedup_cut_planted(ray_session, tmp_path):
     # untouched doc: canonical form, nothing removed
     assert cut.loc[8, "clean_text"] == "mixed case doc"
     assert cut.loc[8, "removed_tokens"] == 0
+
+
+def test_simhash_dup_flags_rejects_unguaranteed_hamming(ray_session, tmp_path):
+    """max_hamming >= num_bands would silently miss pairs whose differing
+    bits span every band — must raise, not under-recall."""
+    from rensa_ray.pipelines.simjoin import simhash_dup_flags
+
+    sf_dir = _mk_docs_table(tmp_path, ["a b c", "d e f"])
+    with pytest.raises(ValueError, match="num_bands"):
+        simhash_dup_flags(sf_dir, num_bands=4, max_hamming=6)
+
+
+def test_knn_lanes_tolerate_empty_and_tiny_inputs(ray_session, tmp_path):
+    """Empty blocks / empty corpora: exact top-k, all-pairs, LSH pairs, IVF
+    and label centroids all return empty results instead of crashing on
+    (0,0) matmuls or schema-divergent empty blocks."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.knn import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+        cosine_topk,
+        cosine_topk_ivf,
+        embedding_label_centroids,
+    )
+
+    tbl = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    d = str(tmp_path)
+    assert cosine_topk(d, k=3, num_queries=5).num_rows == 0
+    assert cosine_pairs(d, threshold=0.9).count() == 0
+    assert cosine_pairs_lsh(d, threshold=0.9, num_parts=2).count() == 0
+    assert cosine_topk_ivf(d, k=3, num_queries=5).num_rows == 0
+    assert embedding_label_centroids(d).count() == 0
