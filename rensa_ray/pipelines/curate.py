@@ -104,9 +104,13 @@ def near_dedup_keep_best(ds, cfg: DedupConfig | None = None, scores_ds=None):
     # side with sentinel columns, union, and pivot inside one doc_id-keyed
     # partitionwise pass (the same fused-join idiom webdedup uses).
     def _tag_cluster(b: pa.Table) -> pa.Table:
+        # -inf sentinel, NOT -1.0: caller scores may be arbitrarily negative
+        # (perplexities / log-likelihoods), and the maximum.at pivot must
+        # never clamp a real score
         return pa.table({cfg.id_col: b[cfg.id_col],
                          "cluster_id": b["cluster_id"],
-                         "score": pa.array(np.full(b.num_rows, -1.0), pa.float64())})
+                         "score": pa.array(np.full(b.num_rows, -np.inf),
+                                           pa.float64())})
 
     def _tag_score(b: pa.Table) -> pa.Table:
         return pa.table({cfg.id_col: b[cfg.id_col],
@@ -123,7 +127,7 @@ def near_dedup_keep_best(ds, cfg: DedupConfig | None = None, scores_ds=None):
         order, gid, counts = run_ids(ids.astype(np.uint64))
         n_docs = len(counts)
         cluster = np.full(n_docs, -1, np.int64)
-        score = np.full(n_docs, -1.0, np.float64)
+        score = np.full(n_docs, -np.inf, np.float64)
         np.maximum.at(cluster, gid, cl[order])
         np.maximum.at(score, gid, sc[order])
         first = np.zeros(len(gid), bool)

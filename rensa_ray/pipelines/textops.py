@@ -33,7 +33,7 @@ def _events(sf_dir: str, columns: list[str]):
 
 
 def _with_md5(batch: pa.Table) -> pa.Table:
-    texts = batch["text"].to_pylist()
+    texts = ["" if t is None else t for t in batch["text"].to_pylist()]
     md5s = md5_hex(texts)
     key = fxhash64_bytes_list([m.encode() for m in md5s])
     return pa.table({
@@ -101,7 +101,8 @@ def doc_token_counts(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def _count(b: pa.Table) -> pa.Table:
-        n_tok, n_sh = token_counts(b["text"].to_pylist())
+        n_tok, n_sh = token_counts(
+            ["" if t is None else t for t in b["text"].to_pylist()])
         return pa.table({"doc_id": b["doc_id"],
                          "n_tokens": pa.array(n_tok, pa.int64()),
                          "n_shingles": pa.array(n_sh, pa.int64())})
@@ -160,7 +161,8 @@ def _explode_token_counts(b: pa.Table) -> pa.Table:
     """Per-batch partial: (token, cnt) — map-side pre-aggregation."""
     toks: list[str] = []
     for t in b["text"].to_pylist():
-        toks.extend(t.split())
+        if t is not None:
+            toks.extend(t.split())
     if not toks:
         return pa.table({"token": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64()),
@@ -195,7 +197,7 @@ def distinct_token_count(sf_dir: str, num_parts: int = DEFAULT_PARTS):
 
 def total_token_count(sf_dir: str):
     ds = doc_token_counts(sf_dir)
-    total = ds.sum("n_tokens")
+    total = ds.sum("n_tokens") or 0  # Dataset.sum is None over zero rows
     return pa.table({"total_tokens": pa.array([int(total)], pa.int64())})
 
 
@@ -413,8 +415,13 @@ def decontaminate_flags(sf_dir: str | None = None, ngram_size: int = 5,
 
         gram_src = train_ds.map_batches(_eval_slice_grams,
                                         batch_format="pyarrow")
-    rows = gram_src.take_all()
-    ev = np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
+    # Arrow batches, not take_all(): a realistic eval suite yields millions
+    # of gram hashes — per-row Python dicts would cost GBs on the driver
+    parts = [b["h"].to_numpy(zero_copy_only=False)
+             for b in gram_src.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)]
+    ev = (np.unique(np.concatenate(parts).astype(np.uint64))
+          if parts else np.empty(0, np.uint64))
     ref = ray.put(ev)
 
     def _flag(b: pa.Table) -> pa.Table:
@@ -751,7 +758,9 @@ def events_range_join(sf_dir: str, left_type: str = "purchase",
         uniq_ts = np.unique(np.concatenate([r_ts, lo_ts, l_ts]))
         uniq_u = np.unique(users)
         M = np.int64(len(uniq_ts) + 1)
-        if len(uniq_u) * M >= np.iinfo(np.int64).max:  # ~1.7e9-row partition
+        # guard in PYTHON ints: the numpy int64 product would wrap (warn,
+        # not raise) and let genuinely overflowed composite keys through
+        if int(len(uniq_u)) * int(M) >= np.iinfo(np.int64).max:
             raise ValueError("events_range_join partition too large for the "
                              "rank composite — raise num_parts")
         r_key = (np.searchsorted(uniq_u, r_users).astype(np.int64) * M

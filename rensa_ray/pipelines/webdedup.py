@@ -93,11 +93,35 @@ class _Checkpointer:
         return rd.read_parquet(self._stage_dir(name), columns=columns,
                                override_num_blocks=self.num_blocks)
 
-    def save(self, name: str, ds, t0: float):
+    def save(self, name: str, ds, t0: float,
+             empty_schema: pa.Schema | None = None):
+        import shutil
+
         import pyarrow.parquet as pq
 
         path = self._stage_dir(name)
+        if os.path.isdir(path) and not self.done(name):
+            # stale partial files from a killed attempt: write_parquet
+            # APPENDS under fresh UUID names, so resuming into the dir
+            # would silently duplicate every row — wipe and rewrite
+            shutil.rmtree(path)
         ds.write_parquet(path)
+        if not os.path.isdir(path):
+            # a 0-row dataset writes no directory at all (Ray 2.49): pin
+            # the stage's schema in one explicit empty parquet file so
+            # done()/load() behave identically for empty stages
+            # (ds.schema() is None for a fully-empty dataset — callers
+            # whose stage can legitimately be empty pass ``empty_schema``)
+            os.makedirs(path, exist_ok=True)
+            schema = ds.schema()
+            arrow_schema = (pa.schema(list(zip(schema.names, schema.types)))
+                            if schema is not None else empty_schema)
+            if arrow_schema is None:
+                raise ValueError(
+                    f"stage {name!r} produced no rows and no schema; pass "
+                    f"empty_schema to checkpoint it")
+            pq.write_table(arrow_schema.empty_table(),
+                           os.path.join(path, "empty.parquet"))
         # per-partition lineage straight from parquet footers — no Ray
         # execution at all (counting the live dataset would re-run the whole
         # upstream pipeline).  One entry per output file gives a downstream
@@ -196,7 +220,18 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
         else:
             from .dedup import _SALT_MIX, band_table_from_columns
 
-            bands = band_table_from_columns(sig_ds, cfg)
+            sig_cols = [UID_COL] + [f"bh{b}" for b in range(cfg.num_bands)]
+            count_pre_shift = cfg.salt_sample_shift
+            shift = np.uint64(64 - count_pre_shift) if count_pre_shift else None
+
+            def _sample_rows(b: pa.Table) -> pa.Table:
+                if count_pre_shift == 0:
+                    return b
+                uids = b[UID_COL].to_numpy(zero_copy_only=False
+                                           ).astype(np.uint64)
+                keep = ((uids * _SALT_MIX) >> shift) == 0
+                return b.filter(pa.array(keep))
+
             if ck is not None:
                 # independent re-read of the signature checkpoint for the
                 # auto-salt count pass — two cheap parquet scans instead of
@@ -204,27 +239,29 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
                 # are sampled BEFORE band explosion (the detector's full
                 # sampling rate), so the count pass explodes 1/2^shift of
                 # the corpus instead of all of it.
-                sig_cols = [UID_COL] + [f"bh{b}" for b in range(cfg.num_bands)]
-                count_pre_shift = cfg.salt_sample_shift
-                shift = np.uint64(64 - count_pre_shift) if count_pre_shift else None
-
-                def _sample_rows(b: pa.Table) -> pa.Table:
-                    if count_pre_shift == 0:
-                        return b
-                    uids = b[UID_COL].to_numpy(zero_copy_only=False
-                                               ).astype(np.uint64)
-                    keep = ((uids * _SALT_MIX) >> shift) == 0
-                    return b.filter(pa.array(keep))
-
+                bands = band_table_from_columns(sig_ds, cfg)
                 count_ds = band_table_from_columns(
                     ck.load("signatures", columns=sig_cols).map_batches(
                         _sample_rows, batch_format="pyarrow"), cfg)
+            else:
+                # no checkpoint to re-read: materialize the compact
+                # (uid, bh*) columns once (~72 B/doc) and derive BOTH the
+                # live band table and the sample-before-explode count pass
+                # from them — same shape as dedup._compact_bands_and_count,
+                # instead of candidate_edges' exploded-band safety net
+                compact = sig_ds.select_columns(sig_cols).materialize()
+                bands = band_table_from_columns(compact, cfg)
+                count_ds = band_table_from_columns(
+                    compact.map_batches(_sample_rows,
+                                        batch_format="pyarrow"), cfg)
         edges = candidate_edges(bands, cfg, with_sig=cfg.verify,
                                 count_ds=count_ds,
                                 count_pre_shift=count_pre_shift)
         labels = connected_components(edges, num_parts=cfg.num_parts)
         if ck is not None:
-            labels = ck.save("labels", labels, t0)
+            # labels are legitimately empty on an all-unique corpus
+            labels = ck.save("labels", labels, t0, empty_schema=pa.schema(
+                [("node", pa.uint64()), ("label", pa.uint64())]))
 
     # --- assignments: one shuffle joins (uid → url) with (uid → label) ----
     if ck is not None and ck.done("assignments"):

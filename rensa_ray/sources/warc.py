@@ -94,6 +94,10 @@ class WarcDatasource(FileBasedDatasource):
 
     def __init__(self, paths, record_types: tuple[str, ...] = ("response",),
                  batch_rows: int = 512, **kwargs):
+        # FileBasedDatasource only filters via the constructor arg — a bare
+        # class attribute is inert, and a crawl dir's manifest/README files
+        # would otherwise shard into read tasks and fail the parse
+        kwargs.setdefault("file_extensions", self._FILE_EXTENSIONS)
         super().__init__(paths, **kwargs)
         self._record_types = record_types
         self._batch_rows = batch_rows

@@ -104,3 +104,72 @@ def test_job_rehearse_cli(tmp_path):
     assert report["resume_identical"] is True
     assert report["finished_stages_untouched"] is True
     assert report["failures"] == []
+
+
+def test_webdedup_all_unique_corpus_checkpointed(ray_session, tmp_path):
+    """A corpus with no LSH collisions produces an EMPTY labels stage; the
+    checkpointer must still pin its schema and resume (Ray writes no
+    directory at all for a 0-row dataset)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.pipelines.webdedup import run_web_dedup
+
+    rng = np.random.default_rng(13)
+    n = 60
+    texts = [" ".join(f"u{i}_{rng.integers(0, 10**9)}_{j}" for j in range(40))
+             for i in range(n)]
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    pq.write_table(pa.table({
+        "url": pa.array([f"https://u.test/{i}" for i in range(n)]),
+        "text": pa.array(texts)}), str(cdir / "part-0.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    cfg = DedupConfig(id_col="uid", num_parts=4, concurrency=None)
+    out1, m1 = run_web_dedup(str(cdir), out_dir, cfg)
+    df1 = out1.to_pandas()
+    assert len(df1) == n and not df1["is_dup"].any()
+    assert (tmp_path / "out" / "stage=labels").is_dir()
+
+    # rerun resumes through the empty labels checkpoint
+    out2, _ = run_web_dedup(str(cdir), out_dir, cfg)
+    assert not out2.to_pandas()["is_dup"].any()
+
+
+def test_webdedup_resume_discards_stale_partial_stage(ray_session, tmp_path):
+    """Partial parquet files from a killed attempt (dir present, no
+    _SUCCESS) must be WIPED before the rewrite — write_parquet appends
+    under fresh UUID names, which previously doubled every row on resume."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.pipelines.webdedup import run_web_dedup
+    from rensa_ray.sources.corpus import write_corpus
+
+    cdir, _ = write_corpus(str(tmp_path / "corpus"), n_docs=300, seed=9)
+    out_dir = str(tmp_path / "out")
+    cfg = DedupConfig(id_col="uid", num_parts=4, concurrency=None)
+
+    out1, m1 = run_web_dedup(cdir, out_dir, cfg)
+    df1 = out1.to_pandas().sort_values("uid").reset_index(drop=True)
+    sig_rows = m1["stages"]["signatures"]["rows"]
+
+    # simulate a crash mid-signatures-write: drop _SUCCESS, keep the files
+    sig_dir = tmp_path / "out" / "stage=signatures"
+    (sig_dir / "_SUCCESS").unlink()
+    import shutil
+
+    shutil.rmtree(tmp_path / "out" / "stage=labels")
+    shutil.rmtree(tmp_path / "out" / "stage=assignments")
+
+    out2, m2 = run_web_dedup(cdir, out_dir, cfg)
+    df2 = out2.to_pandas().sort_values("uid").reset_index(drop=True)
+    assert m2["stages"]["signatures"]["rows"] == sig_rows  # not doubled
+    total = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in sig_dir.glob("*.parquet"))
+    assert total == sig_rows
+    pd.testing.assert_frame_equal(df1, df2)

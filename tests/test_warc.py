@@ -101,3 +101,19 @@ def test_warc_to_dedup_end_to_end(ray_session, tmp_path):
     # one-shot matrix semantics: EVERY member of a colliding cluster is
     # flagged (keep-min selection happens in the clusters/dedup lanes)
     assert dup_ids == {3, 7, 22, 15, 29}
+
+
+def test_read_warc_directory_skips_non_warc_files(ray_session, tmp_path):
+    """A crawl directory with manifest/README sidecars: only *.warc[.gz]
+    files shard into read tasks (file_extensions is forwarded to the
+    datasource — a bare class attribute never filtered anything)."""
+    texts = _pages(6)
+    recs = [(f"https://d.test/{i}", "2024-01-02T03:04:05Z", wrap_html(t))
+            for i, t in enumerate(texts)]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(str(d / "seg-0.warc.gz"), recs)
+    (d / "MANIFEST.txt").write_text("not a warc\n")
+    (d / "checksums.sha256").write_text("deadbeef  seg-0.warc.gz\n")
+    df = read_warc([str(d)]).to_pandas()
+    assert len(df) == 6
