@@ -27,7 +27,17 @@ vectorized versions' parity tests.
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass, field
+
+if sys.byteorder != "little":  # pragma: no cover
+    # several hot kernels read u64 halves via reinterpret views
+    # (tmp.view(np.uint32)[::2] == v >> 32 only on LE); on a big-endian host
+    # those would produce silently wrong signatures while the scalar parity
+    # path stayed right — fail loudly instead
+    raise RuntimeError(
+        "rensa_ray's vectorized hash kernels assume a little-endian host; "
+        "big-endian platforms are not supported")
 
 import numpy as np
 

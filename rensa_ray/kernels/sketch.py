@@ -69,19 +69,6 @@ def segmented_min(values: np.ndarray, offsets: np.ndarray, empty_value) -> np.nd
     return out
 
 
-def _doc_chunks(offsets: np.ndarray, num_perm: int):
-    """Yield (doc_lo, doc_hi) slices so each gathered tile stays bounded."""
-    n = len(offsets) - 1
-    max_tokens = max(_TOKEN_TILE_ELEMS // max(num_perm, 1), 1024)
-    lo = 0
-    while lo < n:
-        hi = int(np.searchsorted(offsets, offsets[lo] + max_tokens, side="left"))
-        hi = max(hi, lo + 1)
-        hi = min(hi, n)
-        yield lo, hi
-        lo = hi
-
-
 def _sampled_unique_ratio(hashes: np.ndarray, cap: int = 4096) -> float:
     """Cheap redundancy probe: unique ratio of an every-k-th subsample."""
     step = max(len(hashes) // cap, 1)
@@ -522,7 +509,7 @@ def oph_digest_matrix(token_hashes: np.ndarray, offsets: np.ndarray,
     # tiled twice to resolve the wrap-around in one vectorized pass.
     filled = out != CMIN_EMPTY
     any_filled = filled.any(axis=1)
-    if not any_filled.all() or not filled.all():
+    if not filled.all():  # any empty slot anywhere
         twice = np.concatenate([out, out], axis=1)            # (n, 2P)
         f2 = np.concatenate([filled, filled], axis=1)
         # index of the next filled column at or after j, scanned from right

@@ -29,6 +29,18 @@ def _as_matrix(matrix) -> np.ndarray:
     return np.asarray(matrix, dtype=np.uint32)
 
 
+def _checked_matrix(matrix, num_perm: int) -> np.ndarray:
+    """ensure_digest_len for the matrix paths (src/lsh/index.rs:60-68): a
+    wrong-width matrix that happens to divide num_bands would otherwise be
+    silently banded at the wrong band_size."""
+    mat = _as_matrix(matrix)
+    if mat.ndim != 2 or mat.shape[1] != num_perm:
+        width = mat.shape[1] if mat.ndim == 2 else mat.shape
+        raise ValueError(
+            f"MinHash has {width} permutations but LSH expects {num_perm}")
+    return mat
+
+
 class RMinHashLSH:
     """LSH index over R-MinHash signatures (src/lsh/py.rs:21-318)."""
 
@@ -79,6 +91,9 @@ class RMinHashLSH:
             if not isinstance(key, (int, np.integer)) or isinstance(key, bool):
                 raise TypeError(
                     f"LSH keys must be non-negative integers, got {type(key).__name__}")
+            if key < 0:  # the reference extracts usize: negatives rejected
+                raise TypeError(
+                    f"LSH keys must be non-negative integers, got {int(key)}")
             self.insert(int(key), mh)
 
     def insert_many(self, minhashes, start_key: int = 0) -> None:
@@ -87,7 +102,7 @@ class RMinHashLSH:
             self.insert(start_key + off, mh)
 
     def insert_matrix(self, keys, matrix) -> None:
-        mat = _as_matrix(matrix)
+        mat = _checked_matrix(matrix, self.num_perm)
         bh = band_hashes_matrix(mat, self.num_bands)  # (n, B)
         for i, key in enumerate(keys):
             key = int(key)
@@ -128,7 +143,7 @@ class RMinHashLSH:
         return out
 
     def query_duplicate_flags_matrix(self, matrix) -> list[bool]:
-        mat = _as_matrix(matrix)
+        mat = _checked_matrix(matrix, self.num_perm)
         bh = band_hashes_matrix(mat, self.num_bands)
         out = []
         for i in range(len(mat)):
@@ -140,7 +155,7 @@ class RMinHashLSH:
         """One-pass insert+flag (src/lsh/py.rs:118-162): a row is flagged if
         any of its band buckets was non-empty at insert time; the previous
         lone occupant from the same call is back-flagged."""
-        mat = _as_matrix(matrix)
+        mat = _checked_matrix(matrix, self.num_perm)
         bh = band_hashes_matrix(mat, self.num_bands)
         n = len(mat)
         flags = np.zeros(n, dtype=bool)
@@ -180,7 +195,7 @@ class RMinHashLSH:
         mid-length recall rescue — see ``_one_shot_rho_flags``.
         """
         sidecar = getattr(matrix, "rho_sidecar", None)
-        mat = _as_matrix(matrix)
+        mat = _checked_matrix(matrix, self.num_perm)
         n = len(mat)
         if n == 0:
             self.last_one_shot_sparse_verify_checks = 0
@@ -281,6 +296,11 @@ class RMinHashLSH:
         for b in range(eff_bands):
             col = band_hash_matrix(mat[:, b * eff_size:(b + 1) * eff_size])
             if has_existing and fold == 1 and self._tables[b]:
+                # NOTE: an existing-index hit AND an in-matrix bucket
+                # collision in the SAME band each add 1 — faithful to the
+                # reference (one_shot.rs scan_effective_band increments for
+                # the table hit, then again via collisions_by_hash), so a
+                # sparse row CAN reach required=2 inside one band; keep it.
                 for r in range(n):
                     if int(col[r]) in self._tables[b]:
                         counts[r] += 1
@@ -294,11 +314,11 @@ class RMinHashLSH:
             if not sv_enabled:
                 counts[order[in_dup]] += 1
                 continue
-            # per colliding bucket, members ascending by row index
-            for p in np.flatnonzero(boundary):
+            # per COLLIDING bucket only (skipping singleton buckets here,
+            # not inside the loop, keeps the all-unique batch fully
+            # vectorized), members ascending by row index
+            for p in np.flatnonzero(boundary & in_dup):
                 g = int(gid[p])
-                if gsize[g] < 2:
-                    continue
                 members = np.sort(order[p: p + int(gsize[g])])
                 if not is_sparse[members].any():
                     counts[members] += 1  # dense bucket: everyone matches

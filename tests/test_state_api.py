@@ -429,3 +429,30 @@ def test_flat_builders_reject_non_contiguous():
     # contiguous copies still work (lists, contiguous views)
     m = RMinHash.digest_matrix_from_flat_token_hashes(list(range(10)), off, 16)
     assert m.rows == 1
+
+
+def test_lsh_matrix_paths_validate_width():
+    """ensure_digest_len parity for the MATRIX paths: a 64-wide matrix
+    against a 128-perm index previously banded silently at the wrong
+    band_size (corrupt inserts, garbage flags)."""
+    lsh = RMinHashLSH(threshold=0.5, num_perm=128, num_bands=16)
+    bad = np.zeros((4, 64), np.uint32)
+    with pytest.raises(ValueError, match="64 permutations"):
+        lsh.insert_matrix([0, 1, 2, 3], bad)
+    with pytest.raises(ValueError, match="64 permutations"):
+        lsh.query_duplicate_flags_matrix(bad)
+    with pytest.raises(ValueError, match="64 permutations"):
+        lsh.query_duplicate_flags_matrix_one_shot(bad)
+    with pytest.raises(ValueError, match="64 permutations"):
+        lsh.insert_matrix_and_query_duplicate_flags([0, 1, 2, 3], bad)
+    assert len(lsh) == 0  # nothing corrupt was stored
+
+
+def test_lsh_insert_pairs_rejects_negative_keys():
+    """The reference extracts usize — negatives raise, never store."""
+    lsh = RMinHashLSH(threshold=0.5, num_perm=128, num_bands=16)
+    mh = RMinHash(128, 1)
+    mh.update(["a", "b", "c"])
+    with pytest.raises(TypeError, match="non-negative"):
+        lsh.insert_pairs([(-5, mh)])
+    assert len(lsh) == 0
