@@ -128,7 +128,12 @@ def run_ids(*key_arrays: np.ndarray,
 def distinct_pair_rows(g: pa.Table, col_a: str = "src",
                        col_b: str = "dst") -> pa.Table:
     """Distinct (col_a, col_b) rows of one partition (run partitionwise
-    keyed on ``col_a``); preserves the input columns' arrow types."""
+    keyed on ``col_a``); preserves the input columns' arrow types exactly.
+
+    Grouping runs in wrapped-uint64 space (bijective, so distinctness is
+    unaffected by sign) but kept rows are TAKEN from the original columns —
+    casting wrapped values back overflowed for negative signed ids.
+    """
     a = np_col(g, col_a).astype(np.uint64)
     b = np_col(g, col_b).astype(np.uint64)
     if len(a) == 0:
@@ -137,9 +142,9 @@ def distinct_pair_rows(g: pa.Table, col_a: str = "src",
     fst = np.zeros(len(gg), dtype=bool)
     fst[0] = True
     fst[1:] = gg[1:] != gg[:-1]
-    typ = g.schema.field(col_a).type
-    return pa.table({col_a: pa.array(a[o][fst]).cast(typ),
-                     col_b: pa.array(b[o][fst]).cast(typ)})
+    keep = pa.array(o[fst])
+    return pa.table({col_a: g[col_a].combine_chunks().take(keep),
+                     col_b: g[col_b].combine_chunks().take(keep)})
 
 
 def pairs_within_runs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -71,7 +71,11 @@ def generate_corpus(n_docs: int = 10_000, seed: int = 42):
 
     n_unique = int(n_docs * 0.60)
     n_exact = int(n_docs * 0.20)
-    n_adv = max(int(n_docs * 0.05), 6)
+    # the adversarial floor (6) can exceed tiny corpora: clamp so the four
+    # parts always sum to EXACTLY n_docs (a negative n_near was previously
+    # ignored by the loop, silently over-producing documents)
+    n_adv = max(0, min(max(int(n_docs * 0.05), 6),
+                       n_docs - n_unique - n_exact))
     n_near = n_docs - n_unique - n_exact - n_adv
 
     texts: list[str] = []

@@ -209,8 +209,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """(n,) or (n, channels) float32 in [-1, 1] → 16-bit PCM WAV bytes."""
-    x = np.atleast_2d(np.asarray(samples, np.float32))
-    if x.shape[0] == 1 and x.ndim == 2 and samples.ndim == 1:
+    arr = np.asarray(samples, np.float32)   # accept plain lists too
+    x = np.atleast_2d(arr)
+    if x.shape[0] == 1 and arr.ndim == 1:
         x = x.T
     n, ch = x.shape
     pcm = np.rint(np.clip(x * 32767.0, -32768, 32767)).astype("<i2").tobytes()
@@ -261,7 +262,7 @@ class AudioDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = np.zeros((len(batch), self.n_out), np.float32)
-        rates = np.zeros(len(batch), np.int32)
+        rates = np.zeros(len(batch), np.int64)  # fmt rates are u32: int32 wraps
         lens = np.zeros(len(batch), np.int64)
         real = np.zeros(len(batch), bool)
         for i, p in enumerate(batch[self.payload_col].to_pylist()):
@@ -312,13 +313,16 @@ class AudioFeatureStage:
         if self.feature_fn is not None:
             feats = np.asarray(self.feature_fn(x), np.float32)
         else:
-            nf = size // self.frame
-            fr = x[:, : nf * self.frame].reshape(len(x), nf, self.frame)
+            # clips shorter than the frame analyze as ONE short frame
+            # (frame > clip would give nf=0 and all-NaN mean/std features)
+            frame = min(self.frame, size)
+            nf = size // frame
+            fr = x[:, : nf * frame].reshape(len(x), nf, frame)
             rms = np.sqrt((fr ** 2).mean(axis=2) + 1e-12)
             zcr = (np.diff(np.signbit(fr), axis=2) != 0).mean(axis=2)
             spec = np.abs(np.fft.rfft(fr, axis=2))
             power = spec.sum(axis=2) + 1e-12
-            freqs = np.fft.rfftfreq(self.frame, d=1.0 / self.rate)
+            freqs = np.fft.rfftfreq(frame, d=1.0 / self.rate)
             centroid = (spec * freqs).sum(axis=2) / power
             cum = np.cumsum(spec, axis=2)
             roll_idx = (cum >= 0.85 * power[..., None]).argmax(axis=2)
@@ -382,18 +386,35 @@ class ImageDecodeStage:
             arr = arr[:, :, None]
         return arr
 
+    def _to_channels(self, img3: np.ndarray) -> np.ndarray | None:
+        """Adapt a decoded (H, W, 3) tensor to ``self.channels`` so every
+        row of a batch keeps one shape (ITU-R 601 luma for 1ch, opaque
+        alpha for 4ch; other channel counts fall back to decode_fn)."""
+        if self.channels == 3:
+            return img3
+        if self.channels == 1:
+            luma = (img3 @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+            return luma[:, :, None]
+        if self.channels == 4:
+            alpha = np.full(img3.shape[:2] + (1,), 255, np.uint8)
+            return np.concatenate([img3, alpha], axis=2)
+        return None
+
     def decode(self, payload: bytes) -> np.ndarray:
-        if payload.startswith(b"P6"):
-            img = decode_ppm(payload)
-        elif payload.startswith(b"BM"):
+        img = None
+        if payload.startswith(b"P6") or payload.startswith(b"BM"):
             try:
-                img = decode_bmp(payload)
-            except ValueError:
-                return self.fallback(payload)
-        else:
-            img = self._decode_pil(payload) if self.pil is not None else None
-            if img is None:
-                return self.fallback(payload)
+                raw = (decode_ppm(payload) if payload.startswith(b"P6")
+                       else decode_bmp(payload))
+                # zero-dimension images can't resize; malformed headers can
+                # also raise non-ValueError int() parses → route to fallback
+                img = self._to_channels(raw) if raw.size else None
+            except (ValueError, IndexError):
+                img = None
+        elif self.pil is not None:
+            img = self._decode_pil(payload)
+        if img is None:
+            return self.fallback(payload)
         th, tw = self.target_hw
         if img.shape[:2] != (th, tw):
             img = resize_nearest(img, th, tw)

@@ -377,3 +377,59 @@ def test_image_decode_pil_real_codec():
     stage = ImageDecodeStage(target_hw=(8, 8))
     assert stage.pil is not None
     assert np.array_equal(stage.decode(buf.getvalue()), img)
+
+
+def test_image_decode_malformed_and_channel_adaptation():
+    """Corrupt/zero-dim PPM payloads route to the fallback instead of
+    killing the batch; P6/BMP decodes adapt to channels=1/4 so mixed
+    real+fallback batches keep ONE tensor shape."""
+    from rensa_ray.stages.multimodal import (
+        ImageDecodeStage,
+        _fake_decode,
+        encode_ppm,
+    )
+
+    st = ImageDecodeStage(use_pil=False)
+    for bad in (b"P6", b"P6\n0 0\n255\n", b"P6\nxx yy\n255\n"):
+        assert np.array_equal(st.decode(bad), _fake_decode(bad, 3))
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    st1 = ImageDecodeStage(channels=1, use_pil=False)
+    assert st1.decode(encode_ppm(img)).shape == (8, 8, 1)
+    st4 = ImageDecodeStage(channels=4, use_pil=False)
+    d4 = st4.decode(encode_ppm(img))
+    assert d4.shape == (8, 8, 4) and (d4[:, :, 3] == 255).all()
+    # mixed real-PPM + fallback batch stacks cleanly at the SAME width
+    b = pa.table({"url": ["a", "b"],
+                  "payload": pa.array([encode_ppm(img), b"junk"], pa.binary())})
+    assert st1(b)["image"].combine_chunks().type.list_size == 64
+
+
+def test_encode_wav_accepts_lists_and_big_rates_survive():
+    from rensa_ray.stages.multimodal import AudioDecodeStage, decode_wav, encode_wav
+
+    x, r = decode_wav(encode_wav([0.1, 0.2, 0.3], 8000))
+    assert x.shape == (3, 1) and r == 8000
+    # fmt rates are u32: the stage's orig_rate column must not wrap
+    stage = AudioDecodeStage()
+    big = encode_wav(np.zeros(16, np.float32), 3_000_000_000)
+    out = stage(pa.table({"url": ["u"], "payload": pa.array([big], pa.binary())}))
+    assert out["orig_rate"].to_pylist() == [3_000_000_000]
+
+
+def test_audio_feature_short_clip_no_nan():
+    from rensa_ray.stages.multimodal import AudioFeatureStage
+
+    fs = AudioFeatureStage(frame=8192)  # frame longer than the clip
+    ab = pa.table({"url": ["u"], "audio": pa.FixedSizeListArray.from_arrays(
+        pa.array(np.sin(np.arange(4000) * 0.1).astype(np.float32)), 4000)})
+    feats = fs(ab)["audio_feature"].combine_chunks().flatten().to_numpy()
+    assert np.isfinite(feats).all()
+
+
+def test_generate_corpus_small_sizes_exact_count():
+    from rensa_ray.sources.corpus import generate_corpus
+
+    for n in (5, 10, 25):
+        corpus, _truth = generate_corpus(n, 3)
+        assert len(corpus) == n
