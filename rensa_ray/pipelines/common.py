@@ -125,6 +125,41 @@ def run_ids(*key_arrays: np.ndarray,
     return order, gid, counts
 
 
+def merge_flags(ids_ds, hit_ds, id_col: str, num_parts: int):
+    """(all-ids dataset, hit-ids dataset) → (id, is_dup) per distinct id.
+
+    The canonical flag merge: mark, union, one keyed pass taking max flag
+    per id — used by every flags-shaped lane (batch, cross-corpus,
+    incremental) so the kernel exists exactly once.
+    """
+
+    def _mark(v: int):
+        def _m(b: pa.Table) -> pa.Table:
+            return pa.table({id_col: b[id_col],
+                             "__f": pa.array(np.full(len(b), v, np.int8))})
+        return _m
+
+    all_ids = ids_ds.map_batches(_mark(0), batch_format="pyarrow")
+    hits = hit_ds.map_batches(_mark(1), batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        ids = np_col(group, id_col)
+        f = np_col(group, "__f")
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array(ids),
+                             "is_dup": pa.array([], pa.bool_())})
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        flag = np.zeros(len(counts), dtype=np.int8)
+        np.maximum.at(flag, gid, f[order])
+        first = np.zeros(len(gid), dtype=bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        return pa.table({id_col: pa.array(ids[order][first]),
+                         "is_dup": pa.array(flag > 0)})
+
+    return partitionwise(all_ids.union(hits), _merge, id_col, num_parts)
+
+
 def distinct_pair_rows(g: pa.Table, col_a: str = "src",
                        col_b: str = "dst") -> pa.Table:
     """Distinct (col_a, col_b) rows of one partition (run partitionwise

@@ -27,7 +27,7 @@ import pyarrow as pa
 from ..kernels.sketch import pairwise_jaccard
 from ..stages.band import BandExploder, band_hashes_matrix, validate_bands
 from ..stages.sign import SIG_COL, MinHashSigner, sig_from_arrow, sig_to_arrow
-from .common import np_col, partitionwise, run_ids
+from .common import np_col, pairs_within_runs, partitionwise, run_ids
 
 
 @dataclass(frozen=True)
@@ -325,28 +325,10 @@ def duplicate_flags(ds, cfg: DedupConfig, sig_ds=None):
 
     # ids come from the raw input, NOT sig_ds: re-using sig_ds in two DAG
     # branches would re-execute (and double-instantiate) the signer actor pool.
-    all_ids = ds.select_columns([id_col]).map_batches(
-        lambda b: b.append_column("__f", pa.array(np.zeros(len(b), np.int8))),
-        batch_format="pyarrow")
-    hit_ids = flagged.map_batches(
-        lambda b: b.append_column("__f", pa.array(np.ones(len(b), np.int8))),
-        batch_format="pyarrow")
+    from .common import merge_flags
 
-    def _merge(group: pa.Table) -> pa.Table:
-        ids = np_col(group, id_col)
-        f = np_col(group, "__f")
-        if len(ids) == 0:
-            return pa.table({id_col: pa.array(ids), "is_dup": pa.array([], pa.bool_())})
-        order, gid, counts = run_ids(ids.astype(np.uint64))
-        flag = np.zeros(len(counts), dtype=np.int8)
-        np.maximum.at(flag, gid, f[order])
-        first = np.zeros(len(gid), dtype=bool)
-        first[0] = True
-        first[1:] = gid[1:] != gid[:-1]
-        return pa.table({id_col: pa.array(ids[order][first]),
-                         "is_dup": pa.array(flag > 0)})
-
-    return partitionwise(all_ids.union(hit_ids), _merge, id_col, cfg.num_parts)
+    return merge_flags(ds.select_columns([id_col]), flagged, id_col,
+                       cfg.num_parts)
 
 
 def duplicate_flags_against(new_ds, ref_ds, cfg: DedupConfig):
@@ -400,30 +382,10 @@ def duplicate_flags_against(new_ds, ref_ds, cfg: DedupConfig):
         return pa.table({id_col: pa.array(np.unique(ids[order][hit]))})
 
     flagged = partitionwise(both, _collide, "band_hash", cfg.num_parts)
+    from .common import merge_flags
 
-    all_ids = new_ds.select_columns([id_col]).map_batches(
-        lambda b: b.append_column("__f", pa.array(np.zeros(len(b), np.int8))),
-        batch_format="pyarrow")
-    hit_ids = flagged.map_batches(
-        lambda b: b.append_column("__f", pa.array(np.ones(len(b), np.int8))),
-        batch_format="pyarrow")
-
-    def _merge(group: pa.Table) -> pa.Table:
-        ids = np_col(group, id_col)
-        f = np_col(group, "__f")
-        if len(ids) == 0:
-            return pa.table({id_col: pa.array(ids),
-                             "is_dup": pa.array([], pa.bool_())})
-        order, gid, counts = run_ids(ids.astype(np.uint64))
-        flag = np.zeros(len(counts), dtype=np.int8)
-        np.maximum.at(flag, gid, f[order])
-        first = np.zeros(len(gid), dtype=bool)
-        first[0] = True
-        first[1:] = gid[1:] != gid[:-1]
-        return pa.table({id_col: pa.array(ids[order][first]),
-                         "is_dup": pa.array(flag > 0)})
-
-    return partitionwise(all_ids.union(hit_ids), _merge, id_col, cfg.num_parts)
+    return merge_flags(new_ds.select_columns([id_col]), flagged, id_col,
+                       cfg.num_parts)
 
 
 def duplicate_flags_oph_rescued(ds, cfg: DedupConfig):
@@ -565,11 +527,21 @@ def _candidate_edges_plain(band_ds, cfg: DedupConfig, with_sig: bool = False):
         rep_of_row = ids_s[rep_idx[gid]] if len(gid) else ids_s[:0]
         take = dup & ~first
         src, dst = rep_of_row[take], ids_s[take]
-        if with_sig and len(src):
-            sig = sig_from_arrow(group[SIG_COL])[order]
-            jac = pairwise_jaccard(sig[rep_idx[gid]][take], sig[take])
-            keep = jac >= threshold
-            src, dst = src[keep], dst[keep]
+        if with_sig:
+            # verify mode gates EVERY within-bucket pair, not just the
+            # rep←member star: jac(A,B) can pass while jac(rep,A) and
+            # jac(rep,B) both fail, and the README recipe (candidates →
+            # verify → keep smaller id) links A-B in that case.  Quadratic
+            # per bucket — the verify lane is the non-salted, non-scale
+            # recipe lane by contract.
+            ii, jj = pairs_within_runs(counts)
+            if len(ii):
+                sig = sig_from_arrow(group[SIG_COL])[order]
+                jac = pairwise_jaccard(sig[ii], sig[jj])
+                keep = jac >= threshold
+                src, dst = ids_s[ii[keep]], ids_s[jj[keep]]
+            else:
+                src, dst = ids_s[:0], ids_s[:0]
         # dedupe identical pairs within the partition
         if len(src):
             o2, g2, _ = run_ids(src.astype(np.uint64), dst.astype(np.uint64))
@@ -645,9 +617,10 @@ def near_dup_pairs(ds, cfg: DedupConfig, sig_ds=None):
     if sig_ds is None:
         sig_ds = compute_signatures(ds, cfg)
     edges = _edges_from_sigs(sig_ds, cfg)
+    # rename only — casting to int64 raised ArrowInvalid for uint64 doc ids
+    # with the high bit set (fxhash64 id spaces)
     return edges.map_batches(
-        lambda b: pa.table({"id_a": b["src"].cast(pa.int64()),
-                            "id_b": b["dst"].cast(pa.int64())}),
+        lambda b: pa.table({"id_a": b["src"], "id_b": b["dst"]}),
         batch_format="pyarrow")
 
 
@@ -734,6 +707,17 @@ def _detect_hot_buckets(count_ds, cfg: DedupConfig, pre_shift: int = 0):
     acts as the combiner, so the count shuffle moves (band_hash, cnt)
     partials, not raw rows.
 
+    Counts are DISTINCT DOCS per band_hash, not rows: a degenerate doc
+    (constant signature, e.g. empty text under rmin) repeats one band_hash
+    across all its bands, and row counting would let a single such doc
+    "prove" a ≥2 bucket to the flags bypass — a false duplicate.  Distinct
+    docs keep ``sampled >= 2`` a real proof (two docs sharing a band hash
+    share a same-band bucket except for identical band CONTENT at
+    different band positions — 2^-64-class outside the constant-signature
+    case, which always has same-band pairs too).  As a load estimate this
+    undercounts rows by at most num_bands× for degenerate buckets; those
+    are far past the salting threshold regardless.
+
     ``pre_shift``: the caller already row-sampled ``count_ds`` at
     1/2^pre_shift (cheaper: sampling before band explosion skips the
     explode for dropped rows); only the remaining shift is applied here
@@ -745,14 +729,21 @@ def _detect_hot_buckets(count_ds, cfg: DedupConfig, pre_shift: int = 0):
 
     def _partials(b: pa.Table) -> pa.Table:
         bh = np_col(b, "band_hash").astype(np.uint64)
+        ids = np_col(b, id_col).astype(np.uint64)
         if shift > 0:
-            ids = np_col(b, id_col).astype(np.uint64)
             keep = ((ids * _SALT_MIX) >> np.uint64(64 - shift)) == 0
-            bh = bh[keep]
+            bh, ids = bh[keep], ids[keep]
         if len(bh) == 0:
             return pa.table({"band_hash": pa.array([], pa.uint64()),
                              "cnt": pa.array([], pa.int64())})
-        u, c = np.unique(bh, return_counts=True)
+        # distinct (doc, band_hash) first — see docstring; a doc's band rows
+        # are block-contiguous (explode is per batch), so block-level dedupe
+        # is global dedupe
+        order = np.lexsort((ids, bh))
+        bh_s, id_s = bh[order], ids[order]
+        fst = np.ones(len(bh_s), bool)
+        fst[1:] = (bh_s[1:] != bh_s[:-1]) | (id_s[1:] != id_s[:-1])
+        u, c = np.unique(bh_s[fst], return_counts=True)
         return pa.table({"band_hash": pa.array(u, pa.uint64()),
                          "cnt": pa.array(c, pa.int64())})
 

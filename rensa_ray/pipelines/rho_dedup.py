@@ -92,11 +92,10 @@ def duplicate_flags_rho(ds, cfg: DedupConfig):
 
     validate_bands(cfg.num_perm, cfg.num_bands)
     id_col = cfg.id_col
-    band_size = cfg.num_perm // cfg.num_bands
     params = RhoParams.from_env(cfg.num_perm)
     scan = _rho_scan_config(cfg.num_bands, params.sparse_verify_perm)
     eff_bands, fold = scan["eff_bands"], scan["fold"]
-    eff_size = band_size * fold
+    # folded band widths are derived inside band_hashes_matrix
     sv_perm = params.sparse_verify_perm
 
     # the driver-resolved params ship INSIDE the signer constructor args —
@@ -165,6 +164,11 @@ def duplicate_flags_rho(ds, cfg: DedupConfig):
                     f"(sv_perm={sv_perm}) — driver/worker RENSA_RHO_* "
                     "environment mismatch")
             sv = sig_from_arrow(batch["svsig"])
+            # NOTE: svsig also rides the kind-1 (rescue) rows although only
+            # folded buckets read it — one fixed_size_list column must cover
+            # every row of the table; splitting kinds into schema-divergent
+            # tables costs a second shuffle.  This is part of the documented
+            # ~1.5-3x rescue-mode band-volume trade-off (module docstring).
             cols["svsig"] = sig_to_arrow(sv[np.concatenate(sv_rows)])
         return pa.table(cols)
 

@@ -114,8 +114,10 @@ class RMinHashDeduplicator:
     def get_duplicate_sets(self, pairs) -> list[list[str]]:
         """Group the given (key, value) pairs into duplicate sets against a
         scratch index (first key of each set is the retained representative)."""
-        scratch = RMinHashDeduplicator(self.threshold, self.num_perm,
-                                       self.use_lsh, seed=self.seed)
+        scratch = RMinHashDeduplicator(
+            self.threshold, self.num_perm, self.use_lsh,
+            num_bands=self._lsh.num_bands if self._lsh is not None else None,
+            seed=self.seed)  # same banding as add()/is_duplicate()
         sets: dict[str, list[str]] = {}
         for key, value in pairs:
             mh = _coerce_rmin(value, self.num_perm, self.seed)
@@ -189,15 +191,7 @@ class CMinHashDeduplicator:
         if self.num_perm is None:
             raise ValueError("num_perm unknown: add a CMinHash first or set num_perm")
         mh = CMinHash(self.num_perm, self.seed)
-        hashes = token_hashes_of(value)
-        if len(hashes):
-            uniq = np.unique(hashes)
-            from ..kernels.hashing import U64
-
-            sigma = U64(mh._params.sigma_a) * uniq + U64(mh._params.sigma_b)
-            base = U64(mh._params.pi_c) * sigma
-            phi = base[:, None] + mh._pi_pre[None, :]
-            np.minimum(mh._sig, phi.min(axis=0), out=mh._sig)
+        mh.update(value)  # the canonical sketch fold — one implementation
         return mh
 
     def is_duplicate(self, key: str, value) -> bool:

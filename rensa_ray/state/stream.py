@@ -171,7 +171,9 @@ def incremental_dedup_against_checkpoint(new_ds, band_checkpoint_dir: str, cfg,
     """Micro-batch dedup against a historical band table.
 
     ``new_ds``: (id, text).  Returns (id, is_dup) where is_dup means the doc
-    collides with history OR with an earlier-keyed doc of the same batch.
+    collides with history OR with an earlier-keyed (smaller-id) doc of the
+    same batch — first-wins: the smallest-id member of a new-only colliding
+    bucket is NOT flagged, so dropping is_dup rows always keeps one copy.
     New band rows are appended to the checkpoint (one parquet file per call)
     so the next micro-batch sees them — the distributed equivalent of the
     reference's incremental ``add`` (SURVEY.md §3.2).
@@ -190,9 +192,13 @@ def incremental_dedup_against_checkpoint(new_ds, band_checkpoint_dir: str, cfg,
 
     # Materialize the new batch's band table once (micro-batches are small);
     # it is both joined against history and appended to the checkpoint.
-    new_bands_tbl = pa.concat_tables(
-        [pa.table(b) for b in band_table(compute_signatures(new_ds, cfg), cfg)
-         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    batch_tables = [
+        pa.table(b) for b in band_table(compute_signatures(new_ds, cfg), cfg)
+        .iter_batches(batch_format="pyarrow", batch_size=None)]
+    if not batch_tables:  # empty micro-batch: nothing to flag or write back
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "is_dup": pa.array([], pa.bool_())}))
+    new_bands_tbl = pa.concat_tables(batch_tables)
     new_bands = rd.from_arrow(new_bands_tbl)
 
     def _mark(b: pa.Table, is_new: int) -> pa.Table:
@@ -219,36 +225,26 @@ def incremental_dedup_against_checkpoint(new_ds, band_checkpoint_dir: str, cfg,
         ids = np_col(g, id_col)
         is_new = np_col(g, "__new") > 0
         order, gid, counts = run_ids(bh, bid)
-        dup = counts[gid] >= 2
-        flag_rows = dup & is_new[order]
+        ids_u = ids[order].astype(np.uint64)
+        new_s = is_new[order]
+        # first-wins within the batch: a NEW row is flagged iff its bucket
+        # holds a history row OR a smaller-id new row (flagging every new
+        # member of a new-only bucket would drop all copies downstream)
+        n_groups = len(counts)
+        old_any = np.zeros(n_groups, bool)
+        np.logical_or.at(old_any, gid, ~new_s)
+        min_new = np.full(n_groups, np.iinfo(np.uint64).max, np.uint64)
+        if new_s.any():
+            np.minimum.at(min_new, gid[new_s], ids_u[new_s])
+        flag_rows = new_s & (old_any[gid] | (ids_u > min_new[gid]))
         return pa.table({id_col: pa.array(np.unique(ids[order][flag_rows]))})
 
     flagged = partitionwise(both, _collide, "band_hash", cfg.num_parts)
 
-    # merge flags back over all new ids
-    all_ids = new_ds.select_columns([id_col]).map_batches(
-        lambda b: b.append_column("__f", pa.array(np.zeros(len(b), np.int8))),
-        batch_format="pyarrow")
-    hits = flagged.map_batches(
-        lambda b: b.append_column("__f", pa.array(np.ones(len(b), np.int8))),
-        batch_format="pyarrow")
+    from ..pipelines.common import merge_flags
 
-    def _merge(g: pa.Table) -> pa.Table:
-        ids = np_col(g, id_col)
-        f = np_col(g, "__f")
-        if len(ids) == 0:
-            return pa.table({id_col: pa.array(ids),
-                             "is_dup": pa.array([], pa.bool_())})
-        order, gid, counts = run_ids(ids.astype(np.uint64))
-        flag = np.zeros(len(counts), np.int8)
-        np.maximum.at(flag, gid, f[order])
-        first = np.zeros(len(gid), bool)
-        first[0] = True
-        first[1:] = gid[1:] != gid[:-1]
-        return pa.table({id_col: pa.array(ids[order][first]),
-                         "is_dup": pa.array(flag > 0)})
-
-    result = partitionwise(all_ids.union(hits), _merge, id_col, cfg.num_parts)
+    result = merge_flags(new_ds.select_columns([id_col]), flagged, id_col,
+                         cfg.num_parts)
 
     if write_back:
         tbl = new_bands_tbl.select([id_col, "band_id", "band_hash"])

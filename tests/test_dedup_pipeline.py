@@ -349,3 +349,86 @@ def test_flags_invariant_to_input_partitioning(ray_session, corpus_and_oracle):
         out = (duplicate_flags(ds, CFG)
                .to_pandas().sort_values("doc_id"))
         assert out["is_dup"].tolist() == flags, f"nblocks={nblocks}"
+
+
+def test_verify_gate_links_member_member_pairs(ray_session):
+    """README-recipe parity: jac(A,B) can pass while jac(rep,A) and
+    jac(rep,B) both fail — the verify lane must link A-B (the old star-only
+    gate emitted nothing for this bucket)."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig, _candidate_edges_plain
+    from rensa_ray.stages.sign import SIG_COL, sig_to_arrow
+
+    rng = np.random.default_rng(4)
+    sig1 = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
+    sig2 = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
+    sig3 = sig2.copy()                       # jac(2,3) = 1.0; jac(1,*) ~ 0
+    band_tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "band_id": pa.array([0, 0, 0], pa.int32()),
+        "band_hash": pa.array([77, 77, 77], pa.uint64()),
+        SIG_COL: sig_to_arrow(np.stack([sig1, sig2, sig3])),
+    })
+    cfg = DedupConfig(num_parts=2, verify=True, threshold=0.8)
+    edges = _candidate_edges_plain(rd.from_arrow(band_tbl), cfg,
+                                   with_sig=True).to_pandas()
+    got = {tuple(sorted(r)) for r in edges[["src", "dst"]].itertuples(index=False)}
+    assert (2, 3) in got
+    assert not any(1 in p for p in got)
+
+
+def test_hot_bucket_proof_needs_two_distinct_docs(ray_session, tmp_path):
+    """A single degenerate doc (constant signature → one band_hash repeated
+    across all its bands) must NOT self-prove a hot bucket: the old
+    row-count pass flagged such a unique doc as a duplicate at small
+    hot_bucket_rows."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig, duplicate_flags
+
+    rng = np.random.default_rng(8)
+    texts = [" ".join(f"w{rng.integers(0, 500)}" for _ in range(50))
+             for _ in range(30)]
+    texts.append("")                         # ONE empty doc — unique content
+    sf = tmp_path
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}), str(sf / "documents.parquet"))
+    ds = rd.read_parquet(str(sf / "documents.parquet"),
+                         columns=["doc_id", "text"])
+    cfg = dataclasses.replace(
+        DedupConfig(num_parts=4, concurrency=None),
+        hot_bucket_rows=16, salt_sample_shift=0)  # count EVERY row
+    out = duplicate_flags(ds, cfg).to_pandas().set_index("doc_id")
+    assert not bool(out.loc[len(texts) - 1, "is_dup"])  # unique empty doc
+    # and two empty docs ARE still flagged as true duplicates of each other
+    texts.append("")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}), str(sf / "documents.parquet"))
+    ds2 = rd.read_parquet(str(sf / "documents.parquet"),
+                          columns=["doc_id", "text"])
+    out2 = duplicate_flags(ds2, cfg).to_pandas().set_index("doc_id")
+    assert bool(out2.loc[len(texts) - 2, "is_dup"])
+    assert bool(out2.loc[len(texts) - 1, "is_dup"])
+
+
+def test_near_dup_pairs_uint64_high_bit_ids(ray_session):
+    """Pairs lane must not int64-cast uint64 ids >= 2^63 (fxhash id spaces)."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig, near_dup_pairs
+
+    base = 1 << 63
+    text = " ".join(f"t{i}" for i in range(80))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([base + 1, base + 2, base + 9], pa.uint64()),
+        "text": pa.array([text, text, "something else entirely here okay"])}))
+    cfg = DedupConfig(num_parts=2, concurrency=None)
+    out = near_dup_pairs(ds, cfg).to_pandas()
+    assert {tuple(sorted(r)) for r in out.itertuples(index=False)} == {
+        (base + 1, base + 2)}

@@ -501,3 +501,31 @@ def test_knn_lanes_tolerate_empty_and_tiny_inputs(ray_session, tmp_path):
     assert cosine_pairs_lsh(d, threshold=0.9, num_parts=2).count() == 0
     assert cosine_topk_ivf(d, k=3, num_queries=5).num_rows == 0
     assert embedding_label_centroids(d).count() == 0
+
+
+def test_incremental_checkpoint_first_wins_within_batch(ray_session, tmp_path):
+    """Two near-dups arriving in the SAME first micro-batch: only the
+    larger id is flagged (the old kernel flagged both members of a
+    new-only bucket, so dropping is_dup rows lost every copy); and an
+    empty micro-batch returns an empty result instead of crashing."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.state.stream import incremental_dedup_against_checkpoint
+
+    cfg = DedupConfig(num_parts=4, concurrency=1)
+    ck = str(tmp_path / "bands")
+
+    batch = rd.from_arrow(pa.table({
+        "doc_id": pa.array([3, 7, 11], pa.int64()),
+        "text": pa.array([NEAR_A, NEAR_B, UNIQ[0]])}))
+    r = incremental_dedup_against_checkpoint(batch, ck, cfg) \
+        .to_pandas().set_index("doc_id")
+    assert not bool(r.loc[3, "is_dup"])     # first-wins: min id kept
+    assert bool(r.loc[7, "is_dup"])
+    assert not bool(r.loc[11, "is_dup"])
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    r2 = incremental_dedup_against_checkpoint(empty, ck, cfg).to_pandas()
+    assert len(r2) == 0
