@@ -494,7 +494,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textops.user_sessions(sf),
             pa.schema([("user_id", I64), ("n_sessions", I64), ("n_events", I64)])),
     }
-    return q
+    return _driver_window_order(q)
+
+
+# The driver's correctness harness checks only the FIRST 50 queries() dict
+# entries (CORRECTNESS_r03 covered exactly positions 1-50, silently rotating
+# 8 oracle-paired operators out of the window when round 3 inserted new
+# lanes earlier in the dict).  Reorder programmatically so every
+# oracle-paired key ALWAYS precedes every rows-only key, then the rows-only
+# lanes whose driver row carries the most signal (the core minhash dedup
+# family), then the tail.  tests/test_registry.py pins the invariant.
+_ROWS_ONLY_PRIORITY = (
+    "minhash_dup_flags", "cminhash_dup_flags", "rho_dup_flags",
+    "minhash_clusters", "minhash_dup_pairs", "minhash_dedup_kept",
+    "near_dup_flags_against", "simhash_dup_flags", "streaming_dedup",
+    "incremental_dedup", "doc_compression_ratio",
+)
+
+
+def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
+    oracle_keys = set(oracle_sql())
+    ordered: dict[str, Callable[[str], Any]] = {}
+    for k in q:
+        if k in oracle_keys:
+            ordered[k] = q[k]
+    for k in _ROWS_ONLY_PRIORITY:
+        if k in q and k not in ordered:
+            ordered[k] = q[k]
+    for k in q:
+        if k not in ordered:
+            ordered[k] = q[k]
+    return ordered
 
 
 # --------------------------------------------------------------------------
