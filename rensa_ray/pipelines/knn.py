@@ -321,14 +321,52 @@ def _hyperplanes(dim: int, num_bits: int, num_tables: int, seed: int) -> np.ndar
     return r.reshape(num_tables, num_bits, dim)
 
 
+def _vec_hash64(m: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit content hash per row of a float64 matrix.
+
+    Hashes the raw IEEE-754 bit patterns (so byte-identical vectors — the
+    exact-duplicate rows a web-scale embedding table is full of — collapse
+    to one value) with a SplitMix64-mixed column fold.  Collisions between
+    DIFFERENT vectors are the same 2⁻⁶⁴ accepted class as shingle-hash
+    collisions elsewhere in the repo, and are additionally defused by the
+    dot-with-representative gate in ``_bucket_pairs``."""
+    n = len(m)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    u = np.ascontiguousarray(m).view(np.uint64)
+    h = np.zeros(n, np.uint64)
+    for d in range(m.shape[1]):
+        # python-int product wrapped to u64 (a numpy scalar multiply warns
+        # on the intended modular overflow)
+        z = u[:, d] + np.uint64(
+            ((d + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = (h * np.uint64(0x100000001B3)) ^ (z ^ (z >> np.uint64(31)))
+    return h
+
+
 def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
-                     num_tables: int = 6, seed: int = 42, num_parts: int = 32):
+                     num_tables: int = 6, seed: int = 42, num_parts: int = 32,
+                     max_bucket: int | None = None):
     """Near-dup pairs via random-hyperplane LSH + exact verify (the scale path).
 
     Collision prob. per table for angle θ is (1-θ/π)^num_bits; with
     ``num_tables`` independent tables recall ≈ 1-(1-p)^T — ~0.98 for
     cos ≥ 0.9 at (12 bits, 6 tables).  No corpus broadcast: vectors ride the
     bucket shuffle as a fixed_size_list column.
+
+    Skew guard: byte-identical vectors are collapsed to one representative
+    BEFORE any pairwise verification — a degenerate embedding column (zero
+    vectors, repeated rows) costs one linear dot-with-rep pass instead of a
+    quadratic per-bucket verify, and an equal group's (unavoidably
+    quadratic-sized) output pairs are emitted from exactly one table's
+    bucket.  Cosine is verified only between DISTINCT vector values; hits
+    expand to the member cross product.  ``max_bucket`` caps the number of
+    distinct values per bucket whose cross pairs are verified (an over-full
+    bucket is a degenerate hyperplane cell; its members still meet in other
+    tables' more selective buckets — the ``max_df`` recall argument).
+    ``max_bucket=None`` (default) keeps the candidate set exact.
     """
 
     def bucket_exploder(batch: pa.Table) -> pa.Table:
@@ -369,25 +407,85 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
     def _bucket_pairs(g: pa.Table) -> pa.Table:
         from .common import pairs_within_runs
 
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
         bucket = np_col(g, "bucket").astype(np.uint64)
         ids = np_col(g, "vec_id")
         emb = g["emb"].combine_chunks()
-        if len(emb) == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
+        n = len(emb)
+        if n == 0:
+            return empty
         vals = emb.flatten().to_numpy(zero_copy_only=False)
-        m = vals.reshape(len(emb), -1)
-        m = _normalize(m.astype(np.float64))
-        order, gid, counts = run_ids(bucket, ids.astype(np.uint64), n_group_keys=1)
-        ids_s, m_s = ids[order], m[order]
-        ii, jj = pairs_within_runs(counts)
-        if len(ii) == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        # exact verify per candidate pair — row-wise dot, fully vectorized
-        cos = np.einsum("ij,ij->i", m_s[ii], m_s[jj])
-        hit = cos >= threshold
-        a, b = ids_s[ii[hit]], ids_s[jj[hit]]
+        m = vals.reshape(n, -1).astype(np.float64)
+        vh = _vec_hash64(m)
+        m = _normalize(m)
+        order = np.lexsort((ids.astype(np.uint64), vh, bucket))
+        b_s, vh_s, ids_s, m_s = bucket[order], vh[order], ids[order], m[order]
+        # value groups: runs of equal (bucket, raw-vector-hash)
+        vb = np.ones(n, bool)
+        vb[1:] = (b_s[1:] != b_s[:-1]) | (vh_s[1:] != vh_s[:-1])
+        vgid = np.cumsum(vb) - 1
+        vstart = np.flatnonzero(vb)
+        vcounts = np.bincount(vgid)
+        # a member whose dot with its group representative is ~1 is the same
+        # direction as the rep (Cauchy-Schwarz equality), so every pair
+        # inside the group has cos = 1 — one LINEAR pass replaces the old
+        # quadratic within-group verify.  Zero vectors (self-dot 0) and
+        # 2⁻⁶⁴ hash-collision strays fail the gate and drop out (they could
+        # never pass / would need their own verify).
+        memdot = np.einsum("ij,ij->i", m_s, m_s[vstart[vgid]])
+        good = memdot >= 1.0 - 1e-9
+        gvg = vgid[good]
+        gids = ids_s[good]
+        gcounts = np.bincount(gvg, minlength=len(vcounts))
+        gstarts = np.concatenate([[0], np.cumsum(gcounts)[:-1]])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        if threshold <= 1.0:
+            # (1) equal-value groups are pairs outright (cos = 1): emit the
+            # (inherently quadratic-sized — pairs ARE the product) member
+            # pairs once, from table 0's bucket only; identical vectors
+            # share every table's bucket, so other tables add nothing.
+            eq = ((b_s[vstart] >> np.uint64(56)) == 0) & (gcounts >= 2)
+            if eq.any():
+                rowsel = eq[gvg]
+                cids = gids[rowsel]
+                eii, ejj = pairs_within_runs(gcounts[eq])
+                out_a.append(cids[eii])
+                out_b.append(cids[ejj])
+        # (2) cosine verify only across DISTINCT vector values per bucket
+        rep_b = b_s[vstart]
+        nr = len(vstart)
+        rb = np.ones(nr, bool)
+        rb[1:] = rep_b[1:] != rep_b[:-1]
+        rgid = np.cumsum(rb) - 1
+        rcounts = np.bincount(rgid)
+        rep_rows, rep_vg = vstart, np.arange(nr)
+        if max_bucket is not None and (rcounts > max_bucket).any():
+            keep = (rcounts <= max_bucket)[rgid]
+            rep_rows, rep_vg = rep_rows[keep], rep_vg[keep]
+            rcounts = rcounts[rcounts <= max_bucket]
+        ii, jj = pairs_within_runs(rcounts)
+        if len(ii):
+            cos = np.einsum("ij,ij->i", m_s[rep_rows[ii]], m_s[rep_rows[jj]])
+            hit = cos >= threshold
+            va, vbg = rep_vg[ii[hit]], rep_vg[jj[hit]]
+            ca, cb = gcounts[va], gcounts[vbg]
+            pc = ca * cb
+            tot = int(pc.sum())
+            if tot:
+                # expand each hit (value A, value B) to its member cross
+                # product — members equal their reps, so every expanded
+                # pair inherits the verified rep-pair cosine
+                off = np.concatenate([[0], np.cumsum(pc)[:-1]])
+                pid = np.repeat(np.arange(len(pc)), pc)
+                local = np.arange(tot, dtype=np.int64) - off[pid]
+                out_a.append(gids[gstarts[va][pid] + local // cb[pid]])
+                out_b.append(gids[gstarts[vbg][pid] + local % cb[pid]])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({"id_a": pa.array(lo, pa.int64()),
                          "id_b": pa.array(hi, pa.int64())})

@@ -150,12 +150,23 @@ def simhash_sketches(sf_dir: str, ngram_size: int = 3):
 
 
 def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
-                      ngram_size: int = 3, num_parts: int = 32):
+                      ngram_size: int = 3, num_parts: int = 32,
+                      max_bucket: int | None = None):
     """(doc_id, is_dup): docs sharing a simhash band AND within Hamming
     distance ≤ max_hamming of a band-mate.  Pigeonhole guarantee: any pair
     within distance < num_bands shares ≥1 exact band — so ``max_hamming``
     MUST be < ``num_bands`` or pairs in [num_bands, max_hamming] would be
-    silently missed when their differing bits span every band."""
+    silently missed when their differing bits span every band.
+
+    Skew guard: identical sketches are flagged as distance-0 groups WITHOUT
+    any pair emission (a web corpus full of byte-identical boilerplate costs
+    O(k), not O(k²)); Hamming pairs are checked only across DISTINCT sketch
+    values within a bucket.  ``max_bucket`` additionally caps the number of
+    distinct sketches per band bucket whose cross pairs are checked — a band
+    value shared by more distinct sketches than that is boilerplate-driven,
+    and the docs it would link collide in other, more selective bands too
+    (the same recall argument as ``ngram_jaccard_pairs``' ``max_df``).
+    ``max_bucket=None`` (default) keeps the candidate set exact."""
     if max_hamming >= num_bands:
         raise ValueError(
             f"max_hamming={max_hamming} >= num_bands={num_bands}: the "
@@ -185,13 +196,36 @@ def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
         key = np_col(g, "band_key").astype(np.uint64)
         ids = np_col(g, "doc_id")
         sh = np_col(g, "simhash").astype(np.uint64)
-        order, gid, counts = run_ids(key, ids.astype(np.uint64), n_group_keys=1)
-        ids_s, sh_s = ids[order], sh[order]
-        ii, jj = pairs_within_runs(counts)
-        if len(ii) == 0:
+        n = len(ids)
+        if n == 0:
             return pa.table({"doc_id": pa.array([], pa.int64())})
-        hit = hamming_distance(sh_s[ii], sh_s[jj]) <= max_hamming
-        flagged = np.unique(np.concatenate([ids_s[ii[hit]], ids_s[jj[hit]]]))
+        order = np.lexsort((ids.astype(np.uint64), sh, key))
+        key_s, sh_s, ids_s = key[order], sh[order], ids[order]
+        # value groups: runs of equal (bucket, sketch).  A group of k equal
+        # sketches is k distance-0 duplicates — flag it directly, O(k).
+        vb = np.ones(n, bool)
+        vb[1:] = (key_s[1:] != key_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+        vgid = np.cumsum(vb) - 1
+        vcounts = np.bincount(vgid)
+        vg_hit = vcounts >= 2
+        # cross pairs only between DISTINCT sketch values: one rep per group
+        rep_idx = np.flatnonzero(vb)
+        rep_key, rep_sh = key_s[rep_idx], sh_s[rep_idx]
+        rb = np.ones(len(rep_idx), bool)
+        rb[1:] = rep_key[1:] != rep_key[:-1]
+        rgid = np.cumsum(rb) - 1
+        rcounts = np.bincount(rgid)
+        rep_vgroup = np.arange(len(rep_idx))
+        if max_bucket is not None and (rcounts > max_bucket).any():
+            keep = (rcounts <= max_bucket)[rgid]
+            rep_sh, rep_vgroup = rep_sh[keep], rep_vgroup[keep]
+            rcounts = rcounts[rcounts <= max_bucket]
+        ii, jj = pairs_within_runs(rcounts)
+        if len(ii):
+            hit = hamming_distance(rep_sh[ii], rep_sh[jj]) <= max_hamming
+            np.logical_or.at(vg_hit, rep_vgroup[ii[hit]], True)
+            np.logical_or.at(vg_hit, rep_vgroup[jj[hit]], True)
+        flagged = np.unique(ids_s[vg_hit[vgid]])
         return pa.table({"doc_id": pa.array(flagged, pa.int64())})
 
     # repeated ids across band partitions are collapsed by the flag merge's
