@@ -8,8 +8,9 @@ On a real cluster the flagship dedup runs as:
 (in this sandbox: ``python -m rensa_ray.job --input /tmp/corpus --out /tmp/out``).
 
 ``python -m rensa_ray.job --rehearse`` is the one-command scale rehearsal:
-generate the deterministic synthetic web corpus (default 20M docs, the
-BASELINE.md holding-run size), run the checkpointed flagship, then simulate
+generate the deterministic synthetic web corpus (default 200k docs for a
+quick drill; ``--rehearse-docs 20000000`` is the BASELINE.md holding-run
+size), run the checkpointed flagship, then simulate
 a crash (delete the final stage checkpoint) and re-run — asserting that
 finished stages are NOT recomputed (their files untouched on disk) and the
 resumed output is value-identical (order-independent checksum).  Exits
@@ -105,6 +106,16 @@ def _rehearse(args) -> int:
 
     n_docs = args.rehearse_docs
     base = args.out or f"/tmp/rensa_rehearse/{n_docs}"
+    # announce the footprint BEFORE doing anything: the 20M holding-run
+    # drill writes tens of GB under /tmp and runs for minutes — a casual
+    # invocation should see what it signed up for (default is 200k docs;
+    # pass --rehearse-docs 20000000 for the BASELINE.md holding-run scale)
+    est_gb = n_docs * 1100 / 1e9  # ~1.1 KB/doc corpus + checkpoints
+    print(f"[rehearse] {n_docs:,} docs → {base} (~{est_gb:.1f} GB disk, "
+          f"two full pipeline runs{', forced distributed CC' if args.force_distributed_cc else ''})",
+          file=sys.stderr)
+    if args.force_distributed_cc:
+        os.environ["RENSA_RAY_DRIVER_CC_THRESHOLD"] = "0"
     cdir = os.path.join(base, "corpus_base", "corpus")
     marker = os.path.join(base, "corpus_base", "_DONE")
     if not os.path.exists(marker):
@@ -153,6 +164,8 @@ def _rehearse(args) -> int:
 
     report = {
         "mode": "rehearse", "docs": n_docs, "rows": rows1,
+        "cc_mode": ("distributed-forced" if args.force_distributed_cc
+                    else "auto"),
         "first_run_sec": round(wall1, 2),
         "docs_per_sec": round(n_docs / max(wall1, 1e-9), 1),
         "resume_sec": round(wall2, 2),
@@ -183,9 +196,15 @@ def main(argv: list[str] | None = None) -> int:
                         "any failure")
     p.add_argument("--rehearse-docs", type=int,
                    default=int(__import__("os").environ.get(
-                       "RENSA_REHEARSE_DOCS", "20000000")),
-                   help="rehearsal corpus size (default 20M, the BASELINE.md "
-                        "holding-run scale; override for a quick drill)")
+                       "RENSA_REHEARSE_DOCS", "200000")),
+                   help="rehearsal corpus size (default 200k — a quick "
+                        "drill; pass 20000000 or RENSA_REHEARSE_DOCS for "
+                        "the BASELINE.md holding-run scale)")
+    p.add_argument("--force-distributed-cc", action="store_true",
+                   help="rehearse with driver_cc_threshold=0 so the labels "
+                        "stage runs the distributed label-propagation loop "
+                        "(the 10^12-doc path) instead of the driver fast "
+                        "path")
     p.add_argument("--use-html", action="store_true",
                    help="extract text from the html column (byte-identical "
                         "invariant) instead of reading the text column")

@@ -110,7 +110,14 @@ def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
     loop.
     """
     if driver_cc_threshold is None:
-        driver_cc_threshold = driver_cc_capacity()
+        import os
+
+        env = os.environ.get("RENSA_RAY_DRIVER_CC_THRESHOLD")
+        # ops knob: 0 forces the distributed label-propagation loop (the
+        # path a 10^12-doc cluster run takes) even when the edge set would
+        # fit the driver — used by `job --rehearse --force-distributed-cc`
+        driver_cc_threshold = (int(env) if env not in (None, "")
+                               else driver_cc_capacity())
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
@@ -170,10 +177,20 @@ def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
             labels = labels.repartition(num_parts).materialize()
         if checkpoint_dir is not None:
             import os
+            import shutil
 
-            labels.write_parquet(f"{checkpoint_dir}/cc_round={rnd}")
-            with open(os.path.join(checkpoint_dir, f"cc_round={rnd}",
-                                   "_DONE"), "w") as f:
+            rdir = os.path.join(checkpoint_dir, f"cc_round={rnd}")
+            # a killed attempt leaves a partial round dir with no _DONE;
+            # write_parquet would APPEND fresh-UUID files beside the stale
+            # ones (rows today are identical-valued and washed out by the
+            # first-per-node reduce, but the checkpoint grows and any reader
+            # assuming one row per node breaks) — wipe it first, mirroring
+            # webdedup._Checkpointer.save
+            if os.path.isdir(rdir) and not os.path.exists(
+                    os.path.join(rdir, "_DONE")):
+                shutil.rmtree(rdir)
+            labels.write_parquet(rdir)
+            with open(os.path.join(rdir, "_DONE"), "w") as f:
                 f.write("ok")
         if changed == 0:
             break

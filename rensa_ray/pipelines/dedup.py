@@ -243,13 +243,18 @@ def _compact_bands_and_count(sig_ds, cfg: DedupConfig):
     return bands, band_table_from_columns(sampled, cfg), shift
 
 
-def _edges_from_sigs(sig_ds, cfg: DedupConfig):
+def _edges_from_sigs(sig_ds, cfg: DedupConfig, spanning: bool = False):
     """Candidate edges with the scale-correct count pass for each mode:
     verify runs band tables with signatures (plain path), auto-salt runs
-    route the hot-bucket count through the compact materialize."""
+    route the hot-bucket count through the compact materialize.
+
+    ``spanning`` (verify mode only): emit a connectivity-preserving star
+    per locally-connected component of the passing-pair graph instead of
+    every passing pair — the clusters lane needs reachability, not the
+    O(k²) pair list a bucket of k exact duplicates produces."""
     if cfg.verify:
         return candidate_edges(band_table(sig_ds, cfg, include_sig=True),
-                               cfg, with_sig=True)
+                               cfg, with_sig=True, spanning=spanning)
     if cfg.num_salts == 0:
         bands, count_ds, pre_shift = _compact_bands_and_count(sig_ds, cfg)
         return candidate_edges(bands, cfg, count_ds=count_ds,
@@ -478,7 +483,8 @@ def duplicate_flags_oph_rescued(ds, cfg: DedupConfig):
 
 
 def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False,
-                    count_ds=None, count_pre_shift: int = 0):
+                    count_ds=None, count_pre_shift: int = 0,
+                    spanning: bool = False):
     """Star edges (bucket-min doc ← member) per colliding bucket, deduped.
 
     With ``with_sig`` the band table carries signatures and pairs are gated by
@@ -505,10 +511,33 @@ def candidate_edges(band_ds, cfg: DedupConfig, with_sig: bool = False,
     """
     if not with_sig and cfg.num_salts != 1:
         return _candidate_edges_salted(band_ds, cfg, count_ds, count_pre_shift)
-    return _candidate_edges_plain(band_ds, cfg, with_sig)
+    return _candidate_edges_plain(band_ds, cfg, with_sig, spanning)
 
 
-def _candidate_edges_plain(band_ds, cfg: DedupConfig, with_sig: bool = False):
+def _local_star_edges(ii: np.ndarray, jj: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce an undirected pair list over rows 0..n-1 to star edges that
+    preserve exactly its connectivity: vectorized min-label propagation with
+    pointer jumping (O(pairs·log n) numpy work, ≤ one edge per non-root row
+    out).  Pairs are within-run from ``pairs_within_runs``, and rows sort
+    ascending by id inside each run, so the component root (min row index)
+    is the component's min id."""
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        prev = lab
+        nxt = lab.copy()
+        np.minimum.at(nxt, ii, lab[jj])
+        np.minimum.at(nxt, jj, lab[ii])
+        for _ in range(2):  # pointer jumping halves chain depth per pass
+            nxt = nxt[nxt]
+        if (nxt == prev).all():
+            break
+        lab = nxt
+    member = np.flatnonzero(lab != np.arange(n))
+    return lab[member], member
+
+
+def _candidate_edges_plain(band_ds, cfg: DedupConfig, with_sig: bool = False,
+                           spanning: bool = False):
     id_col, threshold = cfg.id_col, cfg.threshold
 
     def _edges(group: pa.Table) -> pa.Table:
@@ -531,15 +560,24 @@ def _candidate_edges_plain(band_ds, cfg: DedupConfig, with_sig: bool = False):
             # verify mode gates EVERY within-bucket pair, not just the
             # rep←member star: jac(A,B) can pass while jac(rep,A) and
             # jac(rep,B) both fail, and the README recipe (candidates →
-            # verify → keep smaller id) links A-B in that case.  Quadratic
-            # per bucket — the verify lane is the non-salted, non-scale
+            # verify → keep smaller id) links A-B in that case.  The
+            # Jaccard evaluation is quadratic per bucket by the recipe's
+            # semantics — the verify lane is the non-salted, non-scale
             # recipe lane by contract.
             ii, jj = pairs_within_runs(counts)
             if len(ii):
                 sig = sig_from_arrow(group[SIG_COL])[order]
                 jac = pairwise_jaccard(sig[ii], sig[jj])
                 keep = jac >= threshold
-                src, dst = ids_s[ii[keep]], ids_s[jj[keep]]
+                if spanning:
+                    # clusters lane: don't ship the O(k²) passing pairs of
+                    # a k-duplicate bucket into the CC shuffle — a local
+                    # min-label star per passing-pair component has the
+                    # same transitive closure with ≤ k-1 edges
+                    si, sj = _local_star_edges(ii[keep], jj[keep], len(ids_s))
+                    src, dst = ids_s[si], ids_s[sj]
+                else:
+                    src, dst = ids_s[ii[keep]], ids_s[jj[keep]]
             else:
                 src, dst = ids_s[:0], ids_s[:0]
         # dedupe identical pairs within the partition
@@ -567,7 +605,10 @@ def near_dup_clusters(ds, cfg: DedupConfig, sig_ds=None):
 
     if sig_ds is None:
         sig_ds = compute_signatures(ds, cfg)
-    edges = _edges_from_sigs(sig_ds, cfg)
+    # spanning: CC needs reachability only — verify mode's full passing-pair
+    # list (quadratic in duplicate-cluster size) stays exclusive to
+    # near_dup_pairs, where the pairs ARE the product
+    edges = _edges_from_sigs(sig_ds, cfg, spanning=True)
     labels = connected_components(edges, num_parts=cfg.num_parts)  # (node, label)
     id_col = cfg.id_col
     if labels.count() == 0:

@@ -225,18 +225,21 @@ def incremental_dedup_against_checkpoint(new_ds, band_checkpoint_dir: str, cfg,
         ids = np_col(g, id_col)
         is_new = np_col(g, "__new") > 0
         order, gid, counts = run_ids(bh, bid)
-        ids_u = ids[order].astype(np.uint64)
+        ids_s = ids[order]
         new_s = is_new[order]
         # first-wins within the batch: a NEW row is flagged iff its bucket
         # holds a history row OR a smaller-id new row (flagging every new
-        # member of a new-only bucket would drop all copies downstream)
+        # member of a new-only bucket would drop all copies downstream).
+        # "smaller" compares in the id column's NATIVE order — the old
+        # uint64 cast inverted the keep choice for negative int64 ids
+        # (-1 wrapped to 2^64-1 and always lost)
         n_groups = len(counts)
         old_any = np.zeros(n_groups, bool)
         np.logical_or.at(old_any, gid, ~new_s)
-        min_new = np.full(n_groups, np.iinfo(np.uint64).max, np.uint64)
+        min_new = np.full(n_groups, np.iinfo(ids_s.dtype).max, ids_s.dtype)
         if new_s.any():
-            np.minimum.at(min_new, gid[new_s], ids_u[new_s])
-        flag_rows = new_s & (old_any[gid] | (ids_u > min_new[gid]))
+            np.minimum.at(min_new, gid[new_s], ids_s[new_s])
+        flag_rows = new_s & (old_any[gid] | (ids_s > min_new[gid]))
         return pa.table({id_col: pa.array(np.unique(ids[order][flag_rows]))})
 
     flagged = partitionwise(both, _collide, "band_hash", cfg.num_parts)

@@ -432,3 +432,109 @@ def test_near_dup_pairs_uint64_high_bit_ids(ray_session):
     out = near_dup_pairs(ds, cfg).to_pandas()
     assert {tuple(sorted(r)) for r in out.itertuples(index=False)} == {
         (base + 1, base + 2)}
+
+
+def test_local_star_edges_preserves_connectivity():
+    """Kernel check: the spanning reduction has the exact transitive closure
+    of the input pair list, with at most one edge per non-root row."""
+    from rensa_ray.pipelines.dedup import _local_star_edges
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(2, 40))
+        n_pairs = int(rng.integers(0, 60))
+        ii = rng.integers(0, n, n_pairs)
+        jj = rng.integers(0, n, n_pairs)
+        # naive union-find truth
+        root = list(range(n))
+
+        def find(x):
+            while root[x] != x:
+                root[x] = root[root[x]]
+                x = root[x]
+            return x
+
+        for a, b in zip(ii, jj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                root[max(ra, rb)] = min(ra, rb)
+        want = [find(x) for x in range(n)]
+
+        src, dst = _local_star_edges(ii, jj, n)
+        assert len(src) <= n - 1
+        got_root = list(range(n))
+        for a, b in zip(src, dst):
+            ra = min(int(a), int(b))
+            assert got_root[max(int(a), int(b))] in (max(int(a), int(b)), ra)
+            got_root[max(int(a), int(b))] = ra
+
+        def gfind(x):
+            while got_root[x] != x:
+                x = got_root[x]
+            return x
+
+        assert [gfind(x) for x in range(n)] == want
+
+
+def test_verify_spanning_edges_link_members_without_pair_blowup(ray_session):
+    """ADVICE r3: verify-mode clusters must not ship O(k²) edges for a
+    bucket of k duplicates.  Spanning mode emits ≤ k-1 star edges with the
+    member-member connectivity (incl. the rep-fails-but-A-B-passes case)
+    intact."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig, _candidate_edges_plain
+    from rensa_ray.stages.sign import SIG_COL, sig_to_arrow
+
+    rng = np.random.default_rng(4)
+    sig1 = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
+    sig2 = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
+    k = 50
+    sigs = np.stack([sig1] + [sig2] * k)      # doc 1 unrelated; docs 2..k+1 equal
+    band_tbl = pa.table({
+        "doc_id": pa.array(range(1, k + 2), pa.int64()),
+        "band_id": pa.array([0] * (k + 1), pa.int32()),
+        "band_hash": pa.array([77] * (k + 1), pa.uint64()),
+        SIG_COL: sig_to_arrow(sigs),
+    })
+    cfg = DedupConfig(num_parts=2, verify=True, threshold=0.8)
+    full = _candidate_edges_plain(rd.from_arrow(band_tbl), cfg,
+                                  with_sig=True).to_pandas()
+    span = _candidate_edges_plain(rd.from_arrow(band_tbl), cfg,
+                                  with_sig=True, spanning=True).to_pandas()
+    assert len(full) == k * (k - 1) // 2      # pairs lane: the full product
+    assert len(span) == k - 1                 # clusters lane: one star
+    # identical connectivity: every member hangs off the min id (2)
+    assert set(span["src"]) == {2}
+    assert set(span["dst"]) == set(range(3, k + 2))
+
+
+def test_verified_clusters_match_between_spanning_and_pair_edges(ray_session, tmp_path):
+    """near_dup_clusters(verify=True) now rides spanning edges; cluster
+    assignments must equal the old full-pair-edge run."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rensa_ray.pipelines.cc import connected_components
+    from rensa_ray.pipelines.dedup import (
+        DedupConfig, _edges_from_sigs, compute_signatures, near_dup_clusters)
+
+    docs = ([" ".join(f"w{i}" for i in range(100))] * 4
+            + [" ".join(f"w{i}" for i in range(99)) + " zz"]
+            + [" ".join(f"u{j}_{i}" for i in range(50)) for j in range(5)])
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    # concurrency=1: the 4-CPU test session can't host a 4-actor signer pool
+    # twice (CPU-reservation deadlock — see .claude/skills/verify gotchas)
+    cfg = DedupConfig(num_parts=4, verify=True, concurrency=1)
+
+    got = near_dup_clusters(ds, cfg).to_pandas().sort_values("doc_id")
+
+    sig_ds = compute_signatures(ds, cfg)
+    pair_edges = _edges_from_sigs(sig_ds, cfg, spanning=False)
+    labels = connected_components(pair_edges, num_parts=4).to_pandas()
+    lab = dict(zip(labels["node"].astype(int), labels["label"].astype(int)))
+    want = [min(lab.get(i, i), i) for i in range(len(docs))]
+    assert got["cluster_id"].astype(int).tolist() == want

@@ -618,3 +618,24 @@ def test_cosine_lsh_max_bucket_cap_preserves_equal_groups(ray_session, tmp_path)
     sub = (set() if tight.empty else
            {tuple(r) for r in tight[["id_a", "id_b"]].itertuples(index=False)})
     assert sub <= truth                    # cap only loses pairs
+
+
+def test_incremental_first_wins_respects_negative_ids(ray_session, tmp_path):
+    """ADVICE r3: 'smaller id kept' must compare in the id column's NATIVE
+    signed order — under the old uint64 cast, -1 wrapped to 2^64-1 and the
+    negative member always lost."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.state.stream import incremental_dedup_against_checkpoint
+
+    cfg = DedupConfig(num_parts=4, concurrency=1)
+    ck = str(tmp_path / "bands")
+    batch = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-5, 3, 9], pa.int64()),
+        "text": pa.array([NEAR_A, NEAR_A, UNIQ[0]])}))
+    r = incremental_dedup_against_checkpoint(batch, ck, cfg) \
+        .to_pandas().set_index("doc_id")
+    assert not bool(r.loc[-5, "is_dup"])   # smallest (negative) id kept
+    assert bool(r.loc[3, "is_dup"])
+    assert not bool(r.loc[9, "is_dup"])
