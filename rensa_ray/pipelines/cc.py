@@ -245,9 +245,10 @@ def _propagate_round(edges, labels, num_parts: int, pointer_jump: bool = True):
         # "message row, no old label" sentinel (an int64 -1 sentinel broke
         # convergence detection for fxhash64 ids >= 2^63: the negative cast
         # label always lost to -1 under max, so ``changed`` never reached 0
-        # and every run burned all max_rounds).  A genuine label of
-        # u64::MAX has probability 2^-64 per corpus — same class as the
-        # documented uid==0 sentinel note in webdedup.
+        # and every run burned all max_rounds).  A label of u64::MAX is
+        # impossible for the flagship: ingest remaps it out of the uid
+        # space (webdedup.reserve_sentinel_uids); for direct callers with
+        # their own id scheme it remains a 2^-64 note.
         node = np.concatenate([ev, lk])
         lab = np.concatenate([msg_label, lv])
         return pa.table({"node": pa.array(node), "lab": pa.array(lab),

@@ -131,33 +131,61 @@ def cosine_topk(sf_dir: str, k: int = 5, num_queries: int = 10) -> pa.Table:
     return _reduce_topk(ds, k)
 
 
-def _reduce_topk(ds, k: int) -> pa.Table:
-    """Final reduce over per-batch partial top-k rows (blocks × Q × k — tiny)."""
-    batches = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow",
-                                                    batch_size=None)]
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "neighbor_id": pa.array([], pa.int64()),
-                      "score": pa.array([], pa.float64())})
-    partial = pa.concat_tables(batches or [empty],
-                               promote_options="permissive")
-    if partial.num_rows == 0:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "neighbor_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int64())})
-    qid = partial["query_id"].to_numpy()
-    nid = partial["neighbor_id"].to_numpy()
-    sc = partial["score"].to_numpy()
+def _topk_fold(qid: np.ndarray, nid: np.ndarray, sc: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(query, neighbor, score) rows → per-query top-k (score desc, id asc);
+    returns (qid, nid, score, rank) of the kept rows."""
     order = np.lexsort((nid, -sc, qid))  # by query, score desc, id asc
-    qs, ns = qid[order], nid[order]
+    qs, ns, ss = qid[order], nid[order], sc[order]
     first = np.zeros(len(qs), bool)
     first[0] = True
     first[1:] = qs[1:] != qs[:-1]
     gid = np.cumsum(first) - 1
     pos_in_group = np.arange(len(qs)) - np.flatnonzero(first)[gid]
     keep = pos_in_group < k
-    return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
-                     "neighbor_id": pa.array(ns[keep], pa.int64()),
-                     "rank": pa.array(pos_in_group[keep] + 1, pa.int64())})
+    return qs[keep], ns[keep], ss[keep], pos_in_group[keep] + 1
+
+
+def _reduce_topk(ds, k: int, flush_rows: int = 1 << 20) -> pa.Table:
+    """Final reduce over per-batch partial top-k rows.
+
+    The partial stream is blocks × Q × k rows — tiny at bench scale, but a
+    100-TB run has ~4·10⁵ blocks, so the fold is STREAMING: partials
+    accumulate up to ``flush_rows`` and are compacted to Q × k running
+    winners (top-k folding is associative), bounding driver memory at
+    O(flush_rows + Q·k) instead of O(blocks·Q·k)."""
+    acc_q: list[np.ndarray] = []
+    acc_n: list[np.ndarray] = []
+    acc_s: list[np.ndarray] = []
+    n_acc = 0
+
+    def _compact():
+        nonlocal acc_q, acc_n, acc_s, n_acc
+        qs, ns, ss, _ = _topk_fold(np.concatenate(acc_q),
+                                   np.concatenate(acc_n),
+                                   np.concatenate(acc_s), k)
+        acc_q, acc_n, acc_s, n_acc = [qs], [ns], [ss], len(qs)
+
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = pa.table(b)
+        if t.num_rows == 0:
+            continue
+        acc_q.append(t["query_id"].to_numpy())
+        acc_n.append(t["neighbor_id"].to_numpy())
+        acc_s.append(t["score"].to_numpy())
+        n_acc += t.num_rows
+        if n_acc > flush_rows:
+            _compact()
+    if n_acc == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    qs, ns, _ss, rank = _topk_fold(np.concatenate(acc_q),
+                                   np.concatenate(acc_n),
+                                   np.concatenate(acc_s), k)
+    return pa.table({"query_id": pa.array(qs, pa.int64()),
+                     "neighbor_id": pa.array(ns, pa.int64()),
+                     "rank": pa.array(rank, pa.int64())})
 
 
 def _sample_embeddings(sf_dir: str, max_rows: int) -> np.ndarray:

@@ -103,18 +103,40 @@ def _winnow_keep(H: np.ndarray, doc_idx: np.ndarray, window: int) -> np.ndarray:
         return keep
     from numpy.lib.stride_tricks import sliding_window_view
 
-    # doc boundaries in the (doc-contiguous) position stream
+    # doc boundaries in the (doc-contiguous) position stream.  Positions are
+    # doc-contiguous, so a window starting at global t with >= window
+    # positions left in ITS doc never crosses a boundary — one global
+    # sliding argmin over valid starts replaces the per-document python
+    # loop (which dominated on many-small-docs batches).
     starts = np.flatnonzero(np.concatenate(
         [[True], doc_idx[1:] != doc_idx[:-1]]))
-    ends = np.concatenate([starts[1:], [total]])
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m <= window:
-            keep[s + int(np.argmin(H[s:e]))] = True
-            continue
-        w = sliding_window_view(H[s:e], window)
-        mins = s + np.arange(m - window + 1) + w.argmin(axis=1)
-        keep[np.unique(mins)] = True
+    sizes = np.diff(np.concatenate([starts, [total]]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+    rem = np.repeat(sizes, sizes) - pos
+    t = np.flatnonzero(rem >= window)
+    if len(t):
+        # pad (window-1) u64::MAX sentinels between docs so ONE contiguous
+        # sliding argmin covers every document — rows starting in padding
+        # are computed but never consumed, and valid rows contain no
+        # padding, so no fancy-index window copies are ever materialized
+        n_docs = len(sizes)
+        pad = window - 1
+        P = np.full(total + n_docs * pad, np.iinfo(np.uint64).max, np.uint64)
+        ppos = np.arange(total, dtype=np.int64) + np.repeat(
+            np.arange(n_docs, dtype=np.int64) * pad, sizes)
+        P[ppos] = H
+        am = sliding_window_view(P, window).argmin(axis=1)
+        keep[t + am[ppos[t]]] = True
+    # docs shorter than one window keep their single minimum (first
+    # occurrence, matching np.argmin's tie rule)
+    short = sizes < window
+    if short.any():
+        docmin = np.minimum.reduceat(H, starts)
+        cand = np.flatnonzero((H == np.repeat(docmin, sizes))
+                              & np.repeat(short, sizes))
+        cdoc = np.repeat(np.arange(len(sizes)), sizes)[cand]
+        first = np.concatenate([[True], cdoc[1:] != cdoc[:-1]])
+        keep[cand[first]] = True
     return keep
 
 

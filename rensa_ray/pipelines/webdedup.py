@@ -35,12 +35,30 @@ from .dedup import DedupConfig, compute_signatures
 UID_COL = "uid"
 
 
+def reserve_sentinel_uids(uids: np.ndarray) -> np.ndarray:
+    """Remap the two pipeline sentinels out of the uid space.
+
+    uid 0 is the assignments join's "no cluster label" marker and
+    u64::MAX is the CC round's "message row, no old label" marker
+    (cc._emit_messages) — a url hashing to either would self-label /
+    confuse convergence with probability 2^-64 per corpus.  Remapping at
+    ingest turns those documented notes into impossibilities; the remap
+    target colliding with another url's hash is the same already-accepted
+    fxhash64-collision class as any other id collision."""
+    uids = np.asarray(uids, np.uint64)
+    uids[uids == np.uint64(0)] = np.uint64(0x9E3779B97F4A7C15)
+    uids[uids == np.iinfo(np.uint64).max] = np.uint64(0x61C8864680B583EB)
+    return uids
+
+
 def add_uid(ds, url_col: str = "url"):
-    """Append uid = fxhash64(url utf-8 bytes) as uint64."""
+    """Append uid = fxhash64(url utf-8 bytes) as uint64 (sentinels 0 and
+    u64::MAX remapped — see ``reserve_sentinel_uids``)."""
 
     def _add(batch: pa.Table) -> pa.Table:
         urls = batch[url_col].to_pylist()
-        uids = fxhash64_bytes_list([u.encode("utf-8") for u in urls])
+        uids = reserve_sentinel_uids(
+            fxhash64_bytes_list([u.encode("utf-8") for u in urls]))
         return batch.append_column(UID_COL, pa.array(uids, pa.uint64()))
 
     return ds.map_batches(_add, batch_format="pyarrow")
@@ -301,6 +319,8 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
             out_uid = uids[order][url_rows]
             out_url = urls[order][url_rows]
             out_cl = cluster[gid[url_rows]]
+            # cluster_uid == 0 is safe as the no-label sentinel: uid 0 is
+            # remapped out of the id space at ingest (reserve_sentinel_uids)
             no_label = out_cl == 0
             out_cl[no_label] = out_uid[no_label]
             return pa.table({

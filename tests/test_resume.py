@@ -173,3 +173,20 @@ def test_webdedup_resume_discards_stale_partial_stage(ray_session, tmp_path):
                 for f in sig_dir.glob("*.parquet"))
     assert total == sig_rows
     pd.testing.assert_frame_equal(df1, df2)
+
+
+def test_reserve_sentinel_uids_remaps_0_and_max():
+    """VERDICT r3 #6: uid 0 (webdedup no-label sentinel) and u64::MAX (CC
+    old-label sentinel) can never be document ids after ingest."""
+    import numpy as np
+
+    from rensa_ray.pipelines.webdedup import reserve_sentinel_uids
+
+    mx = np.iinfo(np.uint64).max
+    uids = np.array([0, 1, mx, 42, 0], np.uint64)
+    out = reserve_sentinel_uids(uids.copy())
+    assert 0 not in out and mx not in out
+    assert out[1] == 1 and out[3] == 42          # non-sentinels untouched
+    assert out[0] == out[4]                      # deterministic remap
+    # empty batch
+    assert len(reserve_sentinel_uids(np.empty(0, np.uint64))) == 0
