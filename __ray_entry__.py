@@ -461,6 +461,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_flags": lambda sf: _fin(
             textops.decontaminate_flags(sf),
             pa.schema([("doc_id", I64), ("is_contaminated", BOOL)])),
+        # source-level curation reports -----------------------------------
+        "dup_stats_by_source": lambda sf: _fin(
+            textops.dup_stats_by_source(sf),
+            pa.schema([("source", STR), ("n_docs", I64),
+                       ("n_dup_docs", I64), ("dup_frac", F64)])),
+        "cross_source_overlap": lambda sf: _fin(
+            textops.cross_source_overlap(sf),
+            pa.schema([("source_a", STR), ("source_b", STR),
+                       ("n_shared_texts", I64)])),
+        "doc_token_entropy": lambda sf: _fin(
+            textops.doc_token_entropy(sf),
+            pa.schema([("doc_id", I64), ("n_tokens", I64), ("entropy", F64)])),
+        "doc_length_zscore_by_lang": lambda sf: _fin(
+            textops.doc_length_zscore_by_lang(sf),
+            pa.schema([("doc_id", I64), ("lang", STR), ("z", F64)])),
         "incremental_dedup": _incremental_dedup_query,
         "incremental_dedup_bloom": _incremental_dedup_bloom_query,
         "chunk_documents": lambda sf: _fin(
@@ -956,6 +971,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    (d.doc_id IN (SELECT doc_id FROM hit)) AS is_contaminated
             FROM documents d WHERE d.doc_id % 97 <> 0""",
+        "dup_stats_by_source": """
+            WITH k AS (SELECT source, md5(text) AS h FROM documents),
+            c AS (SELECT h, COUNT(*) AS cnt FROM k GROUP BY h)
+            SELECT k.source, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup_docs,
+                   SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                       / COUNT(*) AS dup_frac
+            FROM k JOIN c USING (h) GROUP BY k.source""",
+        "cross_source_overlap": """
+            WITH e AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_shared_texts
+            FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+            GROUP BY a.source, b.source""",
+        # natural-log unigram entropy, ROUND 6 absorbing summation-order
+        # float noise (same convention as embedding_label_centroids)
+        "doc_token_entropy": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS tok
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS c
+                   FROM w GROUP BY doc_id, tok),
+            s AS (SELECT doc_id, SUM(c)::BIGINT AS n,
+                         SUM(c * ln(c)) AS clnc
+                  FROM tf GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(s.n, 0)::BIGINT AS n_tokens,
+                   ROUND(COALESCE(ln(s.n) - s.clnc / s.n, 0.0), 6) AS entropy
+            FROM documents d LEFT JOIN s USING (doc_id)""",
+        "doc_length_zscore_by_lang": """
+            WITH s AS (
+              SELECT lang, AVG(n_chars) AS mu,
+                     stddev_pop(n_chars) AS sd
+              FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang,
+                   CASE WHEN s.sd > 0
+                        THEN ROUND((d.n_chars - s.mu) / s.sd, 6)
+                        ELSE 0.0 END AS z
+            FROM documents d JOIN s USING (lang)""",
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS total_value

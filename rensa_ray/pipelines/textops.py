@@ -898,3 +898,200 @@ def events_hourly(sf_dir: str):
                             "hour": pc.floor_temporal(b["ts"], unit="hour")}),
         batch_format="pyarrow")
     return trunc.groupby(["event_type", "hour"]).aggregate(Count(alias_name="n_events"))
+
+
+# ------------------------------------------------------------------ source ops
+
+def dup_stats_by_source(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Per-source duplication report: (source, n_docs, n_dup_docs, dup_frac).
+
+    A doc is "dup" iff its exact text appears ≥ 2 times CORPUS-WIDE (any
+    source) — the curation question "which crawl/source is feeding me
+    duplicates".  One content-key shuffle computes global text counts with
+    every same-text row co-located; the per-source rollup is a tiny second
+    aggregate.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def _key(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        md5s = md5_hex(texts)
+        return pa.table({
+            "source": batch["source"],
+            "text_md5": pa.array(md5s, pa.string()),
+            "__key": pa.array(fxhash64_bytes_list([m.encode() for m in md5s]),
+                              pa.uint64())})
+
+    ds = _docs(sf_dir, ["source", "text"]).map_batches(
+        _key, batch_format="pyarrow")
+
+    def _flag(g: pa.Table) -> pa.Table:
+        cnt = pa.TableGroupBy(g, "text_md5").aggregate([("text_md5", "count")])
+        cnt = cnt.rename_columns(["text_md5", "cnt"])
+        joined = g.select(["source", "text_md5"]).join(cnt, "text_md5")
+        return pa.table({
+            "source": joined["source"],
+            "is_dup": pc.cast(pc.greater_equal(joined["cnt"], 2), pa.int64())})
+
+    flagged = partitionwise(ds, _flag, "__key", num_parts)
+    agg = flagged.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("is_dup", alias_name="n_dup_docs"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "n_docs": b["n_docs"].cast(pa.int64()),
+            "n_dup_docs": b["n_dup_docs"].cast(pa.int64()),
+            "dup_frac": pc.divide(b["n_dup_docs"].cast(pa.float64()),
+                                  b["n_docs"].cast(pa.float64()))}),
+        batch_format="pyarrow")
+
+
+def cross_source_overlap(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Texts shared across sources: (source_a < source_b, n_shared_texts),
+    counting DISTINCT texts present in both.  Same content-key shuffle as
+    the exact-dup family; per-text source fan-out is bounded by the (small)
+    source cardinality, so pair emission is never quadratic in doc count.
+    """
+
+    def _key(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        md5s = md5_hex(texts)
+        return pa.table({
+            "source": batch["source"],
+            "text_md5": pa.array(md5s, pa.string()),
+            "__key": pa.array(fxhash64_bytes_list([m.encode() for m in md5s]),
+                              pa.uint64())})
+
+    ds = _docs(sf_dir, ["source", "text"]).map_batches(
+        _key, batch_format="pyarrow")
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        from .common import pairs_within_runs
+
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        # distinct (text, source), then source pairs within each text run
+        dedup = pa.TableGroupBy(g, ["text_md5", "source"]).aggregate(
+            [("__key", "min")])  # __key is a function of text_md5
+        if dedup.num_rows == 0:
+            return empty
+        key = dedup["__key_min"].to_numpy(zero_copy_only=False)
+        md5s = dedup["text_md5"].to_numpy(zero_copy_only=False).astype("U32")
+        src = dedup["source"].to_numpy(zero_copy_only=False)
+        o = np.argsort(key, kind="stable")
+        key_s, md5_s, src_s = key[o], md5s[o], src[o]
+        runs = np.ones(len(key_s), bool)
+        runs[1:] = key_s[1:] != key_s[:-1]
+        counts = np.bincount(np.cumsum(runs) - 1)
+        ii, jj = pairs_within_runs(counts)
+        if len(ii):
+            ok = md5_s[ii] == md5_s[jj]  # defuse 2^-64 key collisions
+            ii, jj = ii[ok], jj[ok]
+        if len(ii) == 0:
+            return empty
+        a, b = src_s[ii], src_s[jj]
+        swap = a > b
+        part = pa.table({"source_a": pa.array(np.where(swap, b, a), pa.string()),
+                         "source_b": pa.array(np.where(swap, a, b), pa.string())})
+        cnt = pa.TableGroupBy(part, ["source_a", "source_b"]).aggregate(
+            [("source_a", "count")])
+        return cnt.rename_columns(["source_a", "source_b", "n"])
+
+    partial = partitionwise(ds, _pairs, "__key", num_parts)
+    from ray.data.aggregate import Sum
+
+    agg = partial.groupby(["source_a", "source_b"]).aggregate(
+        Sum("n", alias_name="n_shared_texts"))
+    return agg.map_batches(
+        lambda b: pa.table({"source_a": b["source_a"],
+                            "source_b": b["source_b"],
+                            "n_shared_texts":
+                                b["n_shared_texts"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def doc_token_entropy(sf_dir: str):
+    """Unigram Shannon entropy (natural log, lowercased whitespace tokens)
+    per doc: (doc_id, n_tokens, entropy round 6).  Empty docs → (0, 0.0).
+
+    Gopher-style repetition/quality signal: boilerplate and keyword-stuffed
+    pages score far below prose of the same length.  Pure per-batch map —
+    each row holds its whole doc, so no shuffle.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _entropy(b: pa.Table) -> pa.Table:
+        ids = np_col(b, "doc_id")
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(b["text"], "")))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_of = np.repeat(np.arange(len(ids)), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, doc_of = flat.filter(pa.array(nonempty)), doc_of[nonempty]
+        n = len(ids)
+        n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
+        ent = np.zeros(n, np.float64)
+        if len(doc_of):
+            h = fxhash64_bytes_list(
+                [t.encode("utf-8") for t in flat.to_pylist()])
+            order = np.lexsort((h, doc_of))
+            d_s, h_s = doc_of[order], h[order]
+            runs = np.ones(len(d_s), bool)
+            runs[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            c = np.bincount(np.cumsum(runs) - 1).astype(np.float64)
+            cdoc = d_s[np.flatnonzero(runs)]
+            clnc = np.zeros(n, np.float64)
+            np.add.at(clnc, cdoc, c * np.log(c))
+            nz = n_tok > 0
+            ent[nz] = np.log(n_tok[nz]) - clnc[nz] / n_tok[nz]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tok),
+                         "entropy": pa.array(np.round(ent, 6))})
+
+    return ds.map_batches(_entropy, batch_format="pyarrow")
+
+
+def doc_length_zscore_by_lang(sf_dir: str):
+    """Per-language standardized length: (doc_id, lang, z round 6) with
+    z = (n_chars - mean_lang) / stddev_pop_lang; single-doc / constant
+    languages → 0.0.
+
+    The grouped-standardization shape every feature pipeline needs: the
+    per-lang moments are a TINY aggregate (lang cardinality), broadcast
+    via ``ray.put`` into a pure map — no per-doc shuffle.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    sq = ds.map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"],
+            "x": b["n_chars"].cast(pa.float64()),
+            "x2": pc.multiply(b["n_chars"].cast(pa.float64()),
+                              b["n_chars"].cast(pa.float64()))}),
+        batch_format="pyarrow")
+    stats = sq.groupby("lang").aggregate(
+        Count(alias_name="n"), Sum("x", alias_name="sx"),
+        Sum("x2", alias_name="sx2")).take_all()  # lang cardinality — tiny
+    moments = {}
+    for r in stats:
+        n, sx, sx2 = r["n"], r["sx"], r["sx2"]
+        mu = sx / n
+        var = max(sx2 / n - mu * mu, 0.0)
+        moments[r["lang"]] = (mu, var ** 0.5)
+    m_ref = ray.put(moments)
+
+    def _z(b: pa.Table) -> pa.Table:
+        mo = ray.get(m_ref)
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        x = np_col(b, "n_chars").astype(np.float64)
+        mu = np.fromiter((mo[la][0] for la in langs), np.float64, len(langs))
+        sd = np.fromiter((mo[la][1] for la in langs), np.float64, len(langs))
+        z = np.where(sd > 0, (x - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "z": pa.array(np.round(z, 6))})
+
+    return ds.map_batches(_z, batch_format="pyarrow")

@@ -38,10 +38,13 @@ def _to_table(res) -> pa.Table:
 def assert_matches_sql(res, sql: str, sf_dir: str = SF_DIR):
     """Order-insensitive comparison of a Ray result against DuckDB."""
     tbl = _to_table(res)
+    import os
+
     con = duckdb.connect()
     for t in ("documents", "events", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):  # planted fixtures may
+            con.execute(                             # ship only one table
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     want = con.execute(sql).arrow()
     got_df = tbl.to_pandas()
     want_df = want.to_pandas()
@@ -797,3 +800,99 @@ def test_decontaminate_flags_two_table_uint64_ids(ray_session):
     assert out.index.dtype == np.uint64
     assert bool(out.loc[big, "is_contaminated"])
     assert not bool(out.loc[7, "is_contaminated"])
+
+
+# ------------------------------------------------- source-level curation ops
+
+def _mk_source_docs(tmp_path):
+    import pyarrow.parquet as pq
+
+    texts = ["shared boilerplate page " * 3,   # in A and B (cross-source dup)
+             "shared boilerplate page " * 3,
+             "only in A once",
+             "a-internal dup " * 2,            # twice within A
+             "a-internal dup " * 2,
+             "unique b doc",
+             "",                               # empty text edge
+             "shared boilerplate page " * 3]   # third copy, source C
+    srcs = ["srcA", "srcB", "srcA", "srcA", "srcA", "srcB", "srcC", "srcC"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dup_stats_by_source_planted(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import dup_stats_by_source
+
+    sf_dir = _mk_source_docs(tmp_path)
+    res = dup_stats_by_source(sf_dir).to_pandas().set_index("source")
+    # srcA: 4 docs, dups = the shared page + both internal copies = 3
+    assert res.loc["srcA", "n_docs"] == 4
+    assert res.loc["srcA", "n_dup_docs"] == 3
+    assert res.loc["srcB", "n_dup_docs"] == 1   # its shared-page copy
+    assert res.loc["srcC", "n_dup_docs"] == 1   # empty text is unique
+    assert_matches_sql(dup_stats_by_source(sf_dir),
+                       entry.oracle_sql()["dup_stats_by_source"], sf_dir)
+    assert_matches_sql(dup_stats_by_source(SF_DIR),
+                       entry.oracle_sql()["dup_stats_by_source"])
+
+
+def test_cross_source_overlap_planted(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import cross_source_overlap
+
+    sf_dir = _mk_source_docs(tmp_path)
+    res = cross_source_overlap(sf_dir).to_pandas()
+    got = {(r.source_a, r.source_b): r.n_shared_texts
+           for r in res.itertuples(index=False)}
+    # ONE distinct text shared pairwise among A/B/C; internal dups don't count
+    assert got == {("srcA", "srcB"): 1, ("srcA", "srcC"): 1,
+                   ("srcB", "srcC"): 1}
+    assert_matches_sql(cross_source_overlap(sf_dir),
+                       entry.oracle_sql()["cross_source_overlap"], sf_dir)
+
+
+def test_doc_token_entropy(ray_session, tmp_path):
+    import math
+
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import doc_token_entropy
+
+    sf_dir = _mk_source_docs(tmp_path)
+    res = doc_token_entropy(sf_dir).to_pandas().set_index("doc_id")
+    # empty doc → (0, 0.0)
+    assert res.loc[6, "n_tokens"] == 0 and res.loc[6, "entropy"] == 0.0
+    # "a-internal dup a-internal dup": 2 distinct tokens, uniform → ln 2
+    assert abs(res.loc[3, "entropy"] - math.log(2)) < 1e-6
+    # repeated boilerplate keeps entropy of the distinct token set
+    assert res.loc[0, "entropy"] == res.loc[1, "entropy"]
+    assert_matches_sql(doc_token_entropy(sf_dir),
+                       entry.oracle_sql()["doc_token_entropy"], sf_dir)
+    assert_matches_sql(doc_token_entropy(SF_DIR),
+                       entry.oracle_sql()["doc_token_entropy"])
+
+
+def test_doc_length_zscore_by_lang(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import doc_length_zscore_by_lang
+
+    sf_dir = _mk_source_docs(tmp_path)
+    res = doc_length_zscore_by_lang(sf_dir).to_pandas()
+    # population standardization: mean 0, unit variance (all docs are 'en')
+    assert abs(res["z"].mean()) < 1e-5
+    assert abs((res["z"] ** 2).mean() - 1.0) < 1e-4
+    assert_matches_sql(doc_length_zscore_by_lang(sf_dir),
+                       entry.oracle_sql()["doc_length_zscore_by_lang"], sf_dir)
+    assert_matches_sql(doc_length_zscore_by_lang(SF_DIR),
+                       entry.oracle_sql()["doc_length_zscore_by_lang"])
