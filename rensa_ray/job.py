@@ -114,8 +114,31 @@ def _rehearse(args) -> int:
     print(f"[rehearse] {n_docs:,} docs → {base} (~{est_gb:.1f} GB disk, "
           f"two full pipeline runs{', forced distributed CC' if args.force_distributed_cc else ''})",
           file=sys.stderr)
+    prev_cc_env = os.environ.get("RENSA_RAY_DRIVER_CC_THRESHOLD")
     if args.force_distributed_cc:
         os.environ["RENSA_RAY_DRIVER_CC_THRESHOLD"] = "0"
+    try:
+        return _rehearse_body(args, n_docs, base)
+    finally:
+        # scope the forced-CC override to the rehearsal: this knob is a
+        # process-global side channel read by every connected_components
+        # call, so leaving it set would silently force threshold-0 on any
+        # later pipeline run in the same process
+        if args.force_distributed_cc:
+            if prev_cc_env is None:
+                os.environ.pop("RENSA_RAY_DRIVER_CC_THRESHOLD", None)
+            else:
+                os.environ["RENSA_RAY_DRIVER_CC_THRESHOLD"] = prev_cc_env
+
+
+def _rehearse_body(args, n_docs: int, base: str) -> int:
+    import os
+    import shutil
+    import time
+
+    from .pipelines.webdedup import run_web_dedup
+    from .sources.corpus import write_corpus, write_corpus_parallel
+
     cdir = os.path.join(base, "corpus_base", "corpus")
     marker = os.path.join(base, "corpus_base", "_DONE")
     if not os.path.exists(marker):

@@ -116,8 +116,13 @@ def connected_components(edges, num_parts: int = 64, max_rounds: int = 30,
         # ops knob: 0 forces the distributed label-propagation loop (the
         # path a 10^12-doc cluster run takes) even when the edge set would
         # fit the driver — used by `job --rehearse --force-distributed-cc`
-        driver_cc_threshold = (int(env) if env not in (None, "")
-                               else driver_cc_capacity())
+        try:
+            driver_cc_threshold = (int(env) if env not in (None, "")
+                                   else driver_cc_capacity())
+        except ValueError as e:
+            raise ValueError(
+                "RENSA_RAY_DRIVER_CC_THRESHOLD must be an integer edge "
+                f"count (0 forces the distributed loop), got {env!r}") from e
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:

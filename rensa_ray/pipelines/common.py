@@ -222,3 +222,38 @@ def pairs_within_runs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         under = nxt <= p
     j = i + 1 + (p - before)
     return run_start[run_of] + i, run_start[run_of] + j
+
+
+def capped_distinct_value_pairs(
+        bucket_sorted: np.ndarray, value_boundary: np.ndarray,
+        max_bucket: int | None) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                         np.ndarray, np.ndarray, np.ndarray]:
+    """Skew-guarded distinct-value pair enumeration — the shared kernel of
+    the simhash and cosine-LSH verify lanes.
+
+    Rows are sorted by (bucket, value); ``value_boundary`` marks the first
+    row of each (bucket, value) run.  Returns ``(vgid, vcounts, vstart,
+    rep_rows, rep_vgroup, ii, jj)``: per-row value-group id, value-group
+    sizes, first-row index per value group, then the CAP-FILTERED row index
+    and value-group id of one representative per distinct value, and every
+    pair ``(ii, jj)`` (indices into ``rep_rows``/``rep_vgroup``) of distinct
+    values sharing a bucket.  Buckets holding more than ``max_bucket``
+    DISTINCT values are dropped from pair emission entirely — the
+    documented recall trade for boilerplate-class skew (equal-value groups
+    are unaffected; callers flag/emit those separately at O(k))."""
+    vgid = np.cumsum(value_boundary) - 1
+    vcounts = np.bincount(vgid)
+    vstart = np.flatnonzero(value_boundary)
+    rep_key = bucket_sorted[vstart]
+    nr = len(vstart)
+    rb = np.ones(nr, bool)
+    rb[1:] = rep_key[1:] != rep_key[:-1]
+    rgid = np.cumsum(rb) - 1
+    rcounts = np.bincount(rgid)
+    rep_rows, rep_vgroup = vstart, np.arange(nr)
+    if max_bucket is not None and (rcounts > max_bucket).any():
+        keep = (rcounts <= max_bucket)[rgid]
+        rep_rows, rep_vgroup = rep_rows[keep], rep_vgroup[keep]
+        rcounts = rcounts[rcounts <= max_bucket]
+    ii, jj = pairs_within_runs(rcounts)
+    return vgid, vcounts, vstart, rep_rows, rep_vgroup, ii, jj

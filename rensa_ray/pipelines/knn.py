@@ -433,7 +433,7 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
         bucket_exploder, batch_format="pyarrow", batch_size=4096)
 
     def _bucket_pairs(g: pa.Table) -> pa.Table:
-        from .common import pairs_within_runs
+        from .common import capped_distinct_value_pairs, pairs_within_runs
 
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64())})
@@ -449,12 +449,12 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
         m = _normalize(m)
         order = np.lexsort((ids.astype(np.uint64), vh, bucket))
         b_s, vh_s, ids_s, m_s = bucket[order], vh[order], ids[order], m[order]
-        # value groups: runs of equal (bucket, raw-vector-hash)
+        # value groups: runs of equal (bucket, raw-vector-hash); cosine
+        # pairs only between DISTINCT vector values (shared skew guard)
         vb = np.ones(n, bool)
         vb[1:] = (b_s[1:] != b_s[:-1]) | (vh_s[1:] != vh_s[:-1])
-        vgid = np.cumsum(vb) - 1
-        vstart = np.flatnonzero(vb)
-        vcounts = np.bincount(vgid)
+        vgid, vcounts, vstart, rep_rows, rep_vg, ii, jj = \
+            capped_distinct_value_pairs(b_s, vb, max_bucket)
         # a member whose dot with its group representative is ~1 is the same
         # direction as the rep (Cauchy-Schwarz equality), so every pair
         # inside the group has cos = 1 — one LINEAR pass replaces the old
@@ -482,18 +482,6 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
                 out_a.append(cids[eii])
                 out_b.append(cids[ejj])
         # (2) cosine verify only across DISTINCT vector values per bucket
-        rep_b = b_s[vstart]
-        nr = len(vstart)
-        rb = np.ones(nr, bool)
-        rb[1:] = rep_b[1:] != rep_b[:-1]
-        rgid = np.cumsum(rb) - 1
-        rcounts = np.bincount(rgid)
-        rep_rows, rep_vg = vstart, np.arange(nr)
-        if max_bucket is not None and (rcounts > max_bucket).any():
-            keep = (rcounts <= max_bucket)[rgid]
-            rep_rows, rep_vg = rep_rows[keep], rep_vg[keep]
-            rcounts = rcounts[rcounts <= max_bucket]
-        ii, jj = pairs_within_runs(rcounts)
         if len(ii):
             cos = np.einsum("ij,ij->i", m_s[rep_rows[ii]], m_s[rep_rows[jj]])
             hit = cos >= threshold

@@ -191,7 +191,7 @@ def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
     exploded = sk.map_batches(_explode, batch_format="pyarrow")
 
     def _flag_members(g: pa.Table) -> pa.Table:
-        from .common import pairs_within_runs
+        from .common import capped_distinct_value_pairs
 
         key = np_col(g, "band_key").astype(np.uint64)
         ids = np_col(g, "doc_id")
@@ -202,26 +202,15 @@ def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
         order = np.lexsort((ids.astype(np.uint64), sh, key))
         key_s, sh_s, ids_s = key[order], sh[order], ids[order]
         # value groups: runs of equal (bucket, sketch).  A group of k equal
-        # sketches is k distance-0 duplicates — flag it directly, O(k).
+        # sketches is k distance-0 duplicates — flag it directly, O(k);
+        # Hamming pairs only between DISTINCT sketch values (skew-guarded)
         vb = np.ones(n, bool)
         vb[1:] = (key_s[1:] != key_s[:-1]) | (sh_s[1:] != sh_s[:-1])
-        vgid = np.cumsum(vb) - 1
-        vcounts = np.bincount(vgid)
+        vgid, vcounts, _, rep_rows, rep_vgroup, ii, jj = \
+            capped_distinct_value_pairs(key_s, vb, max_bucket)
         vg_hit = vcounts >= 2
-        # cross pairs only between DISTINCT sketch values: one rep per group
-        rep_idx = np.flatnonzero(vb)
-        rep_key, rep_sh = key_s[rep_idx], sh_s[rep_idx]
-        rb = np.ones(len(rep_idx), bool)
-        rb[1:] = rep_key[1:] != rep_key[:-1]
-        rgid = np.cumsum(rb) - 1
-        rcounts = np.bincount(rgid)
-        rep_vgroup = np.arange(len(rep_idx))
-        if max_bucket is not None and (rcounts > max_bucket).any():
-            keep = (rcounts <= max_bucket)[rgid]
-            rep_sh, rep_vgroup = rep_sh[keep], rep_vgroup[keep]
-            rcounts = rcounts[rcounts <= max_bucket]
-        ii, jj = pairs_within_runs(rcounts)
         if len(ii):
+            rep_sh = sh_s[rep_rows]
             hit = hamming_distance(rep_sh[ii], rep_sh[jj]) <= max_hamming
             np.logical_or.at(vg_hit, rep_vgroup[ii[hit]], True)
             np.logical_or.at(vg_hit, rep_vgroup[jj[hit]], True)

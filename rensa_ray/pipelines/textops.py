@@ -32,15 +32,22 @@ def _events(sf_dir: str, columns: list[str]):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
-def _with_md5(batch: pa.Table) -> pa.Table:
+def _content_key(batch: pa.Table, carry: tuple[str, ...]) -> pa.Table:
+    """(carried cols…, text_md5, __key=fxhash64(md5 hex)) — THE content key
+    every exact-dup / per-source op shuffles on.  One definition so the key
+    scheme (None→"" null convention, md5-hex encoding) can never silently
+    diverge between lanes."""
     texts = ["" if t is None else t for t in batch["text"].to_pylist()]
     md5s = md5_hex(texts)
     key = fxhash64_bytes_list([m.encode() for m in md5s])
-    return pa.table({
-        "doc_id": batch["doc_id"],
-        "text_md5": pa.array(md5s, pa.string()),
-        "__key": pa.array(key, pa.uint64()),
-    })
+    cols: dict = {c: batch[c] for c in carry}
+    cols["text_md5"] = pa.array(md5s, pa.string())
+    cols["__key"] = pa.array(key, pa.uint64())
+    return pa.table(cols)
+
+
+def _with_md5(batch: pa.Table) -> pa.Table:
+    return _content_key(batch, ("doc_id",))
 
 
 def exact_dup_groups(sf_dir: str, num_parts: int = DEFAULT_PARTS):
@@ -913,17 +920,8 @@ def dup_stats_by_source(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     """
     from ray.data.aggregate import Count, Sum
 
-    def _key(batch: pa.Table) -> pa.Table:
-        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
-        md5s = md5_hex(texts)
-        return pa.table({
-            "source": batch["source"],
-            "text_md5": pa.array(md5s, pa.string()),
-            "__key": pa.array(fxhash64_bytes_list([m.encode() for m in md5s]),
-                              pa.uint64())})
-
     ds = _docs(sf_dir, ["source", "text"]).map_batches(
-        _key, batch_format="pyarrow")
+        lambda b: _content_key(b, ("source",)), batch_format="pyarrow")
 
     def _flag(g: pa.Table) -> pa.Table:
         cnt = pa.TableGroupBy(g, "text_md5").aggregate([("text_md5", "count")])
@@ -954,13 +952,11 @@ def cross_source_overlap(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     """
 
     def _key(batch: pa.Table) -> pa.Table:
-        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
-        md5s = md5_hex(texts)
-        return pa.table({
-            "source": batch["source"],
-            "text_md5": pa.array(md5s, pa.string()),
-            "__key": pa.array(fxhash64_bytes_list([m.encode() for m in md5s]),
-                              pa.uint64())})
+        # NULL-source rows can't belong to a (source_a, source_b) pair;
+        # dropping them here matches the oracle (a.source < b.source is
+        # never true for NULL) and keeps the pair kernel's sort str-only.
+        return _content_key(batch.filter(pc.is_valid(batch["source"])),
+                            ("source",))
 
     ds = _docs(sf_dir, ["source", "text"]).map_batches(
         _key, batch_format="pyarrow")
@@ -1088,8 +1084,12 @@ def doc_length_zscore_by_lang(sf_dir: str):
         mo = ray.get(m_ref)
         langs = b["lang"].to_numpy(zero_copy_only=False)
         x = np_col(b, "n_chars").astype(np.float64)
-        mu = np.fromiter((mo[la][0] for la in langs), np.float64, len(langs))
-        sd = np.fromiter((mo[la][1] for la in langs), np.float64, len(langs))
+        # factorize once per batch: dict lookups only per UNIQUE lang
+        # (tiny cardinality), then vectorized gather per row
+        uniq, inv = np.unique(langs, return_inverse=True)
+        mu_u = np.array([mo[la][0] for la in uniq], np.float64)
+        sd_u = np.array([mo[la][1] for la in uniq], np.float64)
+        mu, sd = mu_u[inv], sd_u[inv]
         z = np.where(sd > 0, (x - mu) / np.where(sd > 0, sd, 1.0), 0.0)
         return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
                          "z": pa.array(np.round(z, 6))})

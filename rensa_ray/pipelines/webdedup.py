@@ -46,8 +46,14 @@ def reserve_sentinel_uids(uids: np.ndarray) -> np.ndarray:
     target colliding with another url's hash is the same already-accepted
     fxhash64-collision class as any other id collision."""
     uids = np.asarray(uids, np.uint64)
-    uids[uids == np.uint64(0)] = np.uint64(0x9E3779B97F4A7C15)
-    uids[uids == np.iinfo(np.uint64).max] = np.uint64(0x61C8864680B583EB)
+    hit = (uids == np.uint64(0)) | (uids == np.iinfo(np.uint64).max)
+    if hit.any():
+        # copy-on-write: np.asarray is zero-copy for uint64 input, so an
+        # in-place remap would corrupt (or crash on read-only Arrow-backed)
+        # caller arrays — copy only in the 2^-64 sentinel-hit case
+        uids = uids.copy()
+        uids[uids == np.uint64(0)] = np.uint64(0x9E3779B97F4A7C15)
+        uids[uids == np.iinfo(np.uint64).max] = np.uint64(0x61C8864680B583EB)
     return uids
 
 

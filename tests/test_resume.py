@@ -190,3 +190,12 @@ def test_reserve_sentinel_uids_remaps_0_and_max():
     assert out[0] == out[4]                      # deterministic remap
     # empty batch
     assert len(reserve_sentinel_uids(np.empty(0, np.uint64))) == 0
+    # copy-on-write API: the caller's array is never mutated in place …
+    out2 = reserve_sentinel_uids(uids)
+    assert uids[0] == 0 and uids[2] == mx
+    assert 0 not in out2 and mx not in out2
+    # … and read-only (zero-copy Arrow-backed) input is accepted
+    ro = np.array([0, 7, mx], np.uint64)
+    ro.setflags(write=False)
+    out3 = reserve_sentinel_uids(ro)
+    assert 0 not in out3 and mx not in out3 and out3[1] == 7

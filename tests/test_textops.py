@@ -861,6 +861,33 @@ def test_cross_source_overlap_planted(ray_session, tmp_path):
                        entry.oracle_sql()["cross_source_overlap"], sf_dir)
 
 
+def test_cross_source_overlap_null_source(ray_session, tmp_path):
+    """NULL-source rows are dropped (oracle's a.source < b.source is never
+    true for NULL) instead of crashing the object-dtype pair sort."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import cross_source_overlap
+
+    texts = ["shared page", "shared page", "shared page", "solo"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["srcA", "srcB", None, None], pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    res = cross_source_overlap(str(tmp_path)).to_pandas()
+    got = {(r.source_a, r.source_b): r.n_shared_texts
+           for r in res.itertuples(index=False)}
+    assert got == {("srcA", "srcB"): 1}
+    assert_matches_sql(cross_source_overlap(str(tmp_path)),
+                       entry.oracle_sql()["cross_source_overlap"],
+                       str(tmp_path))
+
+
 def test_doc_token_entropy(ray_session, tmp_path):
     import math
 
