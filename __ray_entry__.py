@@ -359,6 +359,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: _fin(
             simjoin.ngram_jaccard_pairs(sf, threshold=0.5),
             pa.schema([("id_a", I64), ("id_b", I64)])),
+        "ngram_containment_pairs": lambda sf: _fin(
+            simjoin.ngram_containment_pairs(sf, threshold=0.6),
+            pa.schema([("id_a", I64), ("id_b", I64)])),
+        "doc_dup_ngram_fraction": lambda sf: _fin(
+            textops.doc_dup_ngram_fraction(sf),
+            pa.schema([("doc_id", I64), ("n_grams", I64), ("dup_frac", F64)])),
+        "doc_idf_rarity": lambda sf: _fin(
+            textops.doc_idf_rarity(sf),
+            pa.schema([("doc_id", I64), ("n_distinct_tokens", I64),
+                       ("mean_idf", F64)])),
+        "stratified_sample_by_lang": lambda sf: _fin(
+            textops.stratified_sample_by_lang(sf),
+            pa.schema([("doc_id", I64), ("lang", STR)])),
+        "top_ngrams": lambda sf: _fin(
+            textops.top_ngrams(sf, k=20),
+            pa.schema([("ngram", STR), ("cnt", I64)])),
         # similarity search --------------------------------------------------
         "cosine_topk": lambda sf: _fin(
             knn.cosine_topk(sf, k=5, num_queries=10),
@@ -581,6 +597,79 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN sz sa ON sa.doc_id = co.id_a
                     JOIN sz sb ON sb.doc_id = co.id_b
             WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""",
+        "ngram_containment_pairs": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_transform(
+                              generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          ELSE w END AS sh
+              FROM t),
+            e AS (
+              SELECT DISTINCT doc_id, s
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+            co AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b
+            FROM co JOIN sz sa ON sa.doc_id = co.id_a
+                    JOIN sz sb ON sb.doc_id = co.id_b
+            WHERE c::DOUBLE / least(sa.n, sb.n) >= 0.6""",
+        "doc_dup_ngram_fraction": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_transform(
+                              generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          ELSE w END AS sh
+              FROM t),
+            p AS (SELECT doc_id, unnest(sh) AS s FROM g),
+            df AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY s)
+            SELECT p.doc_id, COUNT(*)::BIGINT AS n_grams,
+                   round(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 6) AS dup_frac
+            FROM p JOIN df USING (s) GROUP BY p.doc_id""",
+        "doc_idf_rarity": r"""
+            WITH w AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS token
+              FROM documents WHERE trim(text) <> ''),
+            df AS (SELECT token, COUNT(*) AS df FROM w GROUP BY token),
+            n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT w.doc_id, COUNT(*)::BIGINT AS n_distinct_tokens,
+                   round(AVG(ln(n.n::DOUBLE / df.df)), 6) AS mean_idf
+            FROM w JOIN df USING (token) CROSS JOIN n
+            GROUP BY w.doc_id""",
+        "stratified_sample_by_lang": """
+            WITH m AS (
+              SELECT MIN(n) AS target
+              FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+            r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(text), doc_id) AS rk
+              FROM documents)
+            SELECT doc_id, lang FROM r CROSS JOIN m WHERE rk <= m.target""",
+        "top_ngrams": r"""
+            WITH t AS (
+              SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT unnest(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+              FROM t WHERE len(w) >= 3)
+            SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
+            ORDER BY cnt DESC, ngram ASC LIMIT 20""",
         "substring_dup_pairs": """
             WITH t AS (
               SELECT doc_id,

@@ -56,21 +56,21 @@ def _explode_distinct_shingles(batch: pa.Table, ngram_size: int) -> pa.Table:
                      "doc_size": pa.array(sizes[d_u], pa.int64())})
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3,
-                        num_parts: int = 32, max_df: int | None = None):
-    """All doc pairs with n-gram-set Jaccard ≥ threshold → (id_a, id_b).
+def _ngram_pair_join(sf_dir: str, ngram_size: int, num_parts: int,
+                     max_df: int | None, gate):
+    """Shared two-shuffle n-gram-set pair join (jaccard + containment lanes).
 
     Shuffle 1: inverted index partitioned by shingle hash → per-bucket
-    co-occurring (id_a < id_b, partial co-count, sizes).  Shuffle 2: sum
-    co-counts per pair → jaccard gate.  Pair fan-out is quadratic in a
-    shingle's document frequency, so at web scale pass ``max_df``: a
-    shingle's full posting list is co-located in its partition, and lists
-    longer than ``max_df`` (boilerplate/stop-shingles) are dropped before
-    pair emission.  Dropped shingles only shrink co-counts (doc sizes are
-    unchanged), so the gate can only lose borderline pairs held together by
-    ultra-common shingles — which is exactly the skew a df cap is meant to
-    ignore.  ``max_df=None`` (default) keeps the join exact (the DuckDB
-    oracle's semantics).
+    co-occurring (id_a < id_b, partial co-count, size sum, size min).
+    Shuffle 2: sum co-counts per pair → ``gate(co, sz_sum, sz_min)`` mask.
+    Pair fan-out is quadratic in a shingle's document frequency, so at web
+    scale pass ``max_df``: a shingle's full posting list is co-located in
+    its partition, and lists longer than ``max_df`` (boilerplate/
+    stop-shingles) are dropped before pair emission.  Dropped shingles only
+    shrink co-counts (doc sizes are unchanged), so the gate can only lose
+    borderline pairs held together by ultra-common shingles — exactly the
+    skew a df cap is meant to ignore.  ``max_df=None`` keeps the join exact
+    (the DuckDB oracles' semantics).
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: _explode_distinct_shingles(b, ngram_size),
@@ -91,7 +91,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3
         ii, jj = pairs_within_runs(counts)
         if len(ii) == 0:
             z = pa.array([], pa.int64())
-            return pa.table({"id_a": z, "id_b": z, "co": z, "sz": z})
+            return pa.table({"id_a": z, "id_b": z, "co": z,
+                             "sz": z, "szmin": z})
         a, b = ids_s[ii], ids_s[jj]
         sa, sb = sz_s[ii], sz_s[jj]
         # aggregate within partition (combiner): count co-occurrences per pair
@@ -103,13 +104,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3
         return pa.table({"id_a": pa.array(a[order2][first], pa.int64()),
                          "id_b": pa.array(b[order2][first], pa.int64()),
                          "co": pa.array(counts2, pa.int64()),
-                         "sz": pa.array((sa + sb)[order2][first], pa.int64())})
+                         "sz": pa.array((sa + sb)[order2][first], pa.int64()),
+                         "szmin": pa.array(
+                             np.minimum(sa, sb)[order2][first], pa.int64())})
 
     partial = partitionwise(ds, _co_pairs, "shingle", num_parts)
 
     def _sum_and_gate(g: pa.Table) -> pa.Table:
         a = np_col(g, "id_a"); b = np_col(g, "id_b")
         co = np_col(g, "co"); sz = np_col(g, "sz")
+        szmin = np_col(g, "szmin")
         if len(a) == 0:
             return pa.table({"id_a": pa.array(a, pa.int64()),
                              "id_b": pa.array(b, pa.int64())})
@@ -119,12 +123,39 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3
         first[1:] = gid[1:] != gid[:-1]
         tot = np.zeros(len(counts), np.int64)
         np.add.at(tot, gid, co[order])
-        jac = tot / (sz[order][first] - tot)
-        keep = jac >= threshold
+        keep = gate(tot, sz[order][first], szmin[order][first])
         return pa.table({"id_a": pa.array(a[order][first][keep], pa.int64()),
                          "id_b": pa.array(b[order][first][keep], pa.int64())})
 
     return partitionwise(partial, _sum_and_gate, "id_a", num_parts)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, ngram_size: int = 3,
+                        num_parts: int = 32, max_df: int | None = None):
+    """All doc pairs with n-gram-set Jaccard ≥ threshold → (id_a, id_b).
+
+    jac = |A∩B| / |A∪B|; see ``_ngram_pair_join`` for the two-shuffle plan
+    and the ``max_df`` skew guard.
+    """
+    return _ngram_pair_join(
+        sf_dir, ngram_size, num_parts, max_df,
+        lambda co, szsum, szmin: co / (szsum - co) >= threshold)
+
+
+def ngram_containment_pairs(sf_dir: str, threshold: float = 0.8,
+                            ngram_size: int = 3, num_parts: int = 32,
+                            max_df: int | None = None):
+    """All doc pairs with n-gram-set CONTAINMENT ≥ threshold → (id_a, id_b).
+
+    cont = |A∩B| / min(|A|, |B|) — the asymmetric near-dup criterion that
+    catches a short doc wholly embedded in a long one (quote pages, list
+    subsets), which Jaccard misses because the union is dominated by the
+    long side.  Same two-shuffle plan + ``max_df`` skew guard as
+    ``ngram_jaccard_pairs`` (``_ngram_pair_join``).
+    """
+    return _ngram_pair_join(
+        sf_dir, ngram_size, num_parts, max_df,
+        lambda co, szsum, szmin: co / szmin >= threshold)
 
 
 class SimHashStage:

@@ -1095,3 +1095,248 @@ def doc_length_zscore_by_lang(sf_dir: str):
                          "z": pa.array(np.round(z, 6))})
 
     return ds.map_batches(_z, batch_format="pyarrow")
+
+
+def doc_dup_ngram_fraction(sf_dir: str, ngram_size: int = 3,
+                           num_parts: int = DEFAULT_PARTS):
+    """Per-doc duplicate-n-gram fraction — the Gopher/Dolma corpus-level
+    repetition signal: (doc_id, n_grams, dup_frac round 6) where dup_frac
+    is the fraction of the doc's n-gram OCCURRENCES whose n-gram appears in
+    ≥ 2 distinct docs corpus-wide.
+
+    Map side pre-aggregates (gram, doc) position counts, shuffle 1 on the
+    gram hash computes each gram's distinct-doc frequency with its full
+    posting co-located (no pair emission — per-DOC partials only, so
+    boilerplate grams cost O(df), never O(df²)), shuffle 2 is a tiny
+    per-doc sum.  Gram identity is the fxhash64 of the shingle (the
+    ngram_jaccard_pairs-accepted 2⁻⁶⁴ collision class); tokenization
+    matches the oracle: lower/trim/whitespace-split, docs shorter than
+    ``ngram_size`` tokens fall back to unigrams.
+    """
+    from ..kernels.shingle import batch_shingle_hashes
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in b["text"].to_pylist()]
+        hashes, offsets = batch_shingle_hashes(texts, ngram_size)
+        ids = np_col(b, "doc_id").astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), offsets[1:] - offsets[:-1])
+        if len(hashes) == 0:
+            return pa.table({"gram": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "npos": pa.array([], pa.int64())})
+        # combiner: per-(doc, gram) position counts
+        from .common import run_ids
+
+        order, gid, counts = run_ids(hashes, doc_idx.astype(np.uint64))
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        return pa.table({
+            "gram": pa.array(hashes[order][first], pa.uint64()),
+            "doc_id": pa.array(ids[doc_idx[order][first]], pa.int64()),
+            "npos": pa.array(counts, pa.int64())})
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _df_partials(g: pa.Table) -> pa.Table:
+        gram = np_col(g, "gram").astype(np.uint64)
+        ids = np_col(g, "doc_id").astype(np.int64)
+        npos = np_col(g, "npos").astype(np.int64)
+        if len(gram) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "pos": z, "dup_pos": z})
+        from .common import run_ids
+
+        # every (gram, doc) row of a gram is co-located; rows are already
+        # distinct per (gram, doc) from the map combiner
+        order, gid, counts = run_ids(gram, ids.astype(np.uint64),
+                                     n_group_keys=1)
+        dup = (counts >= 2)[gid]  # gram appears in ≥2 distinct docs
+        ids_s, npos_s = ids[order], npos[order]
+        # per-doc partial sums inside the partition
+        uniq, inv = np.unique(ids_s, return_inverse=True)
+        pos = np.zeros(len(uniq), np.int64)
+        np.add.at(pos, inv, npos_s)
+        dpos = np.zeros(len(uniq), np.int64)
+        np.add.at(dpos, inv, np.where(dup, npos_s, 0))
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "dup_pos": pa.array(dpos, pa.int64())})
+
+    partial = partitionwise(exploded, _df_partials, "gram", num_parts)
+
+    def _per_doc(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "doc_id").aggregate(
+            [("pos", "sum"), ("dup_pos", "sum")])
+        agg = agg.rename_columns(["doc_id", "pos", "dup_pos"])
+        pos = np_col(agg, "pos").astype(np.float64)
+        dpos = np_col(agg, "dup_pos").astype(np.float64)
+        return pa.table({
+            "doc_id": agg["doc_id"],
+            "n_grams": agg["pos"].cast(pa.int64()),
+            "dup_frac": pa.array(np.round(dpos / pos, 6), pa.float64())})
+
+    return partitionwise(partial, _per_doc, "doc_id", num_parts)
+
+
+def doc_idf_rarity(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Per-doc token rarity: (doc_id, n_distinct_tokens, mean_idf round 6)
+    with idf = ln(N / df) over the doc's DISTINCT lowercased tokens — the
+    quality signal that separates natural prose (mid-rarity) from keyword
+    stuffing (high) and boilerplate (low).
+
+    Same one-keyed-shuffle plan as ``doc_tfidf`` (df computed with each
+    token's rows co-located, N from parquet metadata), plus a tiny second
+    per-doc aggregate.
+    """
+    import ray.data as rd
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).count()
+
+    def _distinct(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(b["text"], "")))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(np_col(b, "doc_id"), lens)
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "token": flat})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        dis = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
+            [("token", "count")]).select(["doc_id", "token"])
+        key = fxhash64_bytes_list(
+            [t.encode("utf-8") for t in dis["token"].to_pylist()])
+        return dis.append_column("__key", pa.array(key, pa.uint64()))
+
+    exploded = ds.map_batches(_distinct, batch_format="pyarrow")
+
+    def _idf(g: pa.Table) -> pa.Table:
+        df_t = pa.TableGroupBy(g, "token").aggregate([("doc_id", "count")])
+        df_t = df_t.rename_columns(["token", "df"])
+        j = g.select(["doc_id", "token"]).join(df_t, "token")
+        idf = np.log(float(n_docs) / np_col(j, "df").astype(np.float64))
+        return pa.table({"doc_id": j["doc_id"],
+                         "idf": pa.array(idf, pa.float64())})
+
+    partial = partitionwise(exploded, _idf, "__key", num_parts)
+
+    def _per_doc(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "doc_id").aggregate(
+            [("idf", "sum"), ("idf", "count")])
+        agg = agg.rename_columns(["doc_id", "s", "n"])
+        s = np_col(agg, "s").astype(np.float64)
+        n = np_col(agg, "n").astype(np.float64)
+        return pa.table({
+            "doc_id": agg["doc_id"],
+            "n_distinct_tokens": agg["n"].cast(pa.int64()),
+            "mean_idf": pa.array(np.round(s / n, 6), pa.float64())})
+
+    return partitionwise(partial, _per_doc, "doc_id", num_parts)
+
+
+def stratified_sample_by_lang(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Language-balanced corpus sample: the min-language-count docs per
+    language, chosen deterministically by (md5(text), doc_id) rank —
+    (doc_id, lang).  The standard re-balancing step before training-mix
+    assembly: every language contributes exactly the same number of docs,
+    selection is content-hash-ordered (reproducible across runs and
+    partitionings, no RNG state to ship).
+
+    The per-lang target is a tiny driver aggregate (lang cardinality);
+    selection is one keyed shuffle on lang + the group-top-k run-position
+    kernel (no per-group Python).
+    """
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    counts = ds.groupby("lang").aggregate(
+        Count(alias_name="n")).take_all()  # lang cardinality — tiny
+    if not counts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "lang": pa.array([], pa.string())})
+    target = min(r["n"] for r in counts)
+
+    def _key(b: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in b["text"].to_pylist()]
+        langs = [("" if v is None else v) for v in b["lang"].to_pylist()]
+        key = fxhash64_bytes_list([v.encode() for v in langs])
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "h": pa.array(md5_hex(texts), pa.string()),
+            "__key": pa.array(key, pa.uint64())})
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+
+    def _take(g: pa.Table) -> pa.Table:
+        ids = np_col(g, "doc_id").astype(np.int64)
+        lang_key = np_col(g, "__key").astype(np.uint64)
+        h = g["h"].to_numpy(zero_copy_only=False).astype("U32")
+        order = np.lexsort((ids, h, lang_key))
+        lk = lang_key[order]
+        new_grp = np.ones(len(lk), dtype=bool)
+        new_grp[1:] = lk[1:] != lk[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(lk)), 0))
+        rank = np.arange(len(lk)) - grp_start + 1
+        sel = order[rank <= target]
+        return pa.table({"doc_id": pa.array(ids[sel]),
+                         "lang": g["lang"].take(pa.array(sel, pa.int64()))})
+
+    return partitionwise(keyed, _take, "__key", num_parts)
+
+
+def top_ngrams(sf_dir: str, k: int = 20, ngram_size: int = 3,
+               num_parts: int = DEFAULT_PARTS):
+    """Top-k word n-grams by corpus count (ties → gram asc): (ngram, cnt).
+    Docs with fewer than ``ngram_size`` tokens contribute nothing; tokens
+    are lowercased (the n-gram vocabulary/boilerplate-phrase report).
+
+    Gram strings are built with Arrow C++ kernels (split → flatten → take
+    at shifted ragged positions → element-wise join); each batch
+    pre-aggregates its gram counts (combiner) before the single keyed
+    shuffle; the global top-k is a sort+limit over the (bounded) per-gram
+    sums.
+    """
+    ds = _docs(sf_dir, ["text"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"ngram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "__key": pa.array([], pa.uint64())})
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(b["text"], ""))))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).combine_chunks()
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        n_grams = np.maximum(lens - (ngram_size - 1), 0)
+        total = int(n_grams.sum())
+        if total == 0:
+            return empty
+        # ragged arange: position of each gram's first token in `flat`
+        doc_of = np.repeat(np.arange(len(lens)), n_grams)
+        g0 = np.cumsum(n_grams) - n_grams
+        local = np.arange(total, dtype=np.int64) - g0[doc_of]
+        pos = starts[doc_of] + local
+        parts = [flat.take(pa.array(pos + i, pa.int64()))
+                 for i in range(ngram_size)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        cnt = pa.TableGroupBy(pa.table({"ngram": grams}), "ngram").aggregate(
+            [("ngram", "count")]).rename_columns(["ngram", "cnt"])
+        key = fxhash64_bytes_list(
+            [s.encode("utf-8") for s in cnt["ngram"].to_pylist()])
+        return pa.table({"ngram": cnt["ngram"],
+                         "cnt": cnt["cnt"].cast(pa.int64()),
+                         "__key": pa.array(key, pa.uint64())})
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _sum(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "ngram").aggregate([("cnt", "sum")])
+        return agg.rename_columns(["ngram", "cnt"])
+
+    summed = partitionwise(exploded, _sum, "__key", num_parts)
+    return summed.sort(["cnt", "ngram"], descending=[True, False]).limit(k)

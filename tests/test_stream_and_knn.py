@@ -663,3 +663,31 @@ def test_reduce_topk_streaming_fold_matches_one_shot(ray_session):
     assert (one.sort_values(cols).reset_index(drop=True)
             == folded.sort_values(cols).reset_index(drop=True)).all().all()
     assert set(folded.groupby("query_id")["rank"].max()) == {5}
+
+
+def test_ngram_containment_pairs(ray_session, tmp_path):
+    """Containment catches a short doc wholly embedded in a long one, which
+    Jaccard misses (union dominated by the long side); disjoint docs stay
+    unpaired; result matches the DuckDB oracle."""
+    from rensa_ray.pipelines.simjoin import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = " ".join(f"w{i}" for i in range(10))           # 8 trigrams
+    longd = short + " " + " ".join(f"x{i}" for i in range(50))
+    other = " ".join(f"q{i}" for i in range(30))
+    sf_dir = _mk_docs_table(tmp_path, [short, longd, other])
+    cont = ngram_containment_pairs(sf_dir, threshold=0.6).to_pandas()
+    got = {tuple(r) for r in cont[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == {(0, 1)}  # containment(0→1) = 1.0
+    jac = ngram_jaccard_pairs(sf_dir, threshold=0.5).to_pandas()
+    assert len(jac) == 0    # jaccard(0,1) = 8/59 — invisible to jaccard
+
+    import __ray_entry__ as entry
+
+    from tests.test_textops import assert_matches_sql
+
+    assert_matches_sql(ngram_containment_pairs(sf_dir, threshold=0.6),
+                       entry.oracle_sql()["ngram_containment_pairs"], sf_dir)
+    assert_matches_sql(
+        ngram_containment_pairs("/root/testdata/sf0.001", threshold=0.6),
+        entry.oracle_sql()["ngram_containment_pairs"],
+        "/root/testdata/sf0.001")

@@ -923,3 +923,104 @@ def test_doc_length_zscore_by_lang(ray_session, tmp_path):
                        entry.oracle_sql()["doc_length_zscore_by_lang"], sf_dir)
     assert_matches_sql(doc_length_zscore_by_lang(SF_DIR),
                        entry.oracle_sql()["doc_length_zscore_by_lang"])
+
+
+def _mk_lang_docs(tmp_path, texts, langs):
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_doc_dup_ngram_fraction_planted(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import doc_dup_ngram_fraction
+
+    texts = ["a b c d e",   # grams abc bcd cde — abc shared with doc 1
+             "a b c x y",   # grams abc bcx cxy
+             "p q r s t",   # all unique
+             "hello",       # unigram fallback, duplicated in doc 4
+             "hello"]
+    sf_dir = _mk_lang_docs(tmp_path, texts, ["en"] * 5)
+    res = doc_dup_ngram_fraction(sf_dir).to_pandas().set_index("doc_id")
+    assert res.loc[0, "n_grams"] == 3 and res.loc[0, "dup_frac"] == 0.333333
+    assert res.loc[1, "dup_frac"] == 0.333333
+    assert res.loc[2, "dup_frac"] == 0.0
+    assert res.loc[3, "n_grams"] == 1 and res.loc[3, "dup_frac"] == 1.0
+    assert res.loc[4, "dup_frac"] == 1.0
+    assert_matches_sql(doc_dup_ngram_fraction(sf_dir),
+                       entry.oracle_sql()["doc_dup_ngram_fraction"], sf_dir)
+    assert_matches_sql(doc_dup_ngram_fraction(SF_DIR),
+                       entry.oracle_sql()["doc_dup_ngram_fraction"])
+
+
+def test_doc_idf_rarity_planted(ray_session, tmp_path):
+    import math
+
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import doc_idf_rarity
+
+    sf_dir = _mk_lang_docs(tmp_path, ["a b", "a c"], ["en", "en"])
+    res = doc_idf_rarity(sf_dir).to_pandas().set_index("doc_id")
+    want = round(math.log(2.0) / 2, 6)  # idf(a)=ln(1)=0, idf(b|c)=ln 2
+    assert res.loc[0, "n_distinct_tokens"] == 2
+    assert res.loc[0, "mean_idf"] == want and res.loc[1, "mean_idf"] == want
+    assert_matches_sql(doc_idf_rarity(sf_dir),
+                       entry.oracle_sql()["doc_idf_rarity"], sf_dir)
+    assert_matches_sql(doc_idf_rarity(SF_DIR),
+                       entry.oracle_sql()["doc_idf_rarity"])
+
+
+def test_stratified_sample_by_lang(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import stratified_sample_by_lang
+
+    texts = [f"doc number {i}" for i in range(8)]
+    langs = ["en"] * 5 + ["fr"] * 3
+    sf_dir = _mk_lang_docs(tmp_path, texts, langs)
+    res = stratified_sample_by_lang(sf_dir).to_pandas()
+    # min-lang target (3) docs from EVERY language, deterministically
+    assert res.groupby("lang").size().to_dict() == {"en": 3, "fr": 3}
+    again = stratified_sample_by_lang(sf_dir).to_pandas()
+    assert sorted(res["doc_id"]) == sorted(again["doc_id"])
+    assert_matches_sql(stratified_sample_by_lang(sf_dir),
+                       entry.oracle_sql()["stratified_sample_by_lang"], sf_dir)
+    assert_matches_sql(stratified_sample_by_lang(SF_DIR),
+                       entry.oracle_sql()["stratified_sample_by_lang"])
+
+
+def test_top_ngrams_planted(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import top_ngrams
+
+    texts = ["x y z x y z",      # "x y z"×2, "y z x", "z x y"
+             "x y z q",          # "x y z", "y z q"
+             "so"]               # < 3 tokens → contributes nothing
+    sf_dir = _mk_lang_docs(tmp_path, texts, ["en"] * 3)
+    res = top_ngrams(sf_dir, k=3).to_pandas()
+    assert list(res["ngram"]) == ["x y z", "y z q", "y z x"]  # count, then asc
+    assert list(res["cnt"]) == [3, 1, 1]
+    assert_matches_sql(top_ngrams(sf_dir, k=3), """
+        WITH t AS (
+          SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        g AS (
+          SELECT unnest(list_transform(
+                     generate_series(1, len(w) - 2),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+          FROM t WHERE len(w) >= 3)
+        SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
+        ORDER BY cnt DESC, ngram ASC LIMIT 3""", sf_dir)
+    assert_matches_sql(top_ngrams(SF_DIR),
+                       entry.oracle_sql()["top_ngrams"])
