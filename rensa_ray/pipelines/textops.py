@@ -165,19 +165,21 @@ def lang_counts(sf_dir: str):
 
 
 def _explode_token_counts(b: pa.Table) -> pa.Table:
-    """Per-batch partial: (token, cnt) — map-side pre-aggregation."""
-    toks: list[str] = []
-    for t in b["text"].to_pylist():
-        if t is not None:
-            toks.extend(t.split())
-    if not toks:
-        return pa.table({"token": pa.array([], pa.string()),
-                         "cnt": pa.array([], pa.int64()),
-                         "__key": pa.array([], pa.uint64())})
-    arr = np.array(toks)
-    uniq, counts = np.unique(arr, return_counts=True)
-    key = fxhash64_bytes_list([u.encode() for u in uniq.tolist()])
-    return pa.table({"token": pa.array(uniq), "cnt": pa.array(counts, pa.int64()),
+    """Per-batch partial: (token, cnt) — map-side pre-aggregation.
+
+    Arrow C++ end to end (split → flatten → hash groupby); the old
+    np.unique path copied every token into a numpy U-string array and
+    sorted it — the grouped-hash count is both zero-copy and O(n).
+    """
+    flat = pc.list_flatten(pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(pc.fill_null(b["text"], ""))))
+    cnt = pa.TableGroupBy(pa.table({"token": flat}), "token").aggregate(
+        [("token", "count")]).rename_columns(["token", "cnt"])
+    cnt = cnt.filter(pc.not_equal(cnt["token"], ""))  # empty-doc artifacts
+    key = fxhash64_bytes_list(
+        [u.encode() for u in cnt["token"].to_pylist()])
+    return pa.table({"token": cnt["token"],
+                     "cnt": cnt["cnt"].cast(pa.int64()),
                      "__key": pa.array(key, pa.uint64())})
 
 
@@ -524,15 +526,12 @@ def top_docs_per_lang(sf_dir: str, k: int = 3, num_parts: int = DEFAULT_PARTS):
     return partitionwise(keyed, _topk, "__key", num_parts)
 
 
-def length_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.99)):
-    """Exact corpus-wide percentiles of n_chars, computed distributively.
-
-    Each block emits its (value, count) histogram (bounded by the distinct
-    value count, not the row count); the driver merges the tiny histograms
-    and evaluates the interpolated order statistics — DuckDB
-    ``quantile_cont`` semantics, exact, with no global sort of the data.
-    Output: one row (p25, p50, p75, p99).
-    """
+def _exact_quantile_values(sf_dir: str, qs) -> list[float | None]:
+    """Exact corpus-wide ``quantile_cont(n_chars, q)`` values, computed
+    distributively: each block emits its (value, count) histogram (bounded
+    by the distinct value count, not the row count); the driver merges the
+    tiny histograms and evaluates the interpolated order statistics — no
+    global sort of the data."""
     ds = _docs(sf_dir, ["n_chars"])
 
     def _hist(b: pa.Table) -> pa.Table:
@@ -549,10 +548,8 @@ def length_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.99)):
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
     if n == 0:
-        # empty input: one row of nulls (quantiles of nothing), matching
-        # DuckDB's quantile_cont over zero rows
-        return pa.table({f"p{int(q * 100)}": pa.array([None], pa.float64())
-                         for q in qs})
+        # quantiles of nothing — null per q, matching DuckDB quantile_cont
+        return [None for _ in qs]
 
     def _q(q: float) -> float:
         # quantile_cont: linear interpolation at h = (n-1)*q between
@@ -563,8 +560,38 @@ def length_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.99)):
         x_hi = values[np.searchsorted(cum, min(lo_i + 2, n))]
         return float(x_lo + frac * (x_hi - x_lo))
 
-    cols = {f"p{int(q * 100)}": pa.array([_q(q)], pa.float64()) for q in qs}
-    return pa.table(cols)
+    return [_q(q) for q in qs]
+
+
+def length_percentiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.99)):
+    """Exact corpus-wide percentiles of n_chars (DuckDB ``quantile_cont``
+    semantics, see ``_exact_quantile_values``).  Output: one row
+    (p25, p50, p75, p99)."""
+    vals = _exact_quantile_values(sf_dir, qs)
+    return pa.table({f"p{int(q * 100)}": pa.array([v], pa.float64())
+                     for q, v in zip(qs, vals)})
+
+
+def filter_length_band(sf_dir: str, lo_q: float = 0.25, hi_q: float = 0.75):
+    """Docs whose n_chars lies inside the corpus [P_lo, P_hi] quantile band:
+    (doc_id, n_chars) — the standard outlier trim before quality scoring
+    (too-short docs are fragments, too-long ones are concatenation junk).
+
+    The band edges are exact distributed quantiles (tiny driver histogram
+    fold, no global sort); the filter itself is a pure map — at 100 TB the
+    op costs one metadata-light pass for the histogram plus one streaming
+    filter pass.
+    """
+    lo, hi = _exact_quantile_values(sf_dir, (lo_q, hi_q))
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    if lo is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(pc.cast(b["n_chars"], pa.float64()), lo),
+                    pc.less_equal(pc.cast(b["n_chars"], pa.float64()), hi))),
+        batch_format="pyarrow")
 
 
 def chunk_documents(sf_dir: str, max_tokens: int = 64, overlap: int = 16):
@@ -1340,3 +1367,230 @@ def top_ngrams(sf_dir: str, k: int = 20, ngram_size: int = 3,
 
     summed = partitionwise(exploded, _sum, "__key", num_parts)
     return summed.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
+def dedup_savings(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """One-row exact-dedup savings report — the headline curation metric
+    "what does dedup buy": (n_docs, n_kept, n_dup_docs, total_tokens,
+    kept_tokens, savings_frac round 6), where kept = the min-doc_id
+    representative of each distinct text and tokens follow the
+    doc_token_counts whitespace rule.
+
+    One content-key shuffle; each partition folds its text groups to a
+    single partial row (n_docs, n_groups, token sums), so the driver
+    reduce is ≤ num_parts rows regardless of corpus size.
+    """
+    from ..functions.textstats import token_counts
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in b["text"].to_pylist()]
+        nt, _ = token_counts(texts)
+        out = _content_key(b, ("doc_id",))
+        return out.append_column("nt", pa.array(nt, pa.int64()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+
+    def _fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], pa.int64()) for c in
+                          ("n_docs", "n_groups", "total_tokens",
+                           "kept_tokens")})
+        if g.num_rows == 0:
+            return empty
+        agg = pa.TableGroupBy(g, "text_md5").aggregate(
+            [("doc_id", "min"), ("doc_id", "count"), ("nt", "sum")])
+        agg = agg.rename_columns(["text_md5", "keep_id", "n", "nt_sum"])
+        j = agg.join(g.select(["doc_id", "nt"]).rename_columns(
+            ["keep_id", "kept_nt"]), "keep_id")
+        return pa.table({
+            "n_docs": pa.array([int(pc.sum(j["n"]).as_py())], pa.int64()),
+            "n_groups": pa.array([j.num_rows], pa.int64()),
+            "total_tokens": pa.array(
+                [int(pc.sum(j["nt_sum"]).as_py() or 0)], pa.int64()),
+            "kept_tokens": pa.array(
+                [int(pc.sum(j["kept_nt"]).as_py() or 0)], pa.int64())})
+
+    partials = partitionwise(keyed, _fold, "__key", num_parts)
+    rows = partials.take_all()  # ≤ num_parts single-row partials
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_kept = sum(r["n_groups"] for r in rows)
+    total = sum(r["total_tokens"] for r in rows)
+    kept = sum(r["kept_tokens"] for r in rows)
+    frac = round(1.0 - kept / total, 6) if total else None
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_kept": pa.array([n_kept], pa.int64()),
+        "n_dup_docs": pa.array([n_docs - n_kept], pa.int64()),
+        "total_tokens": pa.array([total], pa.int64()),
+        "kept_tokens": pa.array([kept], pa.int64()),
+        "savings_frac": pa.array([frac], pa.float64())})
+
+
+def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
+                num_parts: int = DEFAULT_PARTS):
+    """Top-k adjacent-token bigrams by PMI (collocation mining for
+    tokenizer/vocab design): (bigram, cnt, pmi round 6) with
+    pmi = ln((c_xy·T²)/(P·c_x·c_y)), T = token positions, P = bigram
+    positions, gated on c_xy ≥ ``min_count``.
+
+    Three keyed shuffles: unigram + bigram count tables (vocab-bounded,
+    materialized once — they are aggregates, not the corpus), then the two
+    word-count attachments run as union-mark-partition joins (the events
+    join idiom) so neither count table is ever broadcast; the top-k is a
+    bounded sort/limit over the min_count-gated survivors.
+    """
+    import ray.data as rd
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _uni(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(b["text"], "")))))
+        cnt = pa.TableGroupBy(pa.table({"token": flat}), "token").aggregate(
+            [("token", "count")]).rename_columns(["token", "cnt"])
+        cnt = cnt.filter(pc.not_equal(cnt["token"], ""))
+        key = fxhash64_bytes_list(
+            [u.encode() for u in cnt["token"].to_pylist()])
+        return pa.table({"token": cnt["token"],
+                         "cnt": cnt["cnt"].cast(pa.int64()),
+                         "__key": pa.array(key, pa.uint64())})
+
+    def _big(b: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "__key": pa.array([], pa.uint64())})
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(b["text"], ""))))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).combine_chunks()
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        nb = np.maximum(lens - 1, 0)
+        total = int(nb.sum())
+        if total == 0:
+            return empty
+        doc_of = np.repeat(np.arange(len(lens)), nb)
+        g0 = np.cumsum(nb) - nb
+        pos = starts[doc_of] + (np.arange(total, dtype=np.int64) - g0[doc_of])
+        t = pa.table({"w1": flat.take(pa.array(pos, pa.int64())),
+                      "w2": flat.take(pa.array(pos + 1, pa.int64()))})
+        cnt = pa.TableGroupBy(t, ["w1", "w2"]).aggregate([("w1", "count")])
+        cnt = cnt.rename_columns(["w1", "w2", "cnt"])
+        key = fxhash64_bytes_list(
+            [f"{a} {b_}".encode() for a, b_ in
+             zip(cnt["w1"].to_pylist(), cnt["w2"].to_pylist())])
+        return pa.table({"w1": cnt["w1"], "w2": cnt["w2"],
+                         "cnt": cnt["cnt"].cast(pa.int64()),
+                         "__key": pa.array(key, pa.uint64())})
+
+    def _sum_tokens(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "token").aggregate([("cnt", "sum")])
+        return agg.rename_columns(["token", "cnt"])
+
+    def _sum_bigrams(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, ["w1", "w2"]).aggregate([("cnt", "sum")])
+        return agg.rename_columns(["w1", "w2", "cnt"])
+
+    # vocab-bounded aggregate tables; materialized because each is consumed
+    # twice (totals + join) — never the raw corpus
+    uni = partitionwise(ds.map_batches(_uni, batch_format="pyarrow"),
+                        _sum_tokens, "__key", num_parts).materialize()
+    big = partitionwise(ds.map_batches(_big, batch_format="pyarrow"),
+                        _sum_bigrams, "__key", num_parts)
+    # min_count gate BEFORE the joins: the survivors are tiny
+    big = big.map_batches(
+        lambda bt: bt.filter(pc.greater_equal(bt["cnt"], min_count)),
+        batch_format="pyarrow").materialize()
+    t_total = float(uni.sum("cnt") or 0)
+    # P counts ALL bigram positions (not just min_count survivors): one
+    # cheap streaming pass over token-list lengths
+    p_total = float(
+        ds.map_batches(
+            lambda bt: pa.table({"p": pa.array([int(np.maximum(
+                pc.list_value_length(pc.utf8_split_whitespace(
+                    pc.utf8_trim_whitespace(pc.utf8_lower(
+                        pc.fill_null(bt["text"], ""))))
+                ).to_numpy(zero_copy_only=False) - 1, 0).sum())], pa.int64())}),
+            batch_format="pyarrow").sum("p") or 0)
+
+    def _mark(word_col):
+        def _m(bt: pa.Table) -> pa.Table:
+            key = fxhash64_bytes_list(
+                [w.encode() for w in bt[word_col].to_pylist()])
+            return bt.append_column("__key", pa.array(key, pa.uint64()))
+        return _m
+
+    def _join_on(word_col: str, cnt_out: str):
+        def _j(g: pa.Table) -> pa.Table:
+            bigs = g.filter(pc.equal(g["side"], 0)).drop_columns(
+                ["side", "ucnt"])
+            unis = g.filter(pc.equal(g["side"], 1)).select(["word", "ucnt"])
+            j = bigs.join(unis, "word")
+            j = j.rename_columns(
+                [cnt_out if c == "ucnt" else c for c in j.column_names])
+            return j
+        return _j
+
+    def _as_union(big_ds, word_col, carry_cols):
+        # mark bigram rows side=0 keyed by the join word; unigram side=1
+        def _b(bt: pa.Table) -> pa.Table:
+            cols = {"word": bt[word_col], "side": pa.array(
+                np.zeros(len(bt), np.int8))}
+            for c in carry_cols:
+                cols[c] = bt[c]
+            cols["ucnt"] = pa.array([None] * len(bt), pa.int64())
+            t = pa.table(cols)
+            key = fxhash64_bytes_list(
+                [w.encode() for w in bt[word_col].to_pylist()])
+            return t.append_column("__key", pa.array(key, pa.uint64()))
+
+        def _u(bt: pa.Table) -> pa.Table:
+            n = len(bt)
+            cols = {"word": bt["token"],
+                    "side": pa.array(np.ones(n, np.int8))}
+            for c in carry_cols:
+                typ = pa.int64() if c not in ("w1", "w2", "other") else pa.string()
+                cols[c] = pa.array([None] * n, typ)
+            cols["ucnt"] = bt["cnt"].cast(pa.int64())
+            t = pa.table(cols)
+            key = fxhash64_bytes_list(
+                [w.encode() for w in bt["token"].to_pylist()])
+            return t.append_column("__key", pa.array(key, pa.uint64()))
+
+        return big_ds.map_batches(_b, batch_format="pyarrow").union(
+            uni.map_batches(_u, batch_format="pyarrow"))
+
+    # join 1: attach c1 on w1 (bigram rows carry w2 + cnt)
+    u1 = _as_union(big.map_batches(
+        lambda bt: bt.select(["w1", "w2", "cnt"]), batch_format="pyarrow"),
+        "w1", ["w2", "cnt"])
+    j1 = partitionwise(u1, _join_on("w1", "c1"), "__key", num_parts)
+    # join 2: attach c2 on w2 (rows now (word=w1, w2, cnt, c1))
+    j1 = j1.map_batches(
+        lambda bt: bt.rename_columns(
+            ["w1" if c == "word" else c for c in bt.column_names]),
+        batch_format="pyarrow")
+    u2 = _as_union(j1, "w2", ["w1", "cnt", "c1"])
+    j2 = partitionwise(u2, _join_on("w2", "c2"), "__key", num_parts)
+
+    def _pmi(bt: pa.Table) -> pa.Table:
+        if bt.num_rows == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        cxy = np_col(bt, "cnt").astype(np.float64)
+        c1 = np_col(bt, "c1").astype(np.float64)
+        c2 = np_col(bt, "c2").astype(np.float64)
+        # association mirrors the oracle SQL exactly:
+        # ((cxy*T)*T) / ((P*c1)*c2)
+        pmi = np.round(np.log(((cxy * t_total) * t_total)
+                              / ((p_total * c1) * c2)), 6)
+        bigram = pc.binary_join_element_wise(bt["w1"], bt["word"], " ")
+        return pa.table({"bigram": bigram,
+                         "cnt": bt["cnt"].cast(pa.int64()),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    scored = j2.map_batches(_pmi, batch_format="pyarrow")
+    return scored.sort(["pmi", "bigram"], descending=[True, False]).limit(k)

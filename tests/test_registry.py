@@ -6,6 +6,13 @@ The driver's correctness harness compares only the FIRST 50 entries of
 when round 3 inserted new lanes earlier in the dict).  These tests pin the
 ordering contract so a future insertion can never rotate a verified operator
 out of the driver window again.
+
+Round 4 grew the oracle-paired surface past 50 entries, so the contract is
+now: the window is filled entirely with oracle-paired entries; the only
+oracle-paired entries allowed outside it are the explicitly demoted
+least-signal ones in ``_ORACLE_DEMOTED`` (still judge-checker/pytest
+verified), which sit immediately after the window, ahead of every rows-only
+lane.
 """
 
 from __future__ import annotations
@@ -19,21 +26,32 @@ def _registry():
     return list(entry.queries()), entry.oracle_sql()
 
 
-def test_every_oracle_paired_query_is_inside_the_driver_window():
+def test_driver_window_is_filled_with_oracle_paired_queries():
+    import __ray_entry__ as entry
+
     names, oracle = _registry()
     pos = {n: i for i, n in enumerate(names)}
     missing = sorted(k for k in oracle if k not in pos)
     assert not missing, f"oracle_sql keys with no queries() entry: {missing}"
     late = sorted((pos[k], k) for k in oracle if pos[k] >= DRIVER_WINDOW)
-    assert not late, (
+    # only explicitly demoted oracle entries may sit past the window, and
+    # only when the oracle surface is larger than the window itself
+    allowed = set(entry._ORACLE_DEMOTED)
+    bad = [(p, k) for p, k in late if k not in allowed]
+    assert not bad, (
         f"oracle-paired queries outside the driver's first-{DRIVER_WINDOW} "
-        f"correctness window: {late}")
+        f"correctness window without an _ORACLE_DEMOTED entry: {bad}")
+    if late:
+        assert len(oracle) > DRIVER_WINDOW, (
+            "oracle entries demoted although the whole oracle surface fits "
+            f"the window: {late}")
 
 
 def test_oracle_paired_queries_precede_all_rows_only_queries():
     # Stronger than the window test: the programmatic reorder in
-    # _driver_window_order puts EVERY oracle-paired key first, so the
-    # window property survives any amount of future registry growth.
+    # _driver_window_order puts EVERY oracle-paired key first (demoted ones
+    # immediately after the window-filling set), so the window property
+    # survives any amount of future registry growth.
     names, oracle = _registry()
     n_oracle = len(oracle)
     head = names[:n_oracle]
@@ -43,16 +61,32 @@ def test_oracle_paired_queries_precede_all_rows_only_queries():
         f"missing={sorted(set(oracle) - set(head))}")
 
 
-def test_priority_rows_only_lanes_fill_the_rest_of_the_window():
+def test_window_remainder_goes_to_priority_rows_only_lanes():
     import __ray_entry__ as entry
 
     names, oracle = _registry()
     window = set(names[:DRIVER_WINDOW])
-    n_slots = DRIVER_WINDOW - len(oracle)
+    n_slots = DRIVER_WINDOW - min(len(oracle), DRIVER_WINDOW)
     expected = list(entry._ROWS_ONLY_PRIORITY)[:n_slots]
     missing = [k for k in expected if k not in window]
     assert not missing, (
         f"priority rows-only lanes pushed out of the driver window: {missing}")
+
+
+def test_demoted_oracle_entries_are_a_documented_minimum():
+    import __ray_entry__ as entry
+
+    names, oracle = _registry()
+    # demotion is only for window overflow: never more demoted entries than
+    # the overflow requires
+    overflow = max(0, len(oracle) - DRIVER_WINDOW)
+    assert len(entry._ORACLE_DEMOTED) == overflow, (
+        f"_ORACLE_DEMOTED has {len(entry._ORACLE_DEMOTED)} entries but the "
+        f"oracle surface overflows the window by {overflow}")
+    # and the demoted entries sit immediately after the window, before any
+    # rows-only lane
+    for k in entry._ORACLE_DEMOTED:
+        assert DRIVER_WINDOW <= names.index(k) < len(oracle)
 
 
 def test_registry_names_are_unique_and_callable():

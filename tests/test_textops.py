@@ -1024,3 +1024,59 @@ def test_top_ngrams_planted(ray_session, tmp_path):
         ORDER BY cnt DESC, ngram ASC LIMIT 3""", sf_dir)
     assert_matches_sql(top_ngrams(SF_DIR),
                        entry.oracle_sql()["top_ngrams"])
+
+
+def test_filter_length_band(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import filter_length_band
+
+    texts = ["x" * n for n in (1, 10, 20, 30, 40, 50, 60, 70, 1000)]
+    sf_dir = _mk_lang_docs(tmp_path, texts, ["en"] * len(texts))
+    res = filter_length_band(sf_dir).to_pandas()
+    # p25 = 20, p75 = 60 (quantile_cont over 9 values) — extremes trimmed
+    assert sorted(res["n_chars"]) == [20, 30, 40, 50, 60]
+    assert_matches_sql(filter_length_band(sf_dir),
+                       entry.oracle_sql()["filter_length_band"], sf_dir)
+    assert_matches_sql(filter_length_band(SF_DIR),
+                       entry.oracle_sql()["filter_length_band"])
+
+
+def test_dedup_savings(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import dedup_savings
+
+    texts = ["a b c", "a b c", "a b c", "d e", "f"]
+    sf_dir = _mk_lang_docs(tmp_path, texts, ["en"] * 5)
+    res = dedup_savings(sf_dir).to_pandas().iloc[0]
+    assert res["n_docs"] == 5 and res["n_kept"] == 3
+    assert res["n_dup_docs"] == 2
+    assert res["total_tokens"] == 12 and res["kept_tokens"] == 6
+    assert res["savings_frac"] == 0.5
+    assert_matches_sql(dedup_savings(sf_dir),
+                       entry.oracle_sql()["dedup_savings"], sf_dir)
+    assert_matches_sql(dedup_savings(SF_DIR),
+                       entry.oracle_sql()["dedup_savings"])
+
+
+def test_pmi_bigrams(ray_session, tmp_path):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import pmi_bigrams
+
+    # "new york" always adjacent (high PMI); "the" everywhere (low PMI)
+    texts = ["the new york times the paper"] * 4 + ["the cat sat the mat"] * 4
+    sf_dir = _mk_lang_docs(tmp_path, texts, ["en"] * 8)
+    res = pmi_bigrams(sf_dir, k=5, min_count=2).to_pandas()
+    # the three always-adjacent pairs share the max PMI; ties break asc
+    assert list(res["bigram"][:3]) == ["cat sat", "new york", "york times"]
+    assert (res["cnt"] >= 2).all()
+    assert_matches_sql(
+        pmi_bigrams(sf_dir, k=5, min_count=2),
+        entry.oracle_sql()["pmi_bigrams"]
+            .replace("bc.cnt >= 5", "bc.cnt >= 2")
+            .replace("LIMIT 20", "LIMIT 5"),
+        sf_dir)
+    assert_matches_sql(pmi_bigrams(SF_DIR),
+                       entry.oracle_sql()["pmi_bigrams"])
