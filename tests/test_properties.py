@@ -234,3 +234,59 @@ def test_fxhash64_flat_property(data):
     got = H.fxhash64_flat(flat, starts, lengths)
     want = np.array([H.fxhash64(it) for it in items], np.uint64)
     assert (got == want).all()
+
+
+def test_capped_distinct_value_pairs_matches_brute():
+    """Randomized differential check of the shared skew-guard kernel used by
+    BOTH the simhash and cosine-LSH verify lanes: value groups, rep pairs,
+    and the max_bucket drop semantics all match a dict-based reference."""
+    import itertools
+
+    from rensa_ray.pipelines.common import capped_distinct_value_pairs
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n = int(rng.integers(0, 60))
+        if n == 0:
+            continue
+        buckets = rng.integers(0, 5, n).astype(np.uint64)
+        values = rng.integers(0, 4, n).astype(np.uint64)
+        order = np.lexsort((values, buckets))
+        b_s, v_s = buckets[order], values[order]
+        vb = np.ones(n, bool)
+        vb[1:] = (b_s[1:] != b_s[:-1]) | (v_s[1:] != v_s[:-1])
+        max_bucket = [None, 1, 2, 3][trial % 4]
+        vgid, vcounts, vstart, rep_rows, rep_vg, ii, jj = \
+            capped_distinct_value_pairs(b_s, vb, max_bucket)
+        # per-row value-group id and sizes
+        want_groups: dict = {}
+        for i in range(n):
+            want_groups.setdefault((b_s[i], v_s[i]), []).append(i)
+        assert len(vcounts) == len(want_groups)
+        for g, rows in want_groups.items():
+            gids = {vgid[r] for r in rows}
+            assert len(gids) == 1
+            assert vcounts[gids.pop()] == len(rows)
+        # vstart = first row of each value group
+        assert (np.array(sorted(vstart))
+                == np.array(sorted(min(r) for r in want_groups.values()))).all()
+        # expected rep pairs: distinct values sharing a bucket, buckets with
+        # more than max_bucket DISTINCT values dropped entirely
+        per_bucket: dict = {}
+        for (b, v) in want_groups:
+            per_bucket.setdefault(b, set()).add(v)
+        want_pairs = set()
+        for b, vals in per_bucket.items():
+            if max_bucket is not None and len(vals) > max_bucket:
+                continue
+            for va, vb_ in itertools.combinations(sorted(vals), 2):
+                want_pairs.add((b, va, vb_))
+        got_pairs = set()
+        for a, c in zip(ii, jj):
+            ra, rc = rep_rows[a], rep_rows[c]
+            assert b_s[ra] == b_s[rc]
+            va, vc = sorted((v_s[ra], v_s[rc]))
+            got_pairs.add((b_s[ra], va, vc))
+            # rep_vg indexes the value group of each rep
+            assert vgid[ra] == rep_vg[a] and vgid[rc] == rep_vg[c]
+        assert got_pairs == want_pairs, (trial, max_bucket)
