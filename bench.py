@@ -129,6 +129,8 @@ def run_suite() -> dict:
         "cosine_pairs_lsh", "cosine_topk", "top_tokens", "user_sessions",
         "doc_repetition_stats", "pack_sequences", "rho_dup_flags",
         "substring_dup_spans", "substring_dup_spans_sa",
+        # round-4 corpus-quality lanes (heaviest of the new family)
+        "doc_dup_ngram_fraction", "pmi_bigrams",
     ]
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -1434,11 +1434,14 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
     pmi = ln((c_xy·T²)/(P·c_x·c_y)), T = token positions, P = bigram
     positions, gated on c_xy ≥ ``min_count``.
 
-    Three keyed shuffles: unigram + bigram count tables (vocab-bounded,
-    materialized once — they are aggregates, not the corpus), then the two
-    word-count attachments run as union-mark-partition joins (the events
-    join idiom) so neither count table is ever broadcast; the top-k is a
-    bounded sort/limit over the min_count-gated survivors.
+    Unigram + bigram count tables are one keyed shuffle each (vocab-bounded
+    aggregates, materialized once — never the corpus).  The word-count
+    attachment is adaptive: a vocab up to RENSA_RAY_PMI_BROADCAST_VOCAB
+    (default 2M) rows is broadcast ONCE via ``ray.put`` and both counts
+    attach in a single pure map (zero join shuffles); a larger vocab falls
+    back to two union-mark-partition joins (the events join idiom, no
+    broadcast).  The top-k is a bounded sort/limit over the min_count-gated
+    survivors.
     """
     import ray.data as rd
 
@@ -1494,26 +1497,20 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
         return agg.rename_columns(["w1", "w2", "cnt"])
 
     # vocab-bounded aggregate tables; materialized because each is consumed
-    # twice (totals + join) — never the raw corpus
+    # more than once (totals + joins / gate) — never the raw corpus.  The
+    # UNGATED bigram aggregate is materialized so P (ALL bigram positions)
+    # folds from it directly: at 100 TB that is a few-hundred-GB object
+    # store table vs a second full corpus tokenize pass — ~300× cheaper.
     uni = partitionwise(ds.map_batches(_uni, batch_format="pyarrow"),
                         _sum_tokens, "__key", num_parts).materialize()
-    big = partitionwise(ds.map_batches(_big, batch_format="pyarrow"),
-                        _sum_bigrams, "__key", num_parts)
-    # min_count gate BEFORE the joins: the survivors are tiny
-    big = big.map_batches(
-        lambda bt: bt.filter(pc.greater_equal(bt["cnt"], min_count)),
-        batch_format="pyarrow").materialize()
+    big_all = partitionwise(ds.map_batches(_big, batch_format="pyarrow"),
+                            _sum_bigrams, "__key", num_parts).materialize()
     t_total = float(uni.sum("cnt") or 0)
-    # P counts ALL bigram positions (not just min_count survivors): one
-    # cheap streaming pass over token-list lengths
-    p_total = float(
-        ds.map_batches(
-            lambda bt: pa.table({"p": pa.array([int(np.maximum(
-                pc.list_value_length(pc.utf8_split_whitespace(
-                    pc.utf8_trim_whitespace(pc.utf8_lower(
-                        pc.fill_null(bt["text"], ""))))
-                ).to_numpy(zero_copy_only=False) - 1, 0).sum())], pa.int64())}),
-            batch_format="pyarrow").sum("p") or 0)
+    p_total = float(big_all.sum("cnt") or 0)
+    # min_count gate BEFORE the joins: the survivors are tiny
+    big = big_all.map_batches(
+        lambda bt: bt.filter(pc.greater_equal(bt["cnt"], min_count)),
+        batch_format="pyarrow")
 
     def _mark(word_col):
         def _m(bt: pa.Table) -> pa.Table:
@@ -1562,6 +1559,54 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
         return big_ds.map_batches(_b, batch_format="pyarrow").union(
             uni.map_batches(_u, batch_format="pyarrow"))
 
+    import os
+
+    import ray
+
+    broadcast_max = int(os.environ.get("RENSA_RAY_PMI_BROADCAST_VOCAB",
+                                       "2000000"))
+    if uni.count() <= broadcast_max:
+        # small-side broadcast: the whole unigram count table fits a
+        # worker's heap, so ship it ONCE via ray.put and attach both word
+        # counts in a single pure map — zero join shuffles
+        parts = [bt for bt in uni.iter_batches(batch_format="pyarrow",
+                                               batch_size=None)]
+        vocab = pa.concat_tables(parts) if parts else pa.table(
+            {"token": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())})
+        toks = vocab["token"].to_numpy(zero_copy_only=False).astype("U")
+        cnts = vocab["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vorder = np.argsort(toks)
+        v_ref = ray.put((toks[vorder], cnts[vorder]))
+
+        def _attach_and_score(bt: pa.Table) -> pa.Table:
+            if bt.num_rows == 0:
+                return pa.table({"bigram": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "pmi": pa.array([], pa.float64())})
+            vt, vc = ray.get(v_ref)
+            w1 = bt["w1"].to_numpy(zero_copy_only=False).astype("U")
+            w2 = bt["w2"].to_numpy(zero_copy_only=False).astype("U")
+            i1 = np.minimum(np.searchsorted(vt, w1), len(vt) - 1)
+            i2 = np.minimum(np.searchsorted(vt, w2), len(vt) - 1)
+            # every bigram word comes from the same tokenization as the
+            # vocab, so exact hits are an invariant — fail loud, not wrong
+            if not ((vt[i1] == w1).all() and (vt[i2] == w2).all()):
+                raise AssertionError("bigram word missing from vocab table")
+            c1, c2 = vc[i1], vc[i2]
+            cxy = np_col(bt, "cnt").astype(np.float64)
+            pmi = np.round(np.log(((cxy * t_total) * t_total)
+                                  / ((p_total * c1) * c2)), 6)
+            bigram = pc.binary_join_element_wise(bt["w1"], bt["w2"], " ")
+            return pa.table({"bigram": bigram,
+                             "cnt": bt["cnt"].cast(pa.int64()),
+                             "pmi": pa.array(pmi, pa.float64())})
+
+        scored = big.map_batches(_attach_and_score, batch_format="pyarrow")
+        return scored.sort(["pmi", "bigram"],
+                           descending=[True, False]).limit(k)
+
+    # large-vocab path: two union-mark-partition joins, no broadcast
     # join 1: attach c1 on w1 (bigram rows carry w2 + cnt)
     u1 = _as_union(big.map_batches(
         lambda bt: bt.select(["w1", "w2", "cnt"]), batch_format="pyarrow"),

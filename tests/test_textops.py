@@ -1080,3 +1080,17 @@ def test_pmi_bigrams(ray_session, tmp_path):
         sf_dir)
     assert_matches_sql(pmi_bigrams(SF_DIR),
                        entry.oracle_sql()["pmi_bigrams"])
+    # the large-vocab distributed-join path must agree with the broadcast
+    # path bit-for-bit (both are oracle-exact)
+    import os
+
+    os.environ["RENSA_RAY_PMI_BROADCAST_VOCAB"] = "0"
+    try:
+        assert_matches_sql(
+            pmi_bigrams(sf_dir, k=5, min_count=2),
+            entry.oracle_sql()["pmi_bigrams"]
+                .replace("bc.cnt >= 5", "bc.cnt >= 2")
+                .replace("LIMIT 20", "LIMIT 5"),
+            sf_dir)
+    finally:
+        del os.environ["RENSA_RAY_PMI_BROADCAST_VOCAB"]
