@@ -516,6 +516,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        ("n_bpe_tokens", I64)])),
         "minhash_dedup_keep_best": _keep_best_query,
         "curate_corpus": _curate_query,
+        "tiered_dedup_report": lambda sf: _fin(
+            __import__("rensa_ray.pipelines.curate",
+                       fromlist=["tiered_dedup_report"])
+            .tiered_dedup_report(sf),
+            pa.schema([("n_input", I64), ("n_after_exact", I64),
+                       ("n_after_near", I64), ("tokens_after_near", I64),
+                       ("tokens_removed_cut", I64), ("tokens_final", I64)])),
         # events (grouped / windowed aggregates) -----------------------------
         "events_by_type": lambda sf: _fin(
             textops.events_by_type(sf),

@@ -270,3 +270,67 @@ def curate(ds, cfg: DedupConfig | None = None,
     curated = attach_and_filter(exact, keep_ids, cfg).materialize()
     stats["after_near_dedup"] = curated.count()
     return curated, stats
+
+
+def tiered_dedup_report(sf_dir: str, cfg: DedupConfig | None = None,
+                        min_len: int = 10, num_parts: int = 16):
+    """The production tier-dedup drill in one row: exact → near-dup →
+    substring-cut, each tier running only on the previous tier's survivors
+    (the RefinedWeb/Lee-et-al. ordering — cheapest and highest-yield tier
+    first, the expensive span pass last over the smallest corpus).
+
+    Output (single row): n_input, n_after_exact, n_after_near,
+    tokens_after_near, tokens_removed_cut, tokens_final.  Near-dup keeps
+    each cluster's representative (cluster_id == doc id); the substring
+    tier rewrites survivors, so its yield is measured in TOKENS, not docs.
+
+    Every tier is the same streaming machinery the standalone lanes use;
+    the two materializes are tier boundaries a production run would
+    checkpoint to parquet anyway (pipelines.webdedup does exactly that).
+    """
+    import ray.data as rd
+
+    from .substring import substring_dedup_cut_ds
+
+    cfg = cfg or DedupConfig(num_parts=num_parts, concurrency=None)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_input = ds.count()  # parquet metadata — no execution
+
+    exact = exact_dedup(ds, id_col=cfg.id_col, text_col=cfg.text_col,
+                        num_parts=num_parts).materialize()
+    n_exact = exact.count()
+
+    clusters = near_dup_clusters(exact, cfg)
+    keep_ids = clusters.map_batches(
+        lambda b: pa.table({cfg.id_col: b[cfg.id_col].filter(
+            pc.equal(b[cfg.id_col], b["cluster_id"]))}),
+        batch_format="pyarrow")
+    from .dedup import attach_and_filter
+
+    near = attach_and_filter(exact, keep_ids, cfg).materialize()
+    n_near = near.count()
+
+    cut = substring_dedup_cut_ds(
+        near.map_batches(lambda b: b.select(["doc_id", "text"]),
+                         batch_format="pyarrow"),
+        min_len=min_len, num_parts=num_parts)
+    sums = cut.map_batches(
+        lambda b: pa.table({
+            "nt": pa.array([int(pc.sum(b["n_tokens"]).as_py() or 0)],
+                           pa.int64()),
+            "rm": pa.array([int(pc.sum(b["removed_tokens"]).as_py() or 0)],
+                           pa.int64())}),
+        batch_format="pyarrow")
+    rows = sums.take_all()  # one partial row per block — bounded
+    tokens_after_near = sum(r["nt"] for r in rows)
+    removed = sum(r["rm"] for r in rows)
+
+    return pa.table({
+        "n_input": pa.array([n_input], pa.int64()),
+        "n_after_exact": pa.array([n_exact], pa.int64()),
+        "n_after_near": pa.array([n_near], pa.int64()),
+        "tokens_after_near": pa.array([tokens_after_near], pa.int64()),
+        "tokens_removed_cut": pa.array([removed], pa.int64()),
+        "tokens_final": pa.array([tokens_after_near - removed], pa.int64()),
+    })

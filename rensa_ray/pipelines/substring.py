@@ -339,6 +339,16 @@ def substring_dup_spans(sf_dir: str, min_len: int = 10, num_parts: int = 32):
 
 
 def substring_dedup_cut(sf_dir: str, min_len: int = 10, num_parts: int = 32):
+    """ExactSubstr REWRITE over the documents table (see
+    ``substring_dedup_cut_ds``)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return substring_dedup_cut_ds(ds, min_len=min_len, num_parts=num_parts)
+
+
+def substring_dedup_cut_ds(ds, min_len: int = 10, num_parts: int = 32):
     """ExactSubstr REWRITE: drop every token covered by a duplicated run of
     >= min_len words (both/all occurrences — the deterministic variant of
     Lee et al.'s span cutting) and re-join the survivors.
@@ -349,12 +359,10 @@ def substring_dedup_cut(sf_dir: str, min_len: int = 10, num_parts: int = 32):
     well-defined).  Shape: the spans lanes' fingerprint-multiplicity
     shuffle, then ONE doc-keyed shuffle carrying the corpus text once (the
     op rewrites every document, so output ~ input size by nature).
+    ``ds`` must carry (doc_id, text) — a Dataset input so tier pipelines
+    can chain the cut after earlier dedup tiers.
     """
-    import ray.data as rd
-
     L = min_len
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
     wins = _window_fp_rows(ds, L)
     dup_rows = _dup_position_rows(
         wins, num_parts, "text", lambda k: pa.array([None] * k, pa.string()))

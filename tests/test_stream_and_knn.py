@@ -691,3 +691,29 @@ def test_ngram_containment_pairs(ray_session, tmp_path):
         ngram_containment_pairs("/root/testdata/sf0.001", threshold=0.6),
         entry.oracle_sql()["ngram_containment_pairs"],
         "/root/testdata/sf0.001")
+
+
+def test_tiered_dedup_report(ray_session, tmp_path):
+    """Each tier removes exactly its planted duplicates: an exact copy at
+    tier 1, a near-dup at tier 2, a repeated >=10-word span at tier 3."""
+    from rensa_ray.pipelines.curate import tiered_dedup_report
+
+    span = " ".join(f"s{i}" for i in range(12))       # 12-word shared run
+    base = " ".join(f"w{i}" for i in range(120))
+    near = " ".join(f"w{i}" for i in range(119)) + " zz"
+    uniq = [" ".join(f"u{i}_{j}" for i in range(60)) for j in range(4)]
+    texts = [base,            # 0: near-dup cluster representative
+             near,            # 1: removed at tier 2 (minhash)
+             base,            # 2: removed at tier 1 (exact copy of 0)
+             f"{span} " + uniq[0],   # 3: span cut at tier 3
+             f"{span} " + uniq[1],   # 4: span cut at tier 3
+             uniq[2], uniq[3]]
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    rep = tiered_dedup_report(sf_dir).to_pandas().iloc[0]
+    assert rep["n_input"] == 7
+    assert rep["n_after_exact"] == 6          # doc 2 dropped
+    assert rep["n_after_near"] == 5           # doc 1 dropped
+    # survivors: base(120) + span+u0(72) + span+u1(72) + u2(60) + u3(60)
+    assert rep["tokens_after_near"] == 384
+    assert rep["tokens_removed_cut"] == 24    # the 12-word span, both docs
+    assert rep["tokens_final"] == 360
