@@ -386,6 +386,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": lambda sf: _fin(
             textops.pmi_bigrams(sf, k=20, min_count=5),
             pa.schema([("bigram", STR), ("cnt", I64), ("pmi", F64)])),
+        # shuffle-free sketch lanes (rows-only: approx by contract; pytest
+        # pins equality-to-exact / the guaranteed error bound) -------------
+        "top_tokens_approx": lambda sf: _fin(
+            textops.top_tokens_approx(sf, k=20),
+            pa.schema([("token", STR), ("cnt", I64), ("exact", BOOL)])),
+        "events_value_quantiles_approx": lambda sf: _fin(
+            textops.events_value_quantiles_approx(sf),
+            pa.schema([("p50", F64), ("p90", F64), ("p99", F64)])),
         # similarity search --------------------------------------------------
         "cosine_topk": lambda sf: _fin(
             knn.cosine_topk(sf, k=5, num_queries=10),

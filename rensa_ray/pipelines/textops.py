@@ -1639,3 +1639,97 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
 
     scored = j2.map_batches(_pmi, batch_format="pyarrow")
     return scored.sort(["pmi", "bigram"], descending=[True, False]).limit(k)
+
+
+def top_tokens_approx(sf_dir: str, k: int = 20, capacity: int = 4096):
+    """Shuffle-FREE heavy-hitter top-k: (token, cnt, exact) — the single-pass
+    alternative to ``top_tokens`` for corpora whose vocabulary is too large
+    to shuffle (100 TB webtext ~ 10⁹ distinct tokens).
+
+    Each block folds to an exact Arrow groupby then truncates to its
+    ``capacity`` highest counts with a SpaceSaving-style overcount bound
+    (kernels.freq.HeavyHitterSummary); the driver merges the bounded
+    summaries (blocks × capacity rows max).  ``cnt`` is a lower bound;
+    ``exact`` is True when the entry's top-k rank is GUARANTEED (its count
+    beats every contender's upper bound) — with the default capacity this
+    is exact on any corpus whose top-k tokens are not pathologically flat.
+    """
+    from ..kernels.freq import HeavyHitterSummary
+
+    ds = _docs(sf_dir, ["text"])
+
+    def _block_summary(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(b["text"], ""))))
+        cnt = pa.TableGroupBy(pa.table({"token": flat}), "token").aggregate(
+            [("token", "count")]).rename_columns(["token", "cnt"])
+        cnt = cnt.filter(pc.not_equal(cnt["token"], ""))
+        s = HeavyHitterSummary.from_exact_counts(
+            capacity,
+            np.asarray(cnt["token"].to_pylist(), object),
+            cnt["cnt"].to_numpy(zero_copy_only=False))
+        n = len(s.tokens)
+        return pa.table({
+            "token": pa.array(s.tokens.tolist(), pa.string()),
+            "cnt": pa.array(s.counts, pa.int64()),
+            "err": pa.array(np.full(n, s.err, np.int64), pa.int64()),
+            "sid": pa.array(np.zeros(n, np.int64), pa.int64())})
+
+    merged: HeavyHitterSummary | None = None
+    # block summaries are ≤ capacity rows each; the driver fold is bounded
+    # by blocks × capacity, the same budget class as the HLL register fold
+    for blk in ds.map_batches(_block_summary, batch_format="pyarrow"
+                              ).iter_batches(batch_format="pyarrow",
+                                             batch_size=None):
+        if blk.num_rows == 0:
+            continue
+        s = HeavyHitterSummary(
+            capacity,
+            np.asarray(blk["token"].to_pylist(), object),
+            blk["cnt"].to_numpy(zero_copy_only=False),
+            err=int(blk["err"][0].as_py()))
+        merged = s if merged is None else merged.merge(s)
+    if merged is None:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "exact": pa.array([], pa.bool_())})
+    toks, cnts, exact = merged.topk(k)
+    return pa.table({"token": pa.array(toks.tolist(), pa.string()),
+                     "cnt": pa.array(cnts, pa.int64()),
+                     "exact": pa.array(exact, pa.bool_())})
+
+
+def events_value_quantiles_approx(sf_dir: str, qs=(0.5, 0.9, 0.99),
+                                  base: float = 1.01):
+    """Approximate quantiles of the float ``events.value`` column with a
+    GUARANTEED relative error ≤ base-1 (1% default): one row
+    (p50, p90, p99).
+
+    The scale path for quantiles over unbounded float columns, where the
+    exact value-histogram fold (``length_percentiles``) would blow up on
+    distinct values: each block folds into a fixed log-bucketed register
+    vector (kernels.freq.LogBucketSketch), merged shuffle-free by vector
+    add exactly like the HLL lane.
+    """
+    import ray.data as rd
+
+    from ..kernels.freq import LogBucketSketch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def _block(b: pa.Table) -> pa.Table:
+        s = LogBucketSketch(base=base)
+        v = np_col(b, "value").astype(np.float64)
+        s.add(v[~np.isnan(v)])
+        return pa.table({"regs": pa.array([s.counts], pa.list_(pa.int64()))})
+
+    total = LogBucketSketch(base=base)
+    for blk in ds.map_batches(_block, batch_format="pyarrow"
+                              ).iter_batches(batch_format="pyarrow",
+                                             batch_size=None):
+        for regs in blk["regs"].to_pylist():
+            total = total.merge(LogBucketSketch(
+                base=base, counts=np.asarray(regs, np.int64)))
+    return pa.table({f"p{int(q * 100)}": pa.array([total.quantile(q)],
+                                                  pa.float64())
+                     for q in qs})

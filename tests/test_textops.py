@@ -1094,3 +1094,68 @@ def test_pmi_bigrams(ray_session, tmp_path):
             sf_dir)
     finally:
         del os.environ["RENSA_RAY_PMI_BROADCAST_VOCAB"]
+
+
+def test_heavy_hitter_summary_kernel():
+    """Merge/truncate bounds: merged lower counts never exceed true counts,
+    true counts never exceed lower+err, and guaranteed-exact flags are
+    truthful under adversarial truncation."""
+    from rensa_ray.kernels.freq import HeavyHitterSummary
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        vocab = [f"t{i}" for i in range(30)]
+        true: dict[str, int] = {}
+        summaries = []
+        for _b in range(4):
+            toks = rng.choice(vocab, size=int(rng.integers(1, 200)))
+            u, c = np.unique(toks, return_counts=True)
+            for t, n in zip(u, c):
+                true[t] = true.get(t, 0) + int(n)
+            summaries.append(HeavyHitterSummary.from_exact_counts(
+                8, u.astype(object), c))
+        m = summaries[0]
+        for s in summaries[1:]:
+            m = m.merge(s)
+        for t, lo in zip(m.tokens, m.counts):
+            assert lo <= true[t] <= lo + m.err
+        toks, cnts, exact = m.topk(5)
+        ranked = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))
+        true_top = {t for t, _ in ranked[:5]}
+        for t, flag in zip(toks, exact):
+            if flag:  # guaranteed entries must be genuinely top-5
+                assert t in true_top
+
+
+def test_top_tokens_approx_equals_exact(ray_session):
+    """With capacity above the vocab, the sketch lane IS the exact lane."""
+    from rensa_ray.pipelines.textops import top_tokens, top_tokens_approx
+
+    exact = top_tokens(SF_DIR, k=20).to_pandas()
+    approx = top_tokens_approx(SF_DIR, k=20).to_pandas()
+    assert list(approx["token"]) == list(exact["token"])
+    assert list(approx["cnt"]) == list(exact["cnt"])
+    assert approx["exact"].all()
+
+
+def test_log_bucket_sketch_quantiles(ray_session):
+    """Sketch quantiles are within the guaranteed relative error of DuckDB's
+    exact quantile_cont, and block-merge == single-pass."""
+    import duckdb
+
+    from rensa_ray.kernels.freq import LogBucketSketch
+    from rensa_ray.pipelines.textops import events_value_quantiles_approx
+
+    res = events_value_quantiles_approx(SF_DIR).to_pandas().iloc[0]
+    want = duckdb.sql(
+        f"""SELECT quantile_cont(value, 0.5), quantile_cont(value, 0.9),
+                   quantile_cont(value, 0.99)
+            FROM read_parquet('{SF_DIR}/events.parquet')""").fetchone()
+    for got, exp in zip((res["p50"], res["p90"], res["p99"]), want):
+        assert abs(got - exp) / exp <= 0.011, (got, exp)
+    # mergeability: two half-sketches == one full sketch, bucket-exact
+    rng = np.random.default_rng(5)
+    v = rng.exponential(10.0, 5000)
+    full = LogBucketSketch().add(v)
+    half = LogBucketSketch().add(v[:2500]).merge(LogBucketSketch().add(v[2500:]))
+    assert (full.counts == half.counts).all()
