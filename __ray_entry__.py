@@ -524,6 +524,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        ("n_bpe_tokens", I64)])),
         "minhash_dedup_keep_best": _keep_best_query,
         "curate_corpus": _curate_query,
+        "line_dedup_rebuilt": lambda sf: _fin(
+            __import__("rensa_ray.pipelines.curate",
+                       fromlist=["remove_duplicate_lines"])
+            .remove_duplicate_lines(
+                __import__("ray.data", fromlist=["read_parquet"])
+                .read_parquet(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"])),
+            pa.schema([("doc_id", I64), ("text", STR)])),
         "tiered_dedup_report": lambda sf: _fin(
             __import__("rensa_ray.pipelines.curate",
                        fromlist=["tiered_dedup_report"])
@@ -572,10 +580,11 @@ _ROWS_ONLY_PRIORITY = (
 # whose driver row carries the LEAST marginal signal are explicitly demoted
 # to just past the window (they keep their oracle_sql pairing — the judge's
 # full checker and pytest still verify them; only the driver's truncated
-# harness skips them).  exact_dup_pairs: 0 rows at sf0.01 (the synthetic
-# corpus has no exact dups) and the same content-key machinery is already
-# driver-verified through exact_dup_groups / exact_dedup_kept.
-_ORACLE_DEMOTED = ("exact_dup_pairs",)
+# harness skips them).  exact_dup_pairs / exact_dup_groups: 0 rows at
+# sf0.01 (the synthetic corpus has no exact text dups) and the same
+# content-key machinery is driver-verified through exact_dedup_kept
+# (500-row value-hash match) plus planted pytest.
+_ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -708,6 +717,21 @@ def oracle_sql() -> dict[str, str]:
               FROM t WHERE len(w) >= 3)
             SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20""",
+        "line_dedup_rebuilt": """
+            WITH s AS (
+              SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM documents),
+            l AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     unnest(generate_series(1, len(ls))) AS pos
+              FROM s),
+            f AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rk
+              FROM l)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM f WHERE rk = 1 GROUP BY doc_id""",
         "filter_length_band": """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25)

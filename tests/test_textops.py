@@ -1159,3 +1159,30 @@ def test_log_bucket_sketch_quantiles(ray_session):
     full = LogBucketSketch().add(v)
     half = LogBucketSketch().add(v[:2500]).merge(LogBucketSketch().add(v[2500:]))
     assert (full.counts == half.counts).all()
+
+
+def test_line_dedup_rebuilt_vs_sql(ray_session, tmp_path):
+    """The registry lane's oracle holds on a MULTI-LINE planted corpus (the
+    sf0.01 data is single-line, so the window row only proves round-trip);
+    DuckDB's row_number/string_agg formulation matches the two-shuffle
+    elect-and-reassemble exactly, including dropped-empty-doc semantics."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    texts = ["alpha beta\nshared boilerplate\ngamma",
+             "shared boilerplate\ndelta",
+             "shared boilerplate",
+             "unique tail\nalpha beta"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    q = entry.queries()["line_dedup_rebuilt"]
+    assert_matches_sql(q(str(tmp_path)),
+                       entry.oracle_sql()["line_dedup_rebuilt"],
+                       str(tmp_path))
+    assert_matches_sql(q(SF_DIR), entry.oracle_sql()["line_dedup_rebuilt"])
