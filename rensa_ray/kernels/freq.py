@@ -96,16 +96,23 @@ class HeavyHitterSummary:
     def topk(self, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(tokens, lower_counts, exact_mask) for the k highest counts.
         ``exact_mask[i]`` is True when entry i's rank among the TRUE counts
-        is guaranteed: its lower bound beats every possible contender's
-        upper bound (count_j + err for retained j, err alone for dropped)."""
+        is guaranteed: its lower bound STRICTLY beats every possible
+        contender's upper bound (count_j + err for retained j, err alone
+        for dropped) — at equality a contender could tie the true count and
+        win the (cnt DESC, token ASC) tie-break, so ties don't guarantee.
+        When err == 0 nothing was ever dropped: the summary IS the exact
+        count table and its (count desc, token asc) order already resolves
+        ties exactly like the exact lane, so every entry is guaranteed."""
         k = min(k, len(self.tokens))
         toks, cnts = self.tokens[:k], self.counts[:k]
         if k == 0:
             return toks, cnts, np.empty(0, bool)
+        if self.err == 0:
+            return toks, cnts, np.ones(k, bool)
         contenders = np.concatenate([self.counts[k:] + self.err,
                                      [self.err]])
         threshold = contenders.max()
-        return toks, cnts, cnts >= threshold
+        return toks, cnts, cnts > threshold
 
 
 class LogBucketSketch:

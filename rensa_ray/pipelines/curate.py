@@ -294,7 +294,7 @@ def tiered_dedup_report(sf_dir: str, cfg: DedupConfig | None = None,
 
     cfg = cfg or DedupConfig(num_parts=num_parts, concurrency=None)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+                         columns=[cfg.id_col, cfg.text_col])
     n_input = ds.count()  # parquet metadata — no execution
 
     exact = exact_dedup(ds, id_col=cfg.id_col, text_col=cfg.text_col,
@@ -311,9 +311,13 @@ def tiered_dedup_report(sf_dir: str, cfg: DedupConfig | None = None,
     near = attach_and_filter(exact, keep_ids, cfg).materialize()
     n_near = near.count()
 
+    # the cut kernel's column names are fixed (doc_id, text) — select the
+    # configured columns and rename so any cfg works
     cut = substring_dedup_cut_ds(
-        near.map_batches(lambda b: b.select(["doc_id", "text"]),
-                         batch_format="pyarrow"),
+        near.map_batches(
+            lambda b: b.select([cfg.id_col, cfg.text_col])
+                       .rename_columns(["doc_id", "text"]),
+            batch_format="pyarrow"),
         min_len=min_len, num_parts=num_parts)
     sums = cut.map_batches(
         lambda b: pa.table({

@@ -164,18 +164,47 @@ def lang_counts(sf_dir: str):
     return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
-def _explode_token_counts(b: pa.Table) -> pa.Table:
-    """Per-batch partial: (token, cnt) — map-side pre-aggregation.
+def _tokens_list(b: pa.Table, lower: bool = False):
+    """trim → (lower) → whitespace-split token lists for the text column —
+    THE tokenization every token lane and its SQL oracle share (DuckDB
+    ``string_split_regex(trim([lower(]text[)]), '\\s+')``).  Empty or
+    whitespace-only docs yield [''] (callers filter the empty token or
+    length-gate)."""
+    t = pc.fill_null(b["text"], "")
+    if lower:
+        t = pc.utf8_lower(t)
+    return pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t))
 
-    Arrow C++ end to end (split → flatten → hash groupby); the old
-    np.unique path copied every token into a numpy U-string array and
-    sorted it — the grouped-hash count is both zero-copy and O(n).
-    """
-    flat = pc.list_flatten(pc.utf8_split_whitespace(
-        pc.utf8_trim_whitespace(pc.fill_null(b["text"], ""))))
+
+def _token_count_table(b: pa.Table, lower: bool = False) -> pa.Table:
+    """(token, cnt) exact per-batch counts — Arrow C++ end to end (split →
+    flatten → hash groupby), empty tokens filtered.  The map-side combiner
+    of every token-count lane (the old np.unique path copied every token
+    into a numpy U-string array and sorted it)."""
+    flat = pc.list_flatten(_tokens_list(b, lower))
     cnt = pa.TableGroupBy(pa.table({"token": flat}), "token").aggregate(
         [("token", "count")]).rename_columns(["token", "cnt"])
-    cnt = cnt.filter(pc.not_equal(cnt["token"], ""))  # empty-doc artifacts
+    return cnt.filter(pc.not_equal(cnt["token"], ""))
+
+
+def _ragged_gram_positions(lens: np.ndarray, n: int) -> np.ndarray:
+    """Start positions of every word n-gram in the FLATTENED token array
+    given per-doc token counts ``lens``; docs shorter than ``n`` contribute
+    nothing.  Shared by the n-gram/bigram exploders."""
+    starts = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    ng = np.maximum(lens - (n - 1), 0)
+    total = int(ng.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    doc_of = np.repeat(np.arange(len(lens)), ng)
+    g0 = np.cumsum(ng) - ng
+    return starts[doc_of] + (np.arange(total, dtype=np.int64) - g0[doc_of])
+
+
+def _explode_token_counts(b: pa.Table) -> pa.Table:
+    """Per-batch partial: (token, cnt, __key) — map-side pre-aggregation."""
+    cnt = _token_count_table(b)
     key = fxhash64_bytes_list(
         [u.encode() for u in cnt["token"].to_pylist()])
     return pa.table({"token": cnt["token"],
@@ -1279,7 +1308,9 @@ def stratified_sample_by_lang(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     from ray.data.aggregate import Count
 
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
-    counts = ds.groupby("lang").aggregate(
+    # the target pre-pass reads ONLY lang — counting over `ds` would drag
+    # every document body through the count shuffle
+    counts = _docs(sf_dir, ["lang"]).groupby("lang").aggregate(
         Count(alias_name="n")).take_all()  # lang cardinality — tiny
     if not counts:
         return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -1333,21 +1364,12 @@ def top_ngrams(sf_dir: str, k: int = 20, ngram_size: int = 3,
         empty = pa.table({"ngram": pa.array([], pa.string()),
                           "cnt": pa.array([], pa.int64()),
                           "__key": pa.array([], pa.uint64())})
-        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(b["text"], ""))))
+        toks = _tokens_list(b, lower=True)
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks).combine_chunks()
-        starts = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=starts[1:])
-        n_grams = np.maximum(lens - (ngram_size - 1), 0)
-        total = int(n_grams.sum())
-        if total == 0:
+        pos = _ragged_gram_positions(lens, ngram_size)
+        if len(pos) == 0:
             return empty
-        # ragged arange: position of each gram's first token in `flat`
-        doc_of = np.repeat(np.arange(len(lens)), n_grams)
-        g0 = np.cumsum(n_grams) - n_grams
-        local = np.arange(total, dtype=np.int64) - g0[doc_of]
-        pos = starts[doc_of] + local
         parts = [flat.take(pa.array(pos + i, pa.int64()))
                  for i in range(ngram_size)]
         grams = pc.binary_join_element_wise(*parts, " ")
@@ -1448,11 +1470,7 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
     ds = _docs(sf_dir, ["text"])
 
     def _uni(b: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(b["text"], "")))))
-        cnt = pa.TableGroupBy(pa.table({"token": flat}), "token").aggregate(
-            [("token", "count")]).rename_columns(["token", "cnt"])
-        cnt = cnt.filter(pc.not_equal(cnt["token"], ""))
+        cnt = _token_count_table(b, lower=True)
         key = fxhash64_bytes_list(
             [u.encode() for u in cnt["token"].to_pylist()])
         return pa.table({"token": cnt["token"],
@@ -1464,19 +1482,12 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
                           "w2": pa.array([], pa.string()),
                           "cnt": pa.array([], pa.int64()),
                           "__key": pa.array([], pa.uint64())})
-        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(b["text"], ""))))
+        toks = _tokens_list(b, lower=True)
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks).combine_chunks()
-        starts = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=starts[1:])
-        nb = np.maximum(lens - 1, 0)
-        total = int(nb.sum())
-        if total == 0:
+        pos = _ragged_gram_positions(lens, 2)
+        if len(pos) == 0:
             return empty
-        doc_of = np.repeat(np.arange(len(lens)), nb)
-        g0 = np.cumsum(nb) - nb
-        pos = starts[doc_of] + (np.arange(total, dtype=np.int64) - g0[doc_of])
         t = pa.table({"w1": flat.take(pa.array(pos, pa.int64())),
                       "w2": flat.take(pa.array(pos + 1, pa.int64()))})
         cnt = pa.TableGroupBy(t, ["w1", "w2"]).aggregate([("w1", "count")])
@@ -1659,36 +1670,33 @@ def top_tokens_approx(sf_dir: str, k: int = 20, capacity: int = 4096):
     ds = _docs(sf_dir, ["text"])
 
     def _block_summary(b: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(pc.utf8_split_whitespace(
-            pc.utf8_trim_whitespace(pc.fill_null(b["text"], ""))))
-        cnt = pa.TableGroupBy(pa.table({"token": flat}), "token").aggregate(
-            [("token", "count")]).rename_columns(["token", "cnt"])
-        cnt = cnt.filter(pc.not_equal(cnt["token"], ""))
+        cnt = _token_count_table(b)
         s = HeavyHitterSummary.from_exact_counts(
             capacity,
             np.asarray(cnt["token"].to_pylist(), object),
             cnt["cnt"].to_numpy(zero_copy_only=False))
-        n = len(s.tokens)
+        # ONE row per summary (list columns): Ray freely coalesces the tiny
+        # per-batch outputs of a fused read→map task into a single block, so
+        # a flat (token, cnt, err) layout would concatenate summaries and
+        # lose their err boundaries — rows survive coalescing intact
         return pa.table({
-            "token": pa.array(s.tokens.tolist(), pa.string()),
-            "cnt": pa.array(s.counts, pa.int64()),
-            "err": pa.array(np.full(n, s.err, np.int64), pa.int64()),
-            "sid": pa.array(np.zeros(n, np.int64), pa.int64())})
+            "tokens": pa.array([s.tokens.tolist()], pa.list_(pa.string())),
+            "cnts": pa.array([s.counts.tolist()], pa.list_(pa.int64())),
+            "err": pa.array([s.err], pa.int64())})
 
     merged: HeavyHitterSummary | None = None
-    # block summaries are ≤ capacity rows each; the driver fold is bounded
-    # by blocks × capacity, the same budget class as the HLL register fold
+    # summaries are ≤ capacity tokens each; the driver fold is bounded by
+    # batches × capacity, the same budget class as the HLL register fold
     for blk in ds.map_batches(_block_summary, batch_format="pyarrow"
                               ).iter_batches(batch_format="pyarrow",
                                              batch_size=None):
-        if blk.num_rows == 0:
-            continue
-        s = HeavyHitterSummary(
-            capacity,
-            np.asarray(blk["token"].to_pylist(), object),
-            blk["cnt"].to_numpy(zero_copy_only=False),
-            err=int(blk["err"][0].as_py()))
-        merged = s if merged is None else merged.merge(s)
+        for i in range(blk.num_rows):
+            s = HeavyHitterSummary(
+                capacity,
+                np.asarray(blk["tokens"][i].as_py(), object),
+                np.asarray(blk["cnts"][i].as_py(), np.int64),
+                err=int(blk["err"][i].as_py()))
+            merged = s if merged is None else merged.merge(s)
     if merged is None:
         return pa.table({"token": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64()),

@@ -1186,3 +1186,36 @@ def test_line_dedup_rebuilt_vs_sql(ray_session, tmp_path):
                        entry.oracle_sql()["line_dedup_rebuilt"],
                        str(tmp_path))
     assert_matches_sql(q(SF_DIR), entry.oracle_sql()["line_dedup_rebuilt"])
+
+
+def test_top_tokens_approx_multibatch_block(ray_session, tmp_path):
+    """Regression: a single-fragment read fuses read→map into one task whose
+    per-batch summary outputs COALESCE into one driver block; each summary
+    row must still merge independently (counts summed across batches, err
+    boundaries preserved) instead of being misread as one summary."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import top_tokens, top_tokens_approx
+
+    # 5000 docs in ONE parquet file → one read task → several 1024-row
+    # batches coalesced into one block
+    texts = [f"common filler{i % 97}" for i in range(5000)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(5000), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5000, pa.string()),
+        "source": pa.array(["s"] * 5000, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    exact = top_tokens(str(tmp_path), k=5).to_pandas()
+    approx = top_tokens_approx(str(tmp_path), k=5).to_pandas()
+    # "common" appears 5000x — counts must be summed across batches
+    assert list(approx["token"]) == list(exact["token"])
+    assert list(approx["cnt"]) == list(exact["cnt"])
+    assert approx["cnt"].iloc[0] == 5000
+    assert approx["exact"].all()   # capacity >> vocab → err 0 → guaranteed
+    # truncating capacity below the filler vocab forces err > 0: bounds
+    # must stay truthful (lower <= true) and "common" must still win
+    tight = top_tokens_approx(str(tmp_path), k=1, capacity=16).to_pandas()
+    assert tight["token"].iloc[0] == "common"
+    assert tight["cnt"].iloc[0] <= 5000
