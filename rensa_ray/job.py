@@ -228,6 +228,11 @@ def main(argv: list[str] | None = None) -> int:
                         "stage runs the distributed label-propagation loop "
                         "(the 10^12-doc path) instead of the driver fast "
                         "path")
+    p.add_argument("--tiered", action="store_true",
+                   help="run the tiered dedup report (exact → near-dup → "
+                        "substring-cut over survivors) instead of the "
+                        "flagship; --input must be a dir holding a "
+                        "documents.parquet with (doc_id, text)")
     p.add_argument("--use-html", action="store_true",
                    help="extract text from the html column (byte-identical "
                         "invariant) instead of reading the text column")
@@ -237,8 +242,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="num_cpus for a standalone local session (ignored "
                         "when attaching to a running cluster)")
     args = p.parse_args(argv)
-    if not args.rehearse and (args.input is None or args.out is None):
-        p.error("--input and --out are required (unless --rehearse)")
+    if args.tiered and args.input is None:
+        p.error("--tiered requires --input")
+    if not args.rehearse and not args.tiered and (
+            args.input is None or args.out is None):
+        p.error("--input and --out are required (unless --rehearse/--tiered)")
 
     import ray
 
@@ -255,6 +263,17 @@ def main(argv: list[str] | None = None) -> int:
         rc = _rehearse(args)
         ray.shutdown()
         return rc
+
+    if args.tiered:
+        from .pipelines.curate import tiered_dedup_report
+
+        rep = tiered_dedup_report(args.input)
+        json.dump({"mode": "tiered",
+                   **{c: rep[c][0].as_py() for c in rep.column_names}},
+                  sys.stdout, indent=2)
+        print()
+        ray.shutdown()
+        return 0
 
     from .pipelines.webdedup import run_web_dedup
 

@@ -37,3 +37,35 @@ def test_job_submit_and_resume(tmp_path):
     # resume: stage manifests are the ORIGINAL runs' (walls unchanged)
     for k in rep1["stages"]:
         assert rep2["stages"][k]["rows"] == rep1["stages"][k]["rows"]
+
+
+def test_job_tiered_mode(tmp_path):
+    """--tiered runs the tier report CLI end-to-end on a documents dir and
+    prints one JSON object with the per-tier counts."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = " ".join(f"s{i}" for i in range(12))
+    tail_a = " ".join(f"x{i}" for i in range(40))
+    tail_b = " ".join(f"y{i}" for i in range(40))
+    # long distinct tails keep the span docs below the near-dup threshold,
+    # so the shared 12-token run survives to the substring-cut tier
+    texts = ["a b", "a b", " ".join(f"u{i}" for i in range(30)),
+             f"{span} {tail_a}", f"{span} {tail_b}"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    proc = subprocess.run(
+        [sys.executable, "-m", "rensa_ray.job", "--tiered",
+         "--input", str(tmp_path), "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=280, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout)
+    assert rep["n_input"] == 5
+    assert rep["n_after_exact"] == 4          # the "a b" copy drops
+    assert rep["tokens_removed_cut"] == 24    # the 12-token span, both docs
