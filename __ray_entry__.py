@@ -386,6 +386,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": lambda sf: _fin(
             textops.pmi_bigrams(sf, k=20, min_count=5),
             pa.schema([("bigram", STR), ("cnt", I64), ("pmi", F64)])),
+        "lsh_query_candidates": lambda sf: _fin(
+            __import__("rensa_ray.pipelines.dedup",
+                       fromlist=["lsh_query_all"])
+            .lsh_query_all(_docs_ds(sf),
+                           DedupConfig(num_parts=16, concurrency=None),
+                           query_mod=50),
+            pa.schema([("query_id", I64), ("candidate_id", I64)])),
         # shuffle-free sketch lanes (rows-only: approx by contract; pytest
         # pins equality-to-exact / the guaranteed error bound) -------------
         "top_tokens_approx": lambda sf: _fin(

@@ -952,3 +952,87 @@ def _candidate_edges_salted(band_ds, cfg: DedupConfig, count_ds=None,
 
     edges = partitionwise(both, _chain_reps, "__k2", cfg.num_parts)
     return partitionwise(edges, _distinct_pairs, "src", cfg.num_parts)
+
+
+def lsh_query_all(ds, cfg: DedupConfig, query_mod: int = 50,
+                  num_parts: int | None = None):
+    """Distributed ``RMinHashLSH.query_all`` (reference L3,
+    src/lsh/py.rs:192-227): for each QUERY doc (id % query_mod == 0), the
+    deduped union of its LSH bucket members across all bands, against an
+    index of the WHOLE corpus — rows (query_id, candidate_id), candidate
+    set semantics (the scalar API's first-seen ORDER is meaningless under
+    a shuffle; the set is identical and pinned by pytest parity).
+
+    One signing pass and ONE band-hash shuffle: query membership is a flag
+    column on the single band table (never a second DAG branch on the
+    signature dataset — that re-executes the signer), so each (band_id,
+    band_hash) bucket arrives co-located and emits query-row × member
+    pairs vectorized.  Output size IS the reference semantics (each query's
+    candidate set); the per-bucket cost is |queries ∩ bucket| × |bucket|,
+    bounded by the query fraction — at web scale pass a sparser
+    ``query_mod`` or pre-filter the corpus, exactly like the in-memory API.
+    """
+    num_parts = num_parts or cfg.num_parts
+    id_col = cfg.id_col
+    sig_ds = compute_signatures(ds, cfg)
+    bands = band_table(sig_ds, cfg)
+
+    def _flag(b: pa.Table) -> pa.Table:
+        ids = np_col(b, id_col)
+        isq = (ids % np.uint64(query_mod) if ids.dtype == np.uint64
+               else ids % query_mod) == 0
+        return b.append_column("is_q", pa.array(isq.astype(np.int8)))
+
+    flagged = bands.map_batches(_flag, batch_format="pyarrow")
+
+    def _cands(g: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "candidate_id": pa.array([], pa.int64())})
+        bh = np_col(g, "band_hash").astype(np.uint64)
+        bid = np_col(g, "band_id").astype(np.uint64)
+        ids = np_col(g, id_col)
+        isq = np_col(g, "is_q").astype(bool)
+        if len(ids) == 0:
+            return empty
+        order, gid, counts = run_ids(bh, bid, ids.astype(np.uint64),
+                                     n_group_keys=2)
+        ids_s, q_s = ids[order], isq[order]
+        qrows = np.flatnonzero(q_s)
+        if len(qrows) == 0:
+            return empty
+        qg = gid[qrows]
+        m = counts[qg]
+        total = int(m.sum())
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(m) - m, m)
+        cand = ids_s[np.repeat(starts[qg], m) + local]
+        qid = np.repeat(ids_s[qrows], m)
+        # in-partition distinct (query, candidate) — bands of one bucket
+        # value co-locate, so most duplicates die here
+        o2, gid2, _ = run_ids(qid.astype(np.uint64), cand.astype(np.uint64))
+        first = np.zeros(len(gid2), bool)
+        first[0] = True
+        first[1:] = gid2[1:] != gid2[:-1]
+        keep = o2[first]
+        return pa.table({"query_id": pa.array(qid[keep], pa.int64()),
+                         "candidate_id": pa.array(cand[keep], pa.int64())})
+
+    pairs = partitionwise(flagged, _cands, "band_hash", num_parts)
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        q = np_col(g, "query_id")
+        c = np_col(g, "candidate_id")
+        if len(q) == 0:
+            return g
+        order, gid, _ = run_ids(q.astype(np.uint64), c.astype(np.uint64))
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        keep = order[first]
+        return pa.table({"query_id": pa.array(q[keep], pa.int64()),
+                         "candidate_id": pa.array(c[keep], pa.int64())})
+
+    # cross-band duplicates for the same (query, candidate) collapse in a
+    # second, query-keyed distinct pass
+    return partitionwise(pairs, _distinct, "query_id", num_parts)

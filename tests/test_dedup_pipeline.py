@@ -538,3 +538,47 @@ def test_verified_clusters_match_between_spanning_and_pair_edges(ray_session, tm
     lab = dict(zip(labels["node"].astype(int), labels["label"].astype(int)))
     want = [min(lab.get(i, i), i) for i in range(len(docs))]
     assert got["cluster_id"].astype(int).tolist() == want
+
+
+def test_lsh_query_all_matches_scalar(ray_session):
+    """Distributed query_all == the state API's RMinHashLSH.query_all as a
+    SET per query, on a planted corpus with near-dup groups."""
+    import ray.data as rd
+
+    from rensa_ray.kernels.shingle import tokenize_to_ngrams
+    from rensa_ray.pipelines.dedup import DedupConfig, lsh_query_all
+    from rensa_ray.state.lsh import RMinHashLSH
+    from rensa_ray.state.minhash import RMinHash
+
+    rng = np.random.default_rng(11)
+    base = " ".join(f"w{i}" for i in range(80))
+    docs = []
+    for i in range(120):
+        if i % 4 == 0:
+            docs.append(base)                       # one big near-dup group
+        elif i % 4 == 1:
+            docs.append(base.replace("w3", f"v{i}"))
+        else:
+            docs.append(" ".join(
+                f"u{i}_{j}" for j in range(int(rng.integers(40, 70)))))
+    cfg = DedupConfig(num_parts=8, concurrency=None)
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = lsh_query_all(rd.from_arrow(t).repartition(5), cfg,
+                        query_mod=10).to_pandas()
+    got_sets: dict[int, set] = {}
+    for q, c in got.itertuples(index=False):
+        got_sets.setdefault(q, set()).add(c)
+
+    lsh = RMinHashLSH(cfg.threshold, cfg.num_perm, cfg.num_bands)
+    mhs = []
+    for i, d in enumerate(docs):
+        mh = RMinHash(cfg.num_perm, cfg.seed)
+        mh.update(tokenize_to_ngrams(d, cfg.ngram_size))
+        mhs.append(mh)
+        lsh.insert(i, mh)
+    for q in range(0, len(docs), 10):
+        want = set(lsh.query(mhs[q]))
+        assert got_sets.get(q, set()) == want, q
+    # every distributed query id is a real query
+    assert set(got_sets) <= set(range(0, len(docs), 10))
