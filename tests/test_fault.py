@@ -80,3 +80,45 @@ def test_shuffle_pipeline_survives_worker_crash(ray_session, tmp_path):
     want = (partitionwise(rd.from_arrow(t), _sum_kernel, "k", 4)
             .to_pandas().sort_values("k").reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_textop_lane_survives_worker_crash(ray_session, tmp_path, monkeypatch):
+    """An end-to-end REGISTRY lane (doc_dup_ngram_fraction: map combiner →
+    gram shuffle → doc shuffle) survives a hard worker death in its map
+    stage and produces the crash-free result — op-level evidence that the
+    r4 corpus-quality family inherits Ray's lineage retry like the
+    flagship does."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import doc_dup_ngram_fraction
+
+    texts = ["a b c d e", "a b c x y", "p q r s t"] * 50
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    want = doc_dup_ngram_fraction(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    marker = str(tmp_path / "crashed-lane")
+    from rensa_ray.kernels import shingle
+
+    real = shingle.batch_shingle_hashes
+
+    def _crashing(texts_, ngram_size=3):
+        if not os.path.exists(marker):
+            try:
+                open(marker, "x").close()
+            except FileExistsError:
+                pass
+            else:
+                os._exit(1)
+        return real(texts_, ngram_size)
+
+    monkeypatch.setattr(shingle, "batch_shingle_hashes", _crashing)
+    got = doc_dup_ngram_fraction(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert os.path.exists(marker)
+    assert (got["n_grams"] == want["n_grams"]).all()
+    assert (got["dup_frac"] == want["dup_frac"]).all()
