@@ -712,8 +712,11 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
             r AS (
               SELECT doc_id, lang,
+                     -- coalesce matches the lane's null-text -> '' rule
+                     -- (md5(NULL) is NULL and would sort NULLS LAST)
                      row_number() OVER (PARTITION BY lang
-                                        ORDER BY md5(text), doc_id) AS rk
+                                        ORDER BY md5(coalesce(text, '')),
+                                                 doc_id) AS rk
               FROM documents)
             SELECT doc_id, lang FROM r CROSS JOIN m WHERE rk <= m.target""",
         "top_ngrams": r"""

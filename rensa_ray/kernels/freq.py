@@ -96,10 +96,18 @@ class HeavyHitterSummary:
     def topk(self, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(tokens, lower_counts, exact_mask) for the k highest counts.
         ``exact_mask[i]`` is True when entry i's rank among the TRUE counts
-        is guaranteed: its lower bound STRICTLY beats every possible
-        contender's upper bound (count_j + err for retained j, err alone
-        for dropped) — at equality a contender could tie the true count and
-        win the (cnt DESC, token ASC) tie-break, so ties don't guarantee.
+        is guaranteed.  A retained entry's true count lies in
+        [cnt_j, cnt_j + err]; a dropped token's true count is ≤ err.  Rank
+        i+1 is therefore guaranteed iff (a) every entry ABOVE it truly
+        outranks it — the weakest such lower bound is cnt_{i-1}, so require
+        cnt_{i-1} > cnt_i + err — and (b) every contender BELOW truly ranks
+        under it: cnt_i strictly beats the next retained entry's upper
+        bound cnt_{i+1} + err (when one exists) and the dropped-mass bound
+        err.  Strict, because at equality a contender could tie the true
+        count and win the (cnt DESC, token ASC) tie-break.  Comparing only
+        against contenders OUTSIDE the top-k (the pre-r4 behavior) was
+        unsound: two top-k entries within err of each other could both be
+        flagged while their true order is unknown.
         When err == 0 nothing was ever dropped: the summary IS the exact
         count table and its (count desc, token asc) order already resolves
         ties exactly like the exact lane, so every entry is guaranteed."""
@@ -109,21 +117,27 @@ class HeavyHitterSummary:
             return toks, cnts, np.empty(0, bool)
         if self.err == 0:
             return toks, cnts, np.ones(k, bool)
-        contenders = np.concatenate([self.counts[k:] + self.err,
-                                     [self.err]])
-        threshold = contenders.max()
-        return toks, cnts, cnts > threshold
+        n = len(self.counts)
+        idx = np.arange(k)
+        nxt = np.concatenate([self.counts[1:], [0]])[:k]
+        below_upper = np.where(idx < n - 1, nxt + self.err, self.err)
+        ok_below = cnts > below_upper
+        prev = np.concatenate([[np.iinfo(np.int64).max],
+                               self.counts[:k - 1]]).astype(np.int64)
+        ok_above = prev > cnts + self.err
+        return toks, cnts, ok_below & ok_above
 
 
 class LogBucketSketch:
-    """Log-bucketed histogram over non-negative floats with exact merge.
+    """Signed log-bucketed histogram with exact merge.
 
     ``base`` > 1 sets the resolution: answers carry relative error
-    ≤ base - 1.  Values in [0, tiny) land in the underflow bucket (returned
-    as 0.0).  Registers are int64 counts → merging = vector add.
+    ≤ base - 1 in MAGNITUDE (sign is always exact).  Negative values get a
+    mirrored bank of buckets, laid out so ascending register index equals
+    ascending value — quantiles stay one cumsum + searchsorted.  Values
+    with |x| < lo land in the zero bucket of their sign (returned as 0.0).
+    Registers are int64 counts → merging = vector add.
     """
-
-    UNDERFLOW = 0  # bucket index for values < lo
 
     def __init__(self, base: float = 1.01, lo: float = 1e-12,
                  hi: float = 1e12, counts: np.ndarray | None = None):
@@ -132,23 +146,30 @@ class LogBucketSketch:
         self.base = float(base)
         self.lo = float(lo)
         self.hi = float(hi)
-        self.n_buckets = int(np.ceil(
+        # magnitude buckets 0 (underflow) .. n_mag-1 per sign
+        self.n_mag = int(np.ceil(
             np.log(self.hi / self.lo) / np.log(self.base))) + 2
+        self.n_buckets = 2 * self.n_mag
         self.counts = (np.zeros(self.n_buckets, np.int64) if counts is None
                        else np.asarray(counts, np.int64))
         if len(self.counts) != self.n_buckets:
             raise ValueError("counts length mismatch")
 
-    def _bucket(self, x: np.ndarray) -> np.ndarray:
-        x = np.asarray(x, np.float64)
-        if (x < 0).any():
-            raise ValueError("LogBucketSketch is for non-negative values")
-        clipped = np.clip(x, self.lo, self.hi)
+    def _mag_bucket(self, a: np.ndarray) -> np.ndarray:
+        clipped = np.clip(a, self.lo, self.hi)
         idx = np.floor(np.log(clipped / self.lo) / np.log(self.base)
                        ).astype(np.int64) + 1
-        idx = np.clip(idx, 1, self.n_buckets - 1)
-        idx[x < self.lo] = self.UNDERFLOW
+        idx = np.clip(idx, 1, self.n_mag - 1)
+        idx[a < self.lo] = 0
         return idx
+
+    def _bucket(self, x: np.ndarray) -> np.ndarray:
+        # layout: [neg magnitudes descending | pos magnitudes ascending]
+        # index n_mag-1-m for x<0, n_mag+m for x>=0 → index order == value
+        # order across the sign boundary
+        x = np.asarray(x, np.float64)
+        m = self._mag_bucket(np.abs(x))
+        return np.where(x < 0, self.n_mag - 1 - m, self.n_mag + m)
 
     def add(self, x: np.ndarray) -> "LogBucketSketch":
         np.add.at(self.counts, self._bucket(x), 1)
@@ -162,15 +183,21 @@ class LogBucketSketch:
                                self.counts + other.counts)
 
     def quantile(self, q: float) -> float:
-        """Value v with relative error ≤ base-1 such that ≥ q of the mass is
-        ≤ v (bucket upper edge at the q-th cumulative count)."""
+        """Value v with relative error ≤ base-1 (in magnitude) such that
+        ≥ q of the mass is ≤ v (bucket at the q-th cumulative count)."""
         n = int(self.counts.sum())
         if n == 0:
             return float("nan")
         target = q * (n - 1)
         cum = np.cumsum(self.counts)
         b = int(np.searchsorted(cum, target + 1))
-        if b == self.UNDERFLOW:
+        if b >= self.n_mag:
+            m = b - self.n_mag
+            if m == 0:
+                return 0.0
+            # geometric midpoint of bucket m: [lo*base^(m-1), lo*base^m)
+            return float(self.lo * self.base ** (m - 0.5))
+        m = self.n_mag - 1 - b
+        if m == 0:
             return 0.0
-        # geometric midpoint of bucket b: [lo*base^(b-1), lo*base^b)
-        return float(self.lo * self.base ** (b - 0.5))
+        return float(-(self.lo * self.base ** (m - 0.5)))

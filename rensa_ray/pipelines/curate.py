@@ -231,6 +231,25 @@ def remove_duplicate_lines(ds, id_col: str = "doc_id", text_col: str = "text",
     return partitionwise(survivors, _reassemble, id_col, num_parts)
 
 
+def near_dedup_keep_representatives(exact, cfg: DedupConfig):
+    """Near-dup tier shared by ``curate`` and ``tiered_dedup_report``:
+    cluster, keep each cluster's representative (the row whose id equals
+    its cluster_id — near_dup_clusters labels every doc, singletons label
+    themselves), and semi-join the survivors back onto the corpus.
+
+    Returns the MATERIALIZED survivor dataset — both callers read it twice
+    (a count for their stats plus downstream consumption), so the
+    materialize is the tier boundary a production run would checkpoint."""
+    from .dedup import attach_and_filter
+
+    clusters = near_dup_clusters(exact, cfg)
+    keep_ids = clusters.map_batches(
+        lambda b: pa.table({cfg.id_col: b[cfg.id_col].filter(
+            pc.equal(b[cfg.id_col], b["cluster_id"]))}),
+        batch_format="pyarrow")
+    return attach_and_filter(exact, keep_ids, cfg).materialize()
+
+
 def curate(ds, cfg: DedupConfig | None = None,
            langs: tuple[str, ...] = ("en",), min_words: int = 10):
     """Full curation: lang filter → quality filter → exact dedup → near dedup.
@@ -256,18 +275,7 @@ def curate(ds, cfg: DedupConfig | None = None,
                         num_parts=cfg.num_parts).materialize()
     stats["after_exact_dedup"] = exact.count()
 
-    clusters = near_dup_clusters(exact, cfg)
-    keep_ids = clusters.map_batches(
-        lambda b: pa.table({cfg.id_col: b[cfg.id_col].filter(
-            pc.equal(b[cfg.id_col], b["cluster_id"]))}),
-        batch_format="pyarrow")
-
-    from .dedup import attach_and_filter
-
-    # materialize once: the count for stats and the caller's consumption
-    # share one execution (a lazy count() here would re-run the whole
-    # attach/filter pipeline when the caller reads the result)
-    curated = attach_and_filter(exact, keep_ids, cfg).materialize()
+    curated = near_dedup_keep_representatives(exact, cfg)
     stats["after_near_dedup"] = curated.count()
     return curated, stats
 
@@ -301,14 +309,7 @@ def tiered_dedup_report(sf_dir: str, cfg: DedupConfig | None = None,
                         num_parts=num_parts).materialize()
     n_exact = exact.count()
 
-    clusters = near_dup_clusters(exact, cfg)
-    keep_ids = clusters.map_batches(
-        lambda b: pa.table({cfg.id_col: b[cfg.id_col].filter(
-            pc.equal(b[cfg.id_col], b["cluster_id"]))}),
-        batch_format="pyarrow")
-    from .dedup import attach_and_filter
-
-    near = attach_and_filter(exact, keep_ids, cfg).materialize()
+    near = near_dedup_keep_representatives(exact, cfg)
     n_near = near.count()
 
     # the cut kernel's column names are fixed (doc_id, text) — select the

@@ -286,7 +286,7 @@ def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
 
     Under any fixed global token order, two sets with jac ≥ τ must share a
     token among each one's first ``|S| - ceil(τ·|S|) + 1`` tokens, so only
-    那 prefix enters the inverted index — at τ=0.8 that is ~20% of the
+    that prefix enters the inverted index — at τ=0.8 that is ~20% of the
     full posting volume, and the quadratic pair fan-out shrinks with the
     SQUARE of that.  We use ascending shingle-hash order as the global
     order (zero extra passes; frequency order would shrink candidates
@@ -324,7 +324,12 @@ def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
         # position of each distinct shingle inside its doc (hash-ascending)
         starts = np.cumsum(sizes) - sizes
         pos = np.arange(len(h_u), dtype=np.int64) - starts[d_u]
-        pref = sizes - np.ceil(tau * sizes).astype(np.int64) + 1
+        # Nudge below the ceiling: binary float products can land a hair
+        # ABOVE the exact value (0.55*100 == 55.000000000000007), and an
+        # overshot ceil shortens the prefix by one — a silent false
+        # negative.  The epsilon can only LENGTHEN the prefix (a candidate
+        # superset), so exactness is preserved.
+        pref = sizes - np.ceil(tau * sizes - 1e-9).astype(np.int64) + 1
         keep = pos < pref[d_u]
         return pa.table({
             "shingle": pa.array(h_u[keep], pa.uint64()),
@@ -377,7 +382,9 @@ def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
                          "id_b": pa.array(b[keep], pa.int64())})
 
     cands = partitionwise(cands, _distinct, "id_a", num_parts)
-    sets = ds.map_batches(_doc_sets, batch_format="pyarrow")
+    # both _mark_union calls below consume `sets`; without materialize the
+    # corpus would be re-read and re-shingled once per side
+    sets = ds.map_batches(_doc_sets, batch_format="pyarrow").materialize()
 
     def _mark_union(pairs_ds, key_col: str, carry: list[str]):
         def _p(bt: pa.Table) -> pa.Table:

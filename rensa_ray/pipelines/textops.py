@@ -614,8 +614,9 @@ def filter_length_band(sf_dir: str, lo_q: float = 0.25, hi_q: float = 0.75):
     lo, hi = _exact_quantile_values(sf_dir, (lo_q, hi_q))
     ds = _docs(sf_dir, ["doc_id", "n_chars"])
     if lo is None:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_chars": pa.array([], pa.int64())})
+        # empty corpus → no band; ds is already empty.  Return it rather
+        # than a pyarrow.Table so the return type is a Dataset either way.
+        return ds
     return ds.map_batches(
         lambda b: b.filter(
             pc.and_(pc.greater_equal(pc.cast(b["n_chars"], pa.float64()), lo),
@@ -1254,8 +1255,7 @@ def doc_idf_rarity(sf_dir: str, num_parts: int = DEFAULT_PARTS):
                              columns=["doc_id"]).count()
 
     def _distinct(b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(pc.fill_null(b["text"], "")))
+        toks = _tokens_list(b, lower=True)
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks)
         ids = np.repeat(np_col(b, "doc_id"), lens)
@@ -1710,8 +1710,10 @@ def top_tokens_approx(sf_dir: str, k: int = 20, capacity: int = 4096):
 def events_value_quantiles_approx(sf_dir: str, qs=(0.5, 0.9, 0.99),
                                   base: float = 1.01):
     """Approximate quantiles of the float ``events.value`` column with a
-    GUARANTEED relative error ≤ base-1 (1% default): one row
-    (p50, p90, p99).
+    GUARANTEED relative error ≤ base-1 (1% default) in magnitude: one row
+    (p50, p90, p99).  Negative values are first-class (the sketch keeps a
+    mirrored bucket bank per sign), so e.g. refund-style event streams
+    don't crash the lane.
 
     The scale path for quantiles over unbounded float columns, where the
     exact value-histogram fold (``length_percentiles``) would blow up on

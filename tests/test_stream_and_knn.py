@@ -737,3 +737,29 @@ def test_ngram_jaccard_prefix_equals_exact(ray_session, tmp_path):
         p = {tuple(r) for r in pref[["id_a", "id_b"]].itertuples(index=False)}
         assert p == e, sf
     assert (0, 2) in p or sf != sf_dir  # planted exact pair survives
+
+
+def test_ngram_prefix_float_ceiling_boundary(ray_session, tmp_path):
+    """Regression: np.ceil(0.55*100) == 56 from float overshoot shortened
+    the prefix by one, dropping a gate-passing pair (jac exactly at τ).
+    Plant doc B = the 55 LARGEST-hash unigrams of a 100-unigram doc A, so
+    the pair survives only if A's prefix reaches its 46th-smallest hash."""
+    from rensa_ray.kernels.shingle import batch_shingle_hashes
+    from rensa_ray.pipelines.simjoin import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    words = [f"q{i}" for i in range(100)]
+    h, _ = batch_shingle_hashes(words, 1)   # one unigram shingle per word
+    order = np.argsort(h)
+    text_a = " ".join(words)
+    text_b = " ".join(words[i] for i in order[45:])  # 55 largest hashes
+    sf = _mk_docs_table(tmp_path, [text_a, text_b])
+    pref = ngram_jaccard_pairs_prefix(sf, threshold=0.55,
+                                      ngram_size=1).to_pandas()
+    exact = ngram_jaccard_pairs(sf, threshold=0.55, ngram_size=1).to_pandas()
+    p = {tuple(r) for r in pref[["id_a", "id_b"]].itertuples(index=False)}
+    e = {tuple(r) for r in exact[["id_a", "id_b"]].itertuples(index=False)}
+    assert e == {(0, 1)}      # jac = 55/100 = 0.55 passes the gate
+    assert p == e

@@ -1219,3 +1219,58 @@ def test_top_tokens_approx_multibatch_block(ray_session, tmp_path):
     tight = top_tokens_approx(str(tmp_path), k=1, capacity=16).to_pandas()
     assert tight["token"].iloc[0] == "common"
     assert tight["cnt"].iloc[0] <= 5000
+
+
+def test_heavy_hitter_exact_flag_intra_topk():
+    """Regression: the exact-rank flag must also defend against the OTHER
+    top-k entries' upper bounds.  Planted two-block merge where the
+    reported top-1 (A:100) is truly rank 2 (B's true count is 104): neither
+    entry may be flagged.  A well-separated summary still flags."""
+    from rensa_ray.kernels.freq import HeavyHitterSummary
+
+    b1 = HeavyHitterSummary.from_exact_counts(
+        2, np.array(["A", "C", "B"], object), np.array([100, 6, 5]))
+    assert b1.err == 5                      # B:5 dropped
+    b2 = HeavyHitterSummary.from_exact_counts(
+        2, np.array(["B", "D"], object), np.array([99, 7]))
+    m = b1.merge(b2)
+    toks, cnts, exact = m.topk(2)
+    assert list(toks) == ["A", "B"] and list(cnts) == [100, 99]
+    assert not exact.any()                  # true order is B(104) > A(100)
+
+    sep = HeavyHitterSummary(3, np.array(["a", "b", "c"], object),
+                             np.array([1000, 500, 10]), err=5)
+    _, _, ex = sep.topk(2)
+    assert ex.all()                         # gaps exceed err on both sides
+
+
+def test_log_bucket_sketch_signed():
+    """Negative values are first-class: sign exact, magnitude within the
+    guaranteed relative error, merge still bucket-exact — and the events
+    quantile lane survives a corpus with refund-style negative values."""
+    import ray.data as rd
+
+    from rensa_ray.kernels.freq import LogBucketSketch
+    from rensa_ray.pipelines.textops import events_value_quantiles_approx
+
+    rng = np.random.default_rng(11)
+    v = np.concatenate([rng.exponential(10.0, 3000),
+                        -rng.exponential(25.0, 2000)])
+    s = LogBucketSketch().add(v)
+    for q in (0.05, 0.25, 0.5, 0.9, 0.99):
+        got, exp = s.quantile(q), float(np.quantile(v, q))
+        assert np.sign(got) == np.sign(exp)
+        assert abs(got - exp) <= 0.011 * abs(exp) + 1e-9, (q, got, exp)
+    halves = LogBucketSketch().add(v[:2500]).merge(
+        LogBucketSketch().add(v[2500:]))
+    assert (s.counts == halves.counts).all()
+
+    import tempfile
+
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"value": pa.array([-3.5, 2.0, 8.0, -1.0, 4.0])}),
+            f"{d}/events.parquet")
+        row = events_value_quantiles_approx(d).to_pandas().iloc[0]
+        assert abs(row["p50"] - 2.0) <= 0.021
