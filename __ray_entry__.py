@@ -568,6 +568,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": lambda sf: _fin(
             textops.user_sessions(sf),
             pa.schema([("user_id", I64), ("n_sessions", I64), ("n_events", I64)])),
+        "events_sliding_window": lambda sf: _fin(
+            textops.events_sliding_window(sf),
+            pa.schema([("event_id", I64), ("n_window", I64)])),
+        # corpus prep / mixing ------------------------------------------------
+        "train_val_test_split": lambda sf: _fin(
+            textops.train_val_test_split(sf),
+            pa.schema([("doc_id", I64), ("split", STR)])),
+        "strip_boilerplate_lines": lambda sf: _fin(
+            textops.strip_boilerplate_lines(sf),
+            pa.schema([("doc_id", I64), ("text", STR)])),
+        "source_token_kl": lambda sf: _fin(
+            textops.source_token_kl(sf),
+            pa.schema([("source", STR), ("n_tokens", I64), ("kl", F64)])),
+        # iterative (no SQL oracle by nature; pytest pins label parity with
+        # a single-process numpy Lloyd reference at the same init/iters)
+        "kmeans_embeddings": lambda sf: _fin(
+            knn.kmeans_embeddings(sf),
+            pa.schema([("vec_id", I64), ("cluster", I64)])),
     }
     return _driver_window_order(q)
 
@@ -593,8 +611,14 @@ _ROWS_ONLY_PRIORITY = (
 # harness skips them).  exact_dup_pairs / exact_dup_groups: 0 rows at
 # sf0.01 (the synthetic corpus has no exact text dups) and the same
 # content-key machinery is driver-verified through exact_dedup_kept
-# (500-row value-hash match) plus planted pytest.
-_ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups")
+# (500-row value-hash match) plus planted pytest.  The other four each have
+# a strictly MORE GENERAL in-window sibling exercising the same machinery:
+# top_longest ⊂ top_docs_per_lang (grouped sort+limit), lang_counts ⊂
+# doc_stats_by_lang (lang groupby aggregate), total_token_count ⊂
+# distinct_token_count + doc_token_counts (tokenize + global fold),
+# events_by_type ⊂ events_hourly (event_type groupby aggregate).
+_ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups", "top_longest",
+                   "lang_counts", "total_token_count", "events_by_type")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -1262,4 +1286,49 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
                    COUNT(*) AS n_events
             FROM o GROUP BY user_id""",
+        "events_sliding_window": """
+            SELECT event_id,
+                   (COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                   RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING
+                                   AND CURRENT ROW))::BIGINT AS n_window
+            FROM events""",
+        "train_val_test_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+                            THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        "strip_boilerplate_lines": """
+            WITH s AS (
+              SELECT doc_id, coalesce(source, '') AS source,
+                     string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM documents),
+            l AS (
+              SELECT doc_id, source, unnest(ls) AS line,
+                     unnest(generate_series(1, len(ls))) AS pos
+              FROM s),
+            df AS (
+              SELECT source, line, COUNT(DISTINCT doc_id) AS d
+              FROM l GROUP BY source, line)
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM l JOIN df USING (source, line)
+            WHERE df.d < 3
+            GROUP BY doc_id""",
+        "source_token_kl": r"""
+            WITH tok AS (
+              SELECT coalesce(source, '') AS source,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+              FROM documents WHERE trim(text) <> ''),
+            c AS (SELECT source, t, COUNT(*) AS c
+                  FROM tok WHERE t <> '' GROUP BY source, t),
+            ct AS (SELECT t, SUM(c) AS ct FROM c GROUP BY t),
+            ns AS (SELECT source, SUM(c) AS ns FROM c GROUP BY source),
+            n AS (SELECT SUM(c) AS n FROM c)
+            SELECT c.source, ns.ns::BIGINT AS n_tokens,
+                   round(SUM((c.c / ns.ns) * ln((c.c / ns.ns)
+                                                / (ct.ct / n.n))), 6) AS kl
+            FROM c JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN n
+            GROUP BY c.source, ns.ns""",
     }

@@ -619,3 +619,70 @@ def embedding_dedup_kept(sf_dir: str, threshold: float = 0.9,
                          "cluster_id": pa.array(cluster[keep])})
 
     return partitionwise(all_ids.union(lab), _keep_min, "vec_id", num_parts)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding column:
+    (vec_id, cluster) after ``iters`` full iterations, L2 distance,
+    deterministic init (the ``k`` lowest-vec_id embeddings — stable across
+    runs and partitionings, no RNG state to ship).
+
+    Scale shape: centroids are a tiny (k, dim) float64 matrix captured in
+    the map closure (one object-store put per iteration); each block emits
+    ONE partial row of per-cluster sums + counts, so the driver folds
+    blocks × k × dim floats — never points.  No shuffle at any step; the
+    corpus streams ``iters + 1`` times.  Empty clusters keep their previous
+    centroid (the deterministic convention shared with the numpy reference
+    in tests).  Ties in distance go to the lowest cluster index (argmin).
+    """
+    ids0, init = _load_matrix_local(sf_dir, max_vec_id=None)
+    if len(ids0) == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    # _load_matrix_local reads the whole table here only to pick the k
+    # seed rows; keep just those (at 100 TB the seeds would come from a
+    # vec_id < k predicate-pruned read like cosine_topk's query side)
+    order = np.argsort(ids0, kind="stable")[:k]
+    cent = init[order].copy()
+    k_eff = len(cent)
+    ds = _read_embeddings(sf_dir)
+
+    def _assign_ids(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+        d = m @ c.T * -2.0 + (c * c).sum(axis=1)[None, :]
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        c_now = cent  # bind current centroids into the closure
+
+        def _partial(b: pa.Table, c=c_now) -> pa.Table:
+            m = _emb_matrix(b)
+            a = _assign_ids(m, c)
+            sums = np.zeros((k_eff, m.shape[1]), np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k_eff).astype(np.int64)
+            return pa.table({
+                "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
+                "counts": pa.array([counts], pa.list_(pa.int64()))})
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+        dim = cent.shape[1]
+        tot = np.zeros((k_eff, dim), np.float64)
+        n = np.zeros(k_eff, np.int64)
+        for r in parts:
+            tot += np.asarray(r["sums"], np.float64).reshape(k_eff, dim)
+            n += np.asarray(r["counts"], np.int64)
+        nz = n > 0
+        new_cent = cent.copy()
+        new_cent[nz] = tot[nz] / n[nz, None]
+        cent = new_cent
+
+    c_fin = cent
+
+    def _final(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        a = _assign_ids(m, c_fin)
+        return pa.table({"vec_id": b["vec_id"],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(_final, batch_format="pyarrow")

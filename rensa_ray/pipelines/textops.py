@@ -1743,3 +1743,219 @@ def events_value_quantiles_approx(sf_dir: str, qs=(0.5, 0.9, 0.99),
     return pa.table({f"p{int(q * 100)}": pa.array([total.quantile(q)],
                                                   pa.float64())
                      for q in qs})
+
+
+def events_sliding_window(sf_dir: str, window_minutes: int = 60,
+                          num_parts: int = DEFAULT_PARTS):
+    """Trailing-window event count per event: (event_id, n_window) = how
+    many events the SAME user produced in [ts - window, ts] inclusive —
+    the standard burst/velocity feature (fraud scoring, rate limiting).
+
+    SQL frame semantics (``RANGE ... PRECEDING AND CURRENT ROW``): peers
+    with the exact same timestamp count regardless of row order, so the
+    result is order-free.  One user-keyed shuffle; inside each partition
+    the whole window family is two vectorized searchsorteds on a
+    user-offset timeline (no per-user Python loop): user segments are
+    shifted apart by more than span+window so no window can cross users.
+    """
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    w_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def _win(g: pa.Table) -> pa.Table:
+        uid = np_col(g, "user_id")
+        eid = np_col(g, "event_id")
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        if len(uid) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"event_id": z, "n_window": z})
+        order = np.lexsort((ts, uid))
+        u_s, t_s, e_s = uid[order], ts[order], eid[order]
+        new_user = np.ones(len(u_s), bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        gid = np.cumsum(new_user) - 1
+        t0 = t_s - t_s.min()
+        stride = np.int64(t0.max()) + w_us + 1
+        n_users = int(gid[-1]) + 1
+        if n_users * int(stride) < np.iinfo(np.int64).max // 2:
+            # vectorized path: disjoint per-user timelines on one axis
+            adj = t0 + gid * stride
+            hi = np.searchsorted(adj, adj, side="right")
+            lo = np.searchsorted(adj, adj - w_us, side="left")
+            n = (hi - lo).astype(np.int64)
+        else:  # pathological span × user-count: per-segment fallback
+            n = np.empty(len(u_s), np.int64)
+            starts = np.flatnonzero(new_user)
+            bounds = np.append(starts, len(u_s))
+            for s, e in zip(starts, bounds[1:]):
+                seg = t_s[s:e]
+                n[s:e] = (np.searchsorted(seg, seg, side="right")
+                          - np.searchsorted(seg, seg - w_us, side="left"))
+        return pa.table({"event_id": pa.array(e_s, pa.int64()),
+                         "n_window": pa.array(n)})
+
+    return partitionwise(ds, _win, "user_id", num_parts)
+
+
+def train_val_test_split(sf_dir: str):
+    """Deterministic hash split assignment: (doc_id, split) with split ∈
+    {train, val, test} at ≈80/10/10 by the first byte of md5(doc_id) —
+    train < 0xcc (204/256), val < 0xe6 (230/256), else test.
+
+    Hash-of-id (not RNG) so the assignment is stable across runs, engines,
+    partitionings and corpus growth — adding documents never reassigns an
+    existing one, the property a 100-TB incremental pipeline needs.  Pure
+    per-batch map, zero shuffles.
+    """
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def _assign(b: pa.Table) -> pa.Table:
+        ids = np_col(b, "doc_id")
+        byte0 = np.fromiter(
+            (hashlib.md5(str(i).encode()).digest()[0] for i in ids),
+            np.int64, len(ids))
+        split = np.where(byte0 < 204, "train",
+                         np.where(byte0 < 230, "val", "test"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def strip_boilerplate_lines(sf_dir: str, min_docs: int = 3,
+                            num_parts: int = DEFAULT_PARTS):
+    """CCNet-style per-source boilerplate removal: a line occurring in ≥
+    ``min_docs`` DISTINCT documents of the SAME source (nav bars, cookie
+    banners, footers) is stripped from every document of that source;
+    documents left with zero lines drop out.  Output (doc_id, text).
+
+    Two keyed shuffles, both streaming: explode to (doc_id, source,
+    line_no, line) keyed on fxhash64(source, line) — distinct-doc df per
+    (source, line) is computed with all of a line's rows co-located
+    (grouping inside the partition is by the full (source, line) strings,
+    so hash collisions cannot merge distinct lines) — then reassemble the
+    surviving lines per doc_id.  Line content crosses the wire once per
+    stage and the df table is never driver-side state.
+    """
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        ids = np_col(b, "doc_id")
+        srcs = ["" if s is None else s for s in b["source"].to_pylist()]
+        texts = b["text"].to_pylist()
+        lines_per = [("" if t is None else t).split("\n") for t in texts]
+        n_lines = np.fromiter((len(ls) for ls in lines_per), np.int64,
+                              len(texts))
+        flat = [ln for ls in lines_per for ln in ls]
+        did = np.repeat(ids, n_lines)
+        src_rep = np.repeat(np.asarray(srcs, object), n_lines)
+        starts = np.cumsum(n_lines) - n_lines
+        line_no = (np.arange(len(flat), dtype=np.int64)
+                   - np.repeat(starts, n_lines))
+        key = fxhash64_bytes_list(
+            [f"{s}\x00{ln}".encode("utf-8")
+             for s, ln in zip(src_rep, flat)])
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "source": pa.array(src_rep.tolist(), pa.string()),
+                         "line_no": pa.array(line_no, pa.int64()),
+                         "line": pa.array(flat, pa.string()),
+                         "__key": pa.array(key, pa.uint64())})
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _df_filter(g: pa.Table) -> pa.Table:
+        # distinct-doc count per (source, line); a doc repeating the same
+        # line twice counts once
+        dis = pa.TableGroupBy(
+            g.select(["source", "line", "doc_id"]),
+            ["source", "line", "doc_id"]).aggregate([]).group_by(
+            ["source", "line"]).aggregate([("doc_id", "count")])
+        dis = dis.rename_columns(["source", "line", "df"])
+        j = g.join(dis, ["source", "line"])
+        keep = j.filter(pc.less(j["df"], min_docs))
+        return keep.select(["doc_id", "line_no", "line"])
+
+    survivors = partitionwise(exploded, _df_filter, "__key", num_parts)
+
+    def _reassemble(g: pa.Table) -> pa.Table:
+        ids = np_col(g, "doc_id")
+        no = np_col(g, "line_no")
+        line = g["line"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((no, ids))
+        ids_s, line_s = ids[order], line[order]
+        newdoc = np.ones(len(ids_s), bool)
+        newdoc[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.flatnonzero(newdoc)
+        bounds = np.append(starts, len(ids_s))
+        texts = ["\n".join(line_s[s:e])
+                 for s, e in zip(bounds[:-1], bounds[1:])]
+        return pa.table({"doc_id": pa.array(ids_s[starts], pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return partitionwise(survivors, _reassemble, "doc_id", num_parts)
+
+
+def source_token_kl(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Per-source token-distribution divergence from the corpus:
+    (source, n_tokens, kl round 6) with KL(P_source ‖ P_corpus) over
+    lowercased whitespace unigrams — the mixing diagnostic that flags a
+    source whose language model would be over/under-served by uniform
+    sampling (0 = indistinguishable from the corpus mix).
+
+    One token-keyed shuffle: with every (source, token) row co-located per
+    token, the partition computes corpus counts C_t locally and emits one
+    partial (source, Σ c·ln(c/C_t), Σ c) row pair per source; the identity
+    KL_s = (1/N_s)·Σ_t c_st·ln(c_st/C_t) − ln(N_s) + ln(N) turns the
+    global totals into a tiny final source-level fold (drivers see bytes,
+    never tokens).
+    """
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def _counts(b: pa.Table) -> pa.Table:
+        srcs = pc.fill_null(b["source"], "")
+        toks = _tokens_list(b, lower=True)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        src_rep = np.repeat(srcs.to_numpy(zero_copy_only=False), lens)
+        tbl = pa.table({"source": pa.array(src_rep.tolist(), pa.string()),
+                        "token": flat})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        cnt = pa.TableGroupBy(tbl, ["source", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["source", "token", "c"])
+        key = fxhash64_bytes_list(
+            [t.encode("utf-8") for t in cnt["token"].to_pylist()])
+        return cnt.append_column("__key", pa.array(key, pa.uint64()))
+
+    combined = ds.map_batches(_counts, batch_format="pyarrow")
+
+    def _partial(g: pa.Table) -> pa.Table:
+        # fold duplicate (source, token) rows from different map batches
+        cnt = pa.TableGroupBy(g, ["source", "token"]).aggregate(
+            [("c", "sum")]).rename_columns(["source", "token", "c"])
+        ct = pa.TableGroupBy(cnt, "token").aggregate(
+            [("c", "sum")]).rename_columns(["token", "ct"])
+        j = cnt.join(ct, "token")
+        c = np_col(j, "c").astype(np.float64)
+        ct_v = np_col(j, "ct").astype(np.float64)
+        term = c * np.log(c / ct_v)
+        t2 = pa.table({"source": j["source"],
+                       "a": pa.array(term, pa.float64()),
+                       "n": pa.array(c, pa.float64())})
+        return pa.TableGroupBy(t2, "source").aggregate(
+            [("a", "sum"), ("n", "sum")]).rename_columns(
+            ["source", "a", "n"])
+
+    partials = partitionwise(combined, _partial, "__key", num_parts)
+    rows = partials.take_all()  # ≤ num_parts × n_sources rows — bounded
+    agg: dict[str, list[float]] = {}
+    for r in rows:
+        a, n = agg.setdefault(r["source"], [0.0, 0.0])
+        agg[r["source"]] = [a + r["a"], n + r["n"]]
+    big_n = sum(v[1] for v in agg.values())
+    out = sorted(agg.items())
+    return pa.table({
+        "source": pa.array([s for s, _ in out], pa.string()),
+        "n_tokens": pa.array([int(v[1]) for _, v in out], pa.int64()),
+        "kl": pa.array([round(v[0] / v[1] - np.log(v[1]) + np.log(big_n), 6)
+                        if v[1] else 0.0 for _, v in out], pa.float64())})

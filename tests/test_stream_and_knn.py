@@ -763,3 +763,38 @@ def test_ngram_prefix_float_ceiling_boundary(ray_session, tmp_path):
     e = {tuple(r) for r in exact[["id_a", "id_b"]].itertuples(index=False)}
     assert e == {(0, 1)}      # jac = 55/100 = 0.55 passes the gate
     assert p == e
+
+
+def test_kmeans_embeddings_matches_numpy_reference(ray_session, tmp_path):
+    """Distributed Lloyd's == a single-process numpy reference at the same
+    deterministic init (k lowest vec_ids) and iteration count — labels
+    match exactly, every cluster conventions included (empty cluster keeps
+    its centroid, distance ties -> lowest index)."""
+    from rensa_ray.pipelines.knn import kmeans_embeddings
+
+    rng = np.random.default_rng(7)
+    n, dim, k, iters = 400, 16, 8, 5
+    centers = rng.normal(0, 5, (k, dim))
+    pts = (centers[rng.integers(0, k, n)]
+           + rng.normal(0, 0.5, (n, dim))).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(pts.tolist(), pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = (kmeans_embeddings(str(tmp_path), k=k, iters=iters).to_pandas()
+           .sort_values("vec_id")["cluster"].to_numpy())
+
+    m = pts.astype(np.float64)
+    cent = m[:k].copy()
+    for _ in range(iters):
+        d = m @ cent.T * -2.0 + (cent * cent).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = m[a == c].mean(axis=0)
+    d = m @ cent.T * -2.0 + (cent * cent).sum(axis=1)[None, :]
+    want = np.argmin(d, axis=1)
+    assert (got == want).all()
+    # first-k-points init can merge a blob pair; most clusters stay in use
+    assert len(np.unique(got)) >= k - 2

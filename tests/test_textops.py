@@ -1274,3 +1274,133 @@ def test_log_bucket_sketch_signed():
             f"{d}/events.parquet")
         row = events_value_quantiles_approx(d).to_pandas().iloc[0]
         assert abs(row["p50"] - 2.0) <= 0.021
+
+
+def test_events_sliding_window_vs_sql(ray_session, tmp_path):
+    """Window counts on a planted events table with same-timestamp peers,
+    window-boundary gaps, and multiple users — exact match with DuckDB's
+    RANGE frame (the oracle), including peer-inclusive tie semantics."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import events_sliding_window
+
+    m = 60 * 1_000_000
+    base = 1_700_000_000_000_000
+    rows = [  # (event_id, user_id, minutes-offset)
+        (0, 1, 0), (1, 1, 30), (2, 1, 30), (3, 1, 90), (4, 1, 91),
+        (5, 2, 0), (6, 2, 61), (7, 3, 5),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([base + r[2] * m for r in rows],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = (events_sliding_window(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = (con.execute(entry.oracle_sql()["events_sliding_window"])
+            .fetch_arrow_table().to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    assert got.equals(want)
+    # hand-checked: 30-min peers count each other; minute-90 still sees the
+    # minute-30 peers (trailing edge INCLUSIVE at exactly 60 min) while
+    # minute-91 no longer does
+    assert got["n_window"].tolist() == [1, 3, 3, 3, 2, 1, 1, 1]
+
+
+def test_train_val_test_split_stable_and_oracle(ray_session, tmp_path):
+    """Split assignment matches the md5-byte oracle, is stable under corpus
+    growth (adding docs never reassigns), and lands near 80/10/10."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from rensa_ray.pipelines.textops import train_val_test_split
+
+    def _write(n):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string())}),
+            str(tmp_path / "documents.parquet"))
+
+    _write(400)
+    small = (train_val_test_split(str(tmp_path)).to_pandas()
+             .set_index("doc_id")["split"])
+    _write(2000)
+    big = (train_val_test_split(str(tmp_path)).to_pandas()
+           .set_index("doc_id")["split"])
+    assert (big.loc[small.index] == small).all()   # growth never reassigns
+    frac = big.value_counts(normalize=True)
+    assert abs(frac["train"] - 204 / 256) < 0.04
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = (con.execute(entry.oracle_sql()["train_val_test_split"])
+            .fetch_arrow_table().to_pandas()
+            .set_index("doc_id")["split"])
+    assert (big.sort_index() == want.sort_index()).all()
+
+
+def test_strip_boilerplate_lines_planted(ray_session, tmp_path):
+    """Per-source stripping: a cookie-banner line shared by 3 docs of srcA
+    goes; the same line in srcB (only 2 docs) stays; a doc reduced to zero
+    lines disappears; repeating the line twice inside ONE doc does not
+    count as two docs."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import strip_boilerplate_lines
+
+    banner = "accept all cookies"
+    docs = [
+        (0, "A", f"{banner}\nalpha body"),
+        (1, "A", f"{banner}\n{banner}\nbeta body"),   # twice in one doc
+        (2, "A", banner),                             # vanishes entirely
+        (3, "B", f"{banner}\ngamma body"),
+        (4, "B", f"{banner}\ndelta body"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs], pa.string()),
+        "text": pa.array([d[2] for d in docs], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = (strip_boilerplate_lines(str(tmp_path), min_docs=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 3, 4]
+    assert got["text"].tolist() == [
+        "alpha body", "beta body",
+        f"{banner}\ngamma body", f"{banner}\ndelta body"]
+
+
+def test_source_token_kl_planted(ray_session, tmp_path):
+    """KL is 0 for a source that mirrors the corpus mix and positive for a
+    skewed one; values match a direct numpy computation."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import source_token_kl
+
+    docs = [
+        (0, "even", "a b"), (1, "even", "a b"),
+        (2, "skew", "a a a b"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "source": pa.array([d[1] for d in docs], pa.string()),
+        "text": pa.array([d[2] for d in docs], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = (source_token_kl(str(tmp_path)).to_pandas()
+           .set_index("source"))
+    # corpus: a=5, b=3, N=8.  even: a=2,b=2,n=4; skew: a=3,b=1,n=4
+    def kl(cs, n_s, corpus, n):
+        return sum(c / n_s * np.log((c / n_s) / (corpus[t] / n))
+                   for t, c in cs.items())
+    corpus = {"a": 5, "b": 3}
+    assert got.loc["even", "n_tokens"] == 4
+    assert abs(got.loc["even", "kl"]
+               - round(kl({"a": 2, "b": 2}, 4, corpus, 8), 6)) < 1e-9
+    assert abs(got.loc["skew", "kl"]
+               - round(kl({"a": 3, "b": 1}, 4, corpus, 8), 6)) < 1e-9
+    assert got.loc["skew", "kl"] > got.loc["even", "kl"] > 0
