@@ -131,6 +131,8 @@ def run_suite() -> dict:
         "substring_dup_spans", "substring_dup_spans_sa",
         # round-4 corpus-quality lanes (heaviest of the new family)
         "doc_dup_ngram_fraction", "pmi_bigrams",
+        # round-4 session-2 corpus-prep lanes (the two with real shuffles)
+        "strip_boilerplate_lines", "source_token_kl",
     ]
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

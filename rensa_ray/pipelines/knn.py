@@ -635,13 +635,15 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     centroid (the deterministic convention shared with the numpy reference
     in tests).  Ties in distance go to the lowest cluster index (argmin).
     """
-    ids0, init = _load_matrix_local(sf_dir, max_vec_id=None)
+    # seed read: the same row-group-pruned driver read cosine_topk's query
+    # side uses — vec_ids are 0-based in this corpus, so vec_id < k IS the
+    # k lowest; a sparse-id table falls back to one full driver read
+    ids0, init = _load_matrix_local(sf_dir, max_vec_id=k)
+    if len(ids0) < k:
+        ids0, init = _load_matrix_local(sf_dir, max_vec_id=None)
     if len(ids0) == 0:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "cluster": pa.array([], pa.int64())})
-    # _load_matrix_local reads the whole table here only to pick the k
-    # seed rows; keep just those (at 100 TB the seeds would come from a
-    # vec_id < k predicate-pruned read like cosine_topk's query side)
     order = np.argsort(ids0, kind="stable")[:k]
     cent = init[order].copy()
     k_eff = len(cent)
@@ -657,6 +659,12 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
 
         def _partial(b: pa.Table, c=c_now) -> pa.Table:
             m = _emb_matrix(b)
+            if m.size == 0:  # empty parquet fragment / zero-row block
+                return pa.table({
+                    "sums": pa.array([np.zeros(k_eff * c.shape[1])],
+                                     pa.list_(pa.float64())),
+                    "counts": pa.array([np.zeros(k_eff, np.int64)],
+                                       pa.list_(pa.int64()))})
             a = _assign_ids(m, c)
             sums = np.zeros((k_eff, m.shape[1]), np.float64)
             np.add.at(sums, a, m)
@@ -681,6 +689,9 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
 
     def _final(b: pa.Table) -> pa.Table:
         m = _emb_matrix(b)
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
         a = _assign_ids(m, c_fin)
         return pa.table({"vec_id": b["vec_id"],
                          "cluster": pa.array(a.astype(np.int64))})

@@ -1806,14 +1806,14 @@ def train_val_test_split(sf_dir: str):
     existing one, the property a 100-TB incremental pipeline needs.  Pure
     per-batch map, zero shuffles.
     """
-    import hashlib
-
     ds = _docs(sf_dir, ["doc_id"])
 
     def _assign(b: pa.Table) -> pa.Table:
         ids = np_col(b, "doc_id")
+        # the shared md5 convention (== DuckDB md5()) — one definition to
+        # audit, like _content_key
         byte0 = np.fromiter(
-            (hashlib.md5(str(i).encode()).digest()[0] for i in ids),
+            (int(h[:2], 16) for h in md5_hex([str(i) for i in ids])),
             np.int64, len(ids))
         split = np.where(byte0 < 204, "train",
                          np.where(byte0 < 230, "val", "test"))
