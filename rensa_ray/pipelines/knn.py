@@ -697,3 +697,135 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
                          "cluster": pa.array(a.astype(np.int64))})
 
     return ds.map_batches(_final, batch_format="pyarrow")
+
+
+def embedding_centroid_distance(sf_dir: str):
+    """Per-vector cosine similarity to its OWN label centroid:
+    (vec_id, label, cos_to_centroid round 6) — the standard within-class
+    outlier / mislabel signal over an embedding column (low similarity to
+    your own class centroid = probable labeling error or outlier, the
+    cheap confidence filter before training).
+
+    Two streaming passes, zero shuffles: pass 1 folds per-block
+    (label, vec_sum, count) partials into the k x dim centroid matrix on
+    the driver (k = label cardinality, tiny); pass 2 broadcasts the
+    centroids in the map closure and scores every vector vectorized.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/{EMB_FILE}",
+                         columns=["vec_id", "label", "embedding"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lab = np_col(batch, "label").astype(np.int64)
+        m = _emb_matrix(batch)
+        if m.size == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "vec_sum": pa.array([], pa.list_(pa.float64()))})
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        dim = m.shape[1]
+        return pa.table({
+            "label": pa.array(uniq),
+            "n": pa.array(cnt),
+            "vec_sum": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
+                pa.array(sums.reshape(-1), pa.float64()))})
+
+    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list] = {}
+    for r in rows:
+        s = np.asarray(r["vec_sum"], np.float64)
+        a = acc.setdefault(int(r["label"]), [np.zeros_like(s), 0])
+        a[0] += s
+        a[1] += int(r["n"])
+    labels = sorted(acc)
+    cent = {l: acc[l][0] / acc[l][1] for l in labels}
+    # centroid means divide in a fixed (sum/count) order -> deterministic
+
+    def _score(batch: pa.Table) -> pa.Table:
+        lab = np_col(batch, "label").astype(np.int64)
+        m = _emb_matrix(batch)
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "cos_to_centroid": pa.array([], pa.float64())})
+        c = np.stack([cent[int(l)] for l in sorted(cent)])
+        idx = np.searchsorted(np.array(sorted(cent)), lab)
+        cm = c[idx]
+        num = (m * cm).sum(axis=1)
+        den = np.linalg.norm(m, axis=1) * np.linalg.norm(cm, axis=1)
+        cos = np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0)
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "label": pa.array(lab, pa.int64()),
+            "cos_to_centroid": pa.array(np.round(cos, 6), pa.float64())})
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def embedding_pca_project(sf_dir: str, num_components: int = 8):
+    """Distributed PCA over the embedding column: (vec_id, proj
+    list<double>) — the projection of every vector onto the top
+    ``num_components`` principal axes of the corpus.  The standard
+    dimensionality-reduction step before clustering / ANN-index build on
+    a 10^12-vector corpus.
+
+    Plan (Lloyd-style moment fold, zero shuffles): pass 1 streams the
+    corpus once, each block emitting ONE (n, sum_vec, sum_outer) moment
+    partial; the driver folds blocks x (d + d^2) floats, forms the
+    covariance, and eigendecomposes it (d x d, local); pass 2 broadcasts
+    the component matrix in the map closure and projects every block
+    vectorized.  Component sign is fixed deterministically (largest-|x|
+    coordinate made positive) so output is engine- and partitioning-stable.
+    """
+    ds = _read_embeddings(sf_dir)
+
+    def _moments(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        if m.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+            "ss": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64()))})
+
+    rows = ds.map_batches(_moments, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    if n == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "proj": pa.array([], pa.list_(pa.float64()))})
+    s = np.sum([np.asarray(r["s"], np.float64) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"], np.float64) for r in rows], axis=0)
+    d = len(s)
+    mu = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:min(num_components, d)]
+    comps = evecs[:, order].T  # (q, d)
+    # deterministic sign: the largest-|coordinate| entry of each axis > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    q = comps.shape[0]
+
+    def _project(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.list_(pa.float64()))})
+        p = (m - mu) @ comps.T
+        return pa.table({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "proj": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (m.shape[0] + 1) * q, q), pa.int32()),
+                pa.array(p.ravel(), pa.float64()))})
+
+    return ds.map_batches(_project, batch_format="pyarrow")

@@ -1959,3 +1959,138 @@ def source_token_kl(sf_dir: str, num_parts: int = DEFAULT_PARTS):
         "n_tokens": pa.array([int(v[1]) for _, v in out], pa.int64()),
         "kl": pa.array([round(v[0] / v[1] - np.log(v[1]) + np.log(big_n), 6)
                         if v[1] else 0.0 for _, v in out], pa.float64())})
+
+
+def doc_unigram_logprob(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Per-doc mean token log-probability under the corpus unigram LM:
+    (doc_id, n_tokens, mean_logprob round 6) with
+    mean_logprob = (1/n) * sum_i ln(c(tok_i) / T), c = corpus count of the
+    token, T = total corpus tokens.  The classic perplexity-proxy quality
+    filter (CCNet-style LM scoring with the corpus itself as the LM): docs
+    of common fluent vocabulary score high, gibberish / rare-token spam
+    scores low.  No smoothing is needed — every scored token is in the LM's
+    own training corpus by construction.
+
+    Plan (same one-keyed-shuffle shape as ``doc_tfidf``): the explode stage
+    emits per-batch (doc_id, token, tf) partials; a token-hash partition
+    co-locates every row of a token so the corpus count c and each doc's
+    partial sum tf*ln(c) are computed in-partition; a tiny doc-keyed pass
+    folds partials and subtracts ln(T).  T itself is one streaming counting
+    pass (scalar result) — nothing materializes.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    total = int(total_token_count(sf_dir)["total_tokens"][0].as_py())
+
+    def _tf(b: pa.Table) -> pa.Table:
+        toks = _tokens_list(b, lower=True)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(np_col(b, "doc_id"), lens)
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "token": flat})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        tf = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["doc_id", "token", "tf"])
+        key = fxhash64_bytes_list(
+            [t.encode("utf-8") for t in tf["token"].to_pylist()])
+        return tf.append_column("__key", pa.array(key, pa.uint64()))
+
+    exploded = ds.map_batches(_tf, batch_format="pyarrow")
+
+    def _partial(g: pa.Table) -> pa.Table:
+        # re-sum split (doc, token) partials, then the corpus count per
+        # token is complete inside this partition by construction
+        tf = pa.TableGroupBy(g, ["doc_id", "token"]).aggregate(
+            [("tf", "sum")]).rename_columns(["doc_id", "token", "tf"])
+        c_t = pa.TableGroupBy(tf, "token").aggregate(
+            [("tf", "sum")]).rename_columns(["token", "c"])
+        j = tf.join(c_t, "token")
+        tfv = np_col(j, "tf").astype(np.float64)
+        s = tfv * np.log(np_col(j, "c").astype(np.float64))
+        t2 = pa.table({"doc_id": j["doc_id"],
+                       "s": pa.array(s, pa.float64()),
+                       "nt": pa.array(tfv, pa.float64())})
+        return pa.TableGroupBy(t2, "doc_id").aggregate(
+            [("s", "sum"), ("nt", "sum")]).rename_columns(
+            ["doc_id", "s", "nt"])
+
+    partial = partitionwise(exploded, _partial, "__key", num_parts)
+    ln_t = float(np.log(float(total))) if total else 0.0
+
+    def _per_doc(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "doc_id").aggregate(
+            [("s", "sum"), ("nt", "sum")]).rename_columns(
+            ["doc_id", "s", "nt"])
+        s = np_col(agg, "s").astype(np.float64)
+        n = np_col(agg, "nt").astype(np.float64)
+        return pa.table({
+            "doc_id": agg["doc_id"],
+            "n_tokens": agg["nt"].cast(pa.int64()),
+            "mean_logprob": pa.array(np.round(s / n - ln_t, 6), pa.float64())})
+
+    return partitionwise(partial, _per_doc, "doc_id", num_parts)
+
+
+def dup_cluster_size_histogram(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Exact-duplicate cluster-size distribution: (group_size, n_groups,
+    n_docs) over ALL content groups including singletons — the one-page
+    corpus-duplication profile (how much of the corpus sits in 2-copy vs
+    1000-copy clusters) that decides which dedup tier pays for itself.
+
+    One content-key shuffle computes global group sizes (all rows of a text
+    co-located), each partition folds to a tiny per-size histogram partial,
+    and a builtin groupby sums the ≤ parts x sizes partial rows.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _with_md5, batch_format="pyarrow")
+
+    def _sizes(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "text_md5").aggregate(
+            [("doc_id", "count")]).rename_columns(["text_md5", "n"])
+        h = pa.TableGroupBy(agg, "n").aggregate(
+            [("text_md5", "count")]).rename_columns(["group_size", "n_groups"])
+        sz = np_col(h, "group_size").astype(np.int64)
+        ng = np_col(h, "n_groups").astype(np.int64)
+        return pa.table({"group_size": pa.array(sz, pa.int64()),
+                         "n_groups": pa.array(ng, pa.int64()),
+                         "n_docs": pa.array(sz * ng, pa.int64())})
+
+    part = partitionwise(ds, _sizes, "__key", num_parts)
+    return part.groupby("group_size").aggregate(
+        Sum("n_groups", alias_name="n_groups"),
+        Sum("n_docs", alias_name="n_docs"))
+
+
+def weighted_sample_by_quality(sf_dir: str, k: int = 50):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-Res): the k docs with the largest priority u^(1/w), where
+    w = max(n_chars, 1) is the quality weight and u in (0, 1] is derived
+    from md5(text) — not an RNG — so the SAME sample comes back at any
+    cluster size, any partitioning, and any engine.  The standard
+    quality-weighted corpus subsample for training-mix assembly.
+
+    Each block keeps only its local top-k candidates (bounded numpy
+    argpartition), so the final sort+limit sees at most blocks x k rows,
+    never the corpus.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def _pri(b: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in b["text"].to_pylist()]
+        md5s = md5_hex(texts)
+        # first 15 hex chars = 60 bits; +1 keeps u strictly positive
+        v = np.array([int(m[:15], 16) for m in md5s], np.float64)
+        u = (v + 1.0) / float(1 << 60)
+        w = np.maximum(np_col(b, "n_chars").astype(np.float64), 1.0)
+        pri = u ** (1.0 / w)
+        keep = (np.argpartition(-pri, k - 1)[:k] if len(pri) > k
+                else np.arange(len(pri)))
+        return pa.table({
+            "doc_id": pa.array(np_col(b, "doc_id")[keep], pa.int64()),
+            "n_chars": pa.array(np_col(b, "n_chars")[keep], pa.int64()),
+            "__pri": pa.array(pri[keep], pa.float64())})
+
+    top = ds.map_batches(_pri, batch_format="pyarrow").sort(
+        ["__pri", "doc_id"], descending=[True, False]).limit(k)
+    return top.drop_columns(["__pri"])

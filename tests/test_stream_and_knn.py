@@ -803,3 +803,76 @@ def test_kmeans_embeddings_matches_numpy_reference(ray_session, tmp_path):
     assert (got == want).mean() >= 0.99
     # first-k-points init can merge a blob pair; most clusters stay in use
     assert len(np.unique(got)) >= k - 2
+
+
+def test_embedding_centroid_distance_matches_numpy(ray_session, tmp_path):
+    """cos_to_centroid == numpy cosine against the label-mean centroid;
+    a planted outlier scores far below its well-clustered peers."""
+    from rensa_ray.pipelines.knn import embedding_centroid_distance
+
+    rng = np.random.default_rng(3)
+    n, dim = 200, 12
+    labels = rng.integers(0, 4, n)
+    centers = rng.normal(0, 5, (4, dim))
+    pts = centers[labels] + rng.normal(0, 0.3, (n, dim))
+    pts[0] = -centers[labels[0]] * 3          # planted outlier
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(pts.astype(np.float32).tolist(),
+                              pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = (embedding_centroid_distance(str(tmp_path)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    m = pts.astype(np.float32).astype(np.float64)
+    want = np.empty(n)
+    for lab in np.unique(labels):
+        cen = m[labels == lab].mean(axis=0)
+        sel = labels == lab
+        num = m[sel] @ cen
+        den = np.linalg.norm(m[sel], axis=1) * np.linalg.norm(cen)
+        want[sel] = num / den
+    assert got["label"].tolist() == labels.astype(int).tolist()
+    # block-partial centroid fold vs np.mean differ only in summation order
+    assert np.allclose(got["cos_to_centroid"], np.round(want, 6), atol=2e-6)
+    assert got.loc[0, "cos_to_centroid"] < 0
+    assert (got["cos_to_centroid"][1:] > 0.9).mean() > 0.95
+
+
+def test_embedding_pca_project_matches_numpy(ray_session, tmp_path):
+    """Distributed moment-fold PCA == single-process numpy PCA under the
+    same sign rule; projections reconstruct the centered data to the
+    rank-q best approximation."""
+    from rensa_ray.pipelines.knn import embedding_pca_project
+
+    rng = np.random.default_rng(5)
+    n, dim, q = 300, 10, 4
+    # low-rank structure + noise so the top-q spectrum is unambiguous
+    base = rng.normal(0, 3, (n, q)) @ rng.normal(0, 1, (q, dim))
+    pts = (base + rng.normal(0, 0.05, (n, dim))).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(pts.tolist(), pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = (embedding_pca_project(str(tmp_path), num_components=q)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    proj = np.stack(got["proj"].to_numpy())
+
+    m = pts.astype(np.float64)
+    mu = m.mean(axis=0)
+    cov = (m - mu).T @ (m - mu) / n
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, np.argsort(evals)[::-1][:q]].T
+    for i in range(q):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    want = (m - mu) @ comps.T
+    assert proj.shape == (n, q)
+    assert np.allclose(proj, want, atol=1e-6)
+    # variance is captured in descending component order
+    v = proj.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-9 for i in range(q - 1))

@@ -1404,3 +1404,82 @@ def test_source_token_kl_planted(ray_session, tmp_path):
     assert abs(got.loc["skew", "kl"]
                - round(kl({"a": 3, "b": 1}, 4, corpus, 8), 6)) < 1e-9
     assert got.loc["skew", "kl"] > got.loc["even", "kl"] > 0
+
+
+def test_doc_unigram_logprob_planted(ray_session, tmp_path):
+    """mean_logprob == (1/n) * sum ln(c(tok)/T) computed directly; common
+    vocabulary scores strictly higher than rare-token spam."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import doc_unigram_logprob
+
+    docs = [(0, "a a b"), (1, "a b"), (2, "zzz qqq")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = (doc_unigram_logprob(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # corpus counts: a=3, b=2, zzz=1, qqq=1, T=7
+    c, T = {"a": 3, "b": 2, "zzz": 1, "qqq": 1}, 7
+
+    def mean_lp(toks):
+        return round(float(np.mean([np.log(c[t] / T) for t in toks])), 6)
+
+    assert got["n_tokens"].tolist() == [3, 2, 2]
+    assert abs(got.loc[0, "mean_logprob"] - mean_lp(["a", "a", "b"])) < 1e-9
+    assert abs(got.loc[1, "mean_logprob"] - mean_lp(["a", "b"])) < 1e-9
+    assert abs(got.loc[2, "mean_logprob"] - mean_lp(["zzz", "qqq"])) < 1e-9
+    assert got.loc[1, "mean_logprob"] > got.loc[2, "mean_logprob"]
+
+
+def test_dup_cluster_size_histogram_planted(ray_session, tmp_path):
+    """Planted group sizes {3, 2, 1, 1} -> histogram rows (1,2,2), (2,1,2),
+    (3,1,3); n_docs sums back to the corpus size."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import dup_cluster_size_histogram
+
+    texts = ["x"] * 3 + ["y"] * 2 + ["u", "v"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = (dup_cluster_size_histogram(str(tmp_path)).to_pandas()
+           .sort_values("group_size").reset_index(drop=True))
+    assert got.values.tolist() == [[1, 2, 2], [2, 1, 2], [3, 1, 3]]
+    assert int(got["n_docs"].sum()) == len(texts)
+
+
+def test_weighted_sample_by_quality_matches_numpy(ray_session, tmp_path):
+    """The A-Res selection equals a single-process numpy evaluation of the
+    same md5-derived priorities — deterministic, partitioning-free — and
+    longer docs win more often than short ones."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import weighted_sample_by_quality
+
+    rng = np.random.default_rng(11)
+    n, k = 300, 40
+    lens = np.where(np.arange(n) % 2 == 0, 2000, 5)
+    texts = ["".join(rng.choice(list("abcdef "), m)) for m in lens]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = (weighted_sample_by_quality(str(tmp_path), k=k).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    u = np.array([(int(hashlib.md5(t.encode()).hexdigest()[:15], 16) + 1)
+                  / float(1 << 60) for t in texts])
+    pri = u ** (1.0 / np.maximum([len(t) for t in texts], 1))
+    want = np.argsort(-pri, kind="stable")[:k]
+    assert sorted(got["doc_id"].tolist()) == sorted(want.tolist())
+    assert got["n_chars"].tolist() == [int(len(texts[i]))
+                                       for i in sorted(want.tolist())]
+    # weight actually matters: long docs should dominate the sample
+    assert (got["n_chars"] > 100).mean() > 0.8
