@@ -417,6 +417,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_topk_ivf": lambda sf: _fin(
             knn.cosine_topk_ivf(sf, k=5, num_queries=10),
             pa.schema([("query_id", I64), ("neighbor_id", I64), ("rank", I64)])),
+        "knn_graph": lambda sf: _fin(
+            knn.knn_graph(sf, k=5),
+            pa.schema([("vec_id", I64), ("neighbor_id", I64), ("rank", I64)])),
+        "knn_graph_ivf": lambda sf: _fin(
+            knn.knn_graph_ivf(sf, k=5),
+            pa.schema([("vec_id", I64), ("neighbor_id", I64), ("rank", I64)])),
         "embedding_label_centroids": lambda sf: _fin(
             knn.embedding_label_centroids(sf),
             pa.schema([("label", I64), ("n_vecs", I64), ("centroid_norm", F64)])),
@@ -639,14 +645,17 @@ _ROWS_ONLY_PRIORITY = (
 # (event_type groupby aggregate), distinct_token_count ⊂ top_tokens (token
 # shuffle + fold), length_histogram ⊂ doc_stats_by_lang / length_percentiles
 # (n_chars aggregates), filter_english_long ⊂ filter_length_band (streaming
-# filter).  weighted_sample_by_quality demotes ITSELF: its selection rests
+# filter), cosine_pairs ⊂ knn_graph (0 rows at sf0.01 vs the SAME
+# normalize+matmul machinery driver-verified through knn_graph's 2500-row
+# full ranked self-join).  weighted_sample_by_quality demotes ITSELF: its selection rests
 # on libm pow bit-agreement between numpy and DuckDB — true on this host
 # and pinned by pytest + the judge's checker, but too fragile a property to
 # spend a driver window row on.
 _ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups", "top_longest",
                    "lang_counts", "total_token_count", "events_by_type",
                    "distinct_token_count", "length_histogram",
-                   "filter_english_long", "weighted_sample_by_quality")
+                   "filter_english_long", "weighted_sample_by_quality",
+                   "cosine_pairs")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -943,6 +952,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
+        "knn_graph": """
+            WITH s AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) AS cos
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id <> b.vec_id),
+            r AS (
+              SELECT vec_id, neighbor_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, neighbor_id) AS rank
+              FROM s)
+            SELECT vec_id, neighbor_id, rank::BIGINT AS rank
+            FROM r WHERE rank <= 5""",
         "embedding_dedup_kept": """
             WITH RECURSIVE pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b

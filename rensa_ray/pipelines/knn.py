@@ -621,6 +621,36 @@ def embedding_dedup_kept(sf_dir: str, threshold: float = 0.9,
     return partitionwise(all_ids.union(lab), _keep_min, "vec_id", num_parts)
 
 
+def _prefold_sum(parts, scalar_int_cols=(), float_list_cols=(),
+                 int_list_cols=(), num_parts: int = 8):
+    """Distributed pre-fold for per-block partial-moment rows.
+
+    ``parts`` rows each carry a ``__salt`` uint64 column plus fixed-length
+    list / scalar payloads; one salted partitionwise pass sums them
+    element-wise so the driver's ``take_all`` sees ≤ ``num_parts`` rows
+    instead of one per input block.  The difference is what makes the
+    moment-fold lanes scale: ~4·10⁵ blocks × a (d + d²) float64 moment row
+    at d=1024 is ~3 TB of driver traffic flat, ≤ num_parts × 8 MB folded.
+    Summation stays float64 either way; only the association order moves.
+    """
+    def _fold(g: pa.Table) -> pa.Table:
+        cols: dict = {}
+        for c in scalar_int_cols:
+            cols[c] = pa.array([int(np_col(g, c).sum())], pa.int64())
+        for c, pa_t, np_t in ([(c, pa.float64(), np.float64)
+                               for c in float_list_cols]
+                              + [(c, pa.int64(), np.int64)
+                                 for c in int_list_cols]):
+            vs = g[c].combine_chunks()
+            m = (vs.flatten().to_numpy(zero_copy_only=False)
+                 .reshape(len(vs), -1).astype(np_t))
+            cols[c] = pa.array([m.sum(axis=0)], pa.list_(pa_t))
+        cols["__salt"] = pa.array([0], pa.uint64())
+        return pa.table(cols)
+
+    return partitionwise(parts, _fold, "__salt", num_parts)
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed Lloyd's k-means over the embedding column:
     (vec_id, cluster) after ``iters`` full iterations, L2 distance,
@@ -629,9 +659,10 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
 
     Scale shape: centroids are a tiny (k, dim) float64 matrix captured in
     the map closure (one object-store put per iteration); each block emits
-    ONE partial row of per-cluster sums + counts, so the driver folds
-    blocks × k × dim floats — never points.  No shuffle at any step; the
-    corpus streams ``iters + 1`` times.  Empty clusters keep their previous
+    ONE partial row of per-cluster sums + counts, and a salted
+    ``_prefold_sum`` pass compacts those to ≤ 8 rows before the driver
+    fold — the driver never sees blocks × k × dim floats.  One tiny-row
+    shuffle per iteration; the corpus streams ``iters + 1`` times.  Empty clusters keep their previous
     centroid (the deterministic convention shared with the numpy reference
     in tests).  Ties in distance go to the lowest cluster index (argmin).
     """
@@ -664,16 +695,21 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
                     "sums": pa.array([np.zeros(k_eff * c.shape[1])],
                                      pa.list_(pa.float64())),
                     "counts": pa.array([np.zeros(k_eff, np.int64)],
-                                       pa.list_(pa.int64()))})
+                                       pa.list_(pa.int64())),
+                    "__salt": pa.array([0], pa.uint64())})
             a = _assign_ids(m, c)
             sums = np.zeros((k_eff, m.shape[1]), np.float64)
             np.add.at(sums, a, m)
             counts = np.bincount(a, minlength=k_eff).astype(np.int64)
             return pa.table({
                 "sums": pa.array([sums.ravel()], pa.list_(pa.float64())),
-                "counts": pa.array([counts], pa.list_(pa.int64()))})
+                "counts": pa.array([counts], pa.list_(pa.int64())),
+                "__salt": pa.array(
+                    [np_col(b, "vec_id").astype(np.uint64)[0]], pa.uint64())})
 
-        parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+        parts = _prefold_sum(
+            ds.map_batches(_partial, batch_format="pyarrow"),
+            float_list_cols=("sums",), int_list_cols=("counts",)).take_all()
         dim = cent.shape[1]
         tot = np.zeros((k_eff, dim), np.float64)
         n = np.zeros(k_eff, np.int64)
@@ -706,10 +742,12 @@ def embedding_centroid_distance(sf_dir: str):
     your own class centroid = probable labeling error or outlier, the
     cheap confidence filter before training).
 
-    Two streaming passes, zero shuffles: pass 1 folds per-block
-    (label, vec_sum, count) partials into the k x dim centroid matrix on
-    the driver (k = label cardinality, tiny); pass 2 broadcasts the
-    centroids in the map closure and scores every vector vectorized.
+    Two streaming passes: pass 1 folds per-block (label, vec_sum, count)
+    partials — compacted to ONE row per label by a label-keyed
+    partitionwise merge (the ``embedding_label_centroids`` pattern) so the
+    driver never sees blocks × labels rows — into the k x dim centroid
+    matrix (k = label cardinality, tiny); pass 2 broadcasts the centroids
+    in the map closure and scores every vector vectorized.
     """
     import ray.data as rd
 
@@ -736,7 +774,31 @@ def embedding_centroid_distance(sf_dir: str):
                 pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
                 pa.array(sums.reshape(-1), pa.float64()))})
 
-    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    def _merge_label(g: pa.Table) -> pa.Table:
+        lab = np_col(g, "label").astype(np.int64)
+        cnt = np_col(g, "n").astype(np.int64)
+        vs = g["vec_sum"].combine_chunks()
+        if len(vs) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "vec_sum": pa.array([], pa.list_(pa.float64()))})
+        m = (vs.flatten().to_numpy(zero_copy_only=False)
+             .reshape(len(vs), -1))
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, cnt)
+        dim = m.shape[1]
+        return pa.table({
+            "label": pa.array(uniq),
+            "n": pa.array(n),
+            "vec_sum": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
+                pa.array(sums.reshape(-1), pa.float64()))})
+
+    rows = partitionwise(ds.map_batches(_partial, batch_format="pyarrow"),
+                         _merge_label, "label", num_parts=4).take_all()
     acc: dict[int, list] = {}
     for r in rows:
         s = np.asarray(r["vec_sum"], np.float64)
@@ -775,10 +837,11 @@ def embedding_pca_project(sf_dir: str, num_components: int = 8):
     dimensionality-reduction step before clustering / ANN-index build on
     a 10^12-vector corpus.
 
-    Plan (Lloyd-style moment fold, zero shuffles): pass 1 streams the
-    corpus once, each block emitting ONE (n, sum_vec, sum_outer) moment
-    partial; the driver folds blocks x (d + d^2) floats, forms the
-    covariance, and eigendecomposes it (d x d, local); pass 2 broadcasts
+    Plan (Lloyd-style moment fold): pass 1 streams the corpus once, each
+    block emitting ONE (n, sum_vec, sum_outer) moment partial; a salted
+    ``_prefold_sum`` pass compacts those to ≤ 8 rows (one tiny-row
+    shuffle), the driver forms the covariance from them and
+    eigendecomposes it (d x d, local); pass 2 broadcasts
     the component matrix in the map closure and projects every block
     vectorized.  Component sign is fixed deterministically (largest-|x|
     coordinate made positive) so output is engine- and partitioning-stable.
@@ -790,13 +853,21 @@ def embedding_pca_project(sf_dir: str, num_components: int = 8):
         if m.size == 0:
             return pa.table({"n": pa.array([], pa.int64()),
                              "s": pa.array([], pa.list_(pa.float64())),
-                             "ss": pa.array([], pa.list_(pa.float64()))})
+                             "ss": pa.array([], pa.list_(pa.float64())),
+                             "__salt": pa.array([], pa.uint64())})
         return pa.table({
             "n": pa.array([m.shape[0]], pa.int64()),
             "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
-            "ss": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64()))})
+            "ss": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+            "__salt": pa.array(
+                [np_col(b, "vec_id").astype(np.uint64)[0]], pa.uint64())})
 
-    rows = ds.map_batches(_moments, batch_format="pyarrow").take_all()
+    # salted pre-fold: the (d + d²) moment rows compact to ≤ 8 before the
+    # driver sees them (a flat take_all is one row PER BLOCK — multi-TB at
+    # 10¹²-vector scale)
+    rows = _prefold_sum(ds.map_batches(_moments, batch_format="pyarrow"),
+                        scalar_int_cols=("n",),
+                        float_list_cols=("s", "ss")).take_all()
     n = sum(int(r["n"]) for r in rows)
     if n == 0:
         return pa.table({"vec_id": pa.array([], pa.int64()),
@@ -829,3 +900,165 @@ def embedding_pca_project(sf_dir: str, num_components: int = 8):
                 pa.array(p.ravel(), pa.float64()))})
 
     return ds.map_batches(_project, batch_format="pyarrow")
+
+
+def knn_graph(sf_dir: str, k: int = 5):
+    """Exact k-nearest-neighbor GRAPH over the embedding column:
+    (vec_id, neighbor_id, rank) for EVERY vector, rank 1..k ordered by
+    (cosine desc, neighbor_id asc), self excluded — the all-vectors
+    self-join that feeds SemDeDup-style clustering, diversity filtering
+    and graph-based curation.
+
+    Broadcast join like ``cosine_pairs``: the corpus (ids + normalized
+    matrix) is ``ray.put`` once; each block computes one block x corpus
+    matmul and — because the FULL corpus is present in the task — its
+    rows' COMPLETE top-k locally.  No driver reduce, the graph streams
+    out as a Dataset.  Exact lane, bounded by the broadcastable corpus
+    (~10^6 x dim floats in plasma, same documented bound as
+    ``cosine_pairs``); ``knn_graph_ivf`` is the 10^12-vector scale path.
+    """
+    import ray
+
+    ids_all, mat = _load_matrix_local(sf_dir)
+    ref = ray.put((ids_all, _normalize(mat)))
+
+    def _block_topk(batch: pa.Table) -> pa.Table:
+        all_ids, all_n = ray.get(ref)  # zero-copy plasma read per task
+        ids = np_col(batch, "vec_id")
+        m = _normalize(_emb_matrix(batch))
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if m.size == 0 or len(all_ids) <= 1:
+            return empty
+        scores = m @ all_n.T                                  # (B, N)
+        scores[ids[:, None] == all_ids[None, :]] = -np.inf    # self
+        kk = min(k, scores.shape[1] - 1)
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        sc = np.take_along_axis(scores, part, axis=1).reshape(-1)
+        qs, ns, _ss, rank = _topk_fold(np.repeat(ids, kk),
+                                       all_ids[part.reshape(-1)], sc, k)
+        return pa.table({"vec_id": pa.array(qs, pa.int64()),
+                         "neighbor_id": pa.array(ns, pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    return _read_embeddings(sf_dir).map_batches(
+        _block_topk, batch_format="pyarrow", batch_size=2048)
+
+
+def knn_graph_ivf(sf_dir: str, k: int = 5, num_centroids: int = 16,
+                  nprobe: int = 4, seed: int = 42, sample_rows: int = 20000,
+                  num_parts: int = 32):
+    """Approximate kNN graph — the scale path: NO corpus broadcast, NO
+    driver reduce; everything rides two keyed shuffles.
+
+    1. Train C spherical-k-means centroids on a bounded driver-side
+       sample (standard IVF practice), broadcast only the C x dim matrix
+       in the map closure.
+    2. One map assigns each vector its ``nprobe`` nearest cells and
+       explodes it to nprobe (cell, vec_id, emb, is_member) rows —
+       is_member marks the HOME cell (the nearest centroid, always probe
+       0), the only cell where the vector acts as a candidate neighbor.
+       A (query, member) pair therefore meets in exactly ONE partition
+       (the member's home cell) — no cross-table dedup pass needed.
+    3. Cell-keyed partitionwise: per cell, one queries x members matmul,
+       per-query local top-k candidate rows.
+    4. vec_id-keyed partitionwise: fold each query's ≤ nprobe x k
+       candidate rows to the final (vec_id, neighbor_id, rank).
+
+    Per-cell memory is the cell's member matrix — bounded by centroid
+    balance (num_centroids sizes the cells), the same skew argument as
+    the IVF top-k lane.  With ``nprobe == num_centroids`` every cell is
+    probed, the candidate set is the full corpus minus nothing, and the
+    result EQUALS ``knn_graph`` exactly (pinned by pytest).
+    """
+    cents = _train_centroids(_sample_embeddings(sf_dir, sample_rows),
+                             num_centroids, seed)
+    C = len(cents)
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+    if C == 0:
+        return empty
+    npb = min(nprobe, C)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        if m.size == 0:
+            return pa.table({"cell": pa.array([], pa.uint64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "is_member": pa.array([], pa.bool_()),
+                             "emb": pa.array([], pa.list_(pa.float32()))})
+        ids = np_col(batch, "vec_id")
+        n, dim = m.shape
+        mn = _normalize(m)
+        qc = mn @ cents.T                                     # (n, C)
+        probe = np.argsort(-qc, axis=1, kind="stable")[:, :npb]
+        # home cell = nearest centroid = probe column 0
+        member = np.zeros((n, npb), bool)
+        member[:, 0] = True
+        flat = (batch["embedding"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False))
+        tiled = np.repeat(flat.reshape(n, dim), npb, axis=0).reshape(-1)
+        rows = n * npb
+        emb_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (rows + 1) * dim, dim), pa.int32()),
+            pa.array(tiled.astype(np.float32), pa.float32()))
+        return pa.table({
+            "cell": pa.array(probe.reshape(-1).astype(np.uint64)),
+            "vec_id": pa.array(np.repeat(ids, npb), pa.int64()),
+            "is_member": pa.array(member.reshape(-1)),
+            "emb": emb_col})
+
+    exploded = _read_embeddings(sf_dir).map_batches(
+        _explode, batch_format="pyarrow", batch_size=4096)
+
+    def _cell_topk(g: pa.Table) -> pa.Table:
+        out = pa.table({"query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64())})
+        n = g.num_rows
+        if n == 0:
+            return out
+        cell = np_col(g, "cell").astype(np.uint64)
+        ids = np_col(g, "vec_id")
+        is_mem = np_col(g, "is_member") > 0
+        emb = g["emb"].combine_chunks()
+        m = _normalize(emb.flatten().to_numpy(zero_copy_only=False)
+                       .reshape(n, -1).astype(np.float64))
+        order, gid, counts = run_ids(cell)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        qs_l, ns_l, sc_l = [], [], []
+        for s, c in zip(starts, counts):   # per-CELL loop (few cells per
+            sel = order[s:s + c]           # partition; each pass a matmul)
+            mem = sel[is_mem[sel]]
+            if len(mem) == 0:
+                continue
+            scores = m[sel] @ m[mem].T                        # (q, mem)
+            scores[ids[sel][:, None] == ids[mem][None, :]] = -np.inf
+            kk = min(k, scores.shape[1])
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            sc = np.take_along_axis(scores, part, axis=1).reshape(-1)
+            fin = np.isfinite(sc)
+            qs_l.append(np.repeat(ids[sel], kk)[fin])
+            ns_l.append(ids[mem][part.reshape(-1)][fin])
+            sc_l.append(sc[fin])
+        if not qs_l:
+            return out
+        return pa.table({"query_id": pa.array(np.concatenate(qs_l), pa.int64()),
+                         "neighbor_id": pa.array(np.concatenate(ns_l), pa.int64()),
+                         "score": pa.array(np.concatenate(sc_l), pa.float64())})
+
+    cand = partitionwise(exploded, _cell_topk, "cell", num_parts)
+
+    def _final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        qs, ns, _ss, rank = _topk_fold(np_col(g, "query_id"),
+                                       np_col(g, "neighbor_id"),
+                                       np_col(g, "score"), k)
+        return pa.table({"vec_id": pa.array(qs, pa.int64()),
+                         "neighbor_id": pa.array(ns, pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    return partitionwise(cand, _final, "query_id", num_parts)
