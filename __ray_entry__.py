@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": lambda sf: _fin(
             knn.knn_graph(sf, k=5),
             pa.schema([("vec_id", I64), ("neighbor_id", I64), ("rank", I64)])),
+        "tfidf_cosine_pairs": lambda sf: _fin(
+            simjoin.tfidf_cosine_pairs(sf, threshold=0.8),
+            pa.schema([("id_a", I64), ("id_b", I64), ("cos", F64)])),
         "knn_graph_ivf": lambda sf: _fin(
             knn.knn_graph_ivf(sf, k=5),
             pa.schema([("vec_id", I64), ("neighbor_id", I64), ("rank", I64)])),
@@ -647,7 +650,9 @@ _ROWS_ONLY_PRIORITY = (
 # (n_chars aggregates), filter_english_long ⊂ filter_length_band (streaming
 # filter), cosine_pairs ⊂ knn_graph (0 rows at sf0.01 vs the SAME
 # normalize+matmul machinery driver-verified through knn_graph's 2500-row
-# full ranked self-join).  weighted_sample_by_quality demotes ITSELF: its selection rests
+# full ranked self-join), hash_sample_10pct ⊂ train_val_test_split (the
+# same md5-prefix bucket-threshold machinery — over text vs doc_id —
+# window-verified over ALL 500 docs vs the sample's 46).  weighted_sample_by_quality demotes ITSELF: its selection rests
 # on libm pow bit-agreement between numpy and DuckDB — true on this host
 # and pinned by pytest + the judge's checker, but too fragile a property to
 # spend a driver window row on.
@@ -655,7 +660,7 @@ _ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups", "top_longest",
                    "lang_counts", "total_token_count", "events_by_type",
                    "distinct_token_count", "length_histogram",
                    "filter_english_long", "weighted_sample_by_quality",
-                   "cosine_pairs")
+                   "cosine_pairs", "hash_sample_10pct")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -952,6 +957,33 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
+        "tfidf_cosine_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+'))
+                         AS token
+              FROM documents WHERE trim(text) <> ''),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM w GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            wt AS (SELECT tf.doc_id, tf.token,
+                          tf.tf * ln(n.n::DOUBLE / df.df) AS w
+                   FROM tf JOIN df USING (token) CROSS JOIN n),
+            nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nv
+                    FROM wt GROUP BY doc_id),
+            dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            SUM(a.w * b.w) AS dot
+                     FROM wt a JOIN wt b
+                       ON a.token = b.token AND a.doc_id < b.doc_id
+                     GROUP BY a.doc_id, b.doc_id)
+            SELECT d.id_a, d.id_b,
+                   round(d.dot / (na.nv * nb.nv), 6) AS cos
+            FROM dots d
+            JOIN nrm na ON d.id_a = na.doc_id
+            JOIN nrm nb ON d.id_b = nb.doc_id
+            WHERE na.nv * nb.nv > 0
+              AND d.dot / (na.nv * nb.nv) >= 0.8""",
         "knn_graph": """
             WITH s AS (
               SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,

@@ -450,3 +450,149 @@ def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
                          "id_b": pa.array(id_b[keep], pa.int64())})
 
     return j2.map_batches(_verify, batch_format="pyarrow")
+
+
+def tfidf_cosine_pairs(sf_dir: str, threshold: float = 0.8,
+                       num_parts: int = 32, max_df: int | None = None):
+    """Weighted sparse similarity self-join: all doc pairs with TF-IDF
+    cosine ≥ threshold → (id_a, id_b, cos round 6), w(d,t) = tf·ln(N/df)
+    over lowercased whitespace tokens (the ``doc_tfidf`` weight convention).
+    The weighted complement to ``ngram_jaccard_pairs``: rare shared
+    vocabulary counts for more than boilerplate, so near-duplicate
+    *topical* rewrites surface that set-Jaccard misses.
+
+    Four keyed shuffles, no broadcast, no driver state:
+
+    1. token-hash: global df → per-posting weight, all in-partition
+       (grouping joins on the full token STRING inside the partition, so
+       hash collisions cannot merge tokens);
+    2. doc_id: per-doc norm √Σw², attached to every posting row;
+    3. token-hash: each token's full posting list is co-located → pair
+       partial dots w_a·w_b with an in-partition per-pair combiner.  Pair
+       fan-out is quadratic in df, so at web scale pass ``max_df``:
+       longer posting lists (stop tokens — which ln(N/df) already damps
+       toward zero) are dropped before pair emission.  Norms are
+       unchanged, so a dropped token only LOWERS cos — borderline pairs
+       can be lost, never invented.  ``max_df=None`` keeps the join exact
+       (the DuckDB oracle's semantics);
+    4. id_a: sum partial dots per pair, gate cos = dot/(n_a·n_b) ≥ τ.
+    """
+    import ray.data as rd
+
+    from ..kernels.hashing import fxhash64_bytes_list
+    from .common import pairs_within_runs
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = rd.read_parquet(f"{sf_dir}/{DOC_FILE}",
+                             columns=["doc_id"]).count()
+
+    def _tf(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(b["text"], "")))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(np_col(b, "doc_id"), lens)
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "token": flat})
+        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+        tf = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["doc_id", "token", "tf"])
+        key = fxhash64_bytes_list(
+            [t.encode("utf-8") for t in tf["token"].to_pylist()])
+        return tf.append_column("__key", pa.array(key, pa.uint64()))
+
+    exploded = ds.map_batches(_tf, batch_format="pyarrow")
+
+    def _weight(g: pa.Table) -> pa.Table:
+        # (doc, token) partials may split across input blocks — re-sum,
+        # then df and the weight are Arrow C++ hash ops in-partition
+        tf = pa.TableGroupBy(g, ["doc_id", "token"]).aggregate(
+            [("tf", "sum")]).rename_columns(["doc_id", "token", "tf"])
+        df_t = pa.TableGroupBy(tf, "token").aggregate(
+            [("doc_id", "count")]).rename_columns(["token", "df"])
+        j = tf.join(df_t, "token")
+        w = (np_col(j, "tf").astype(np.float64)
+             * np.log(float(n_docs) / np_col(j, "df").astype(np.float64)))
+        return pa.table({"doc_id": j["doc_id"], "token": j["token"],
+                         "w": pa.array(w, pa.float64())})
+
+    weighted = partitionwise(exploded, _weight, "__key", num_parts)
+
+    def _norms(g: pa.Table) -> pa.Table:
+        ids = np_col(g, "doc_id")
+        w = np_col(g, "w")
+        order, gid, counts = run_ids(ids.astype(np.uint64))
+        nrm2 = np.zeros(len(counts), np.float64)
+        np.add.at(nrm2, gid, w[order] ** 2)
+        nrm = np.sqrt(nrm2)[gid]
+        tok = g["token"].to_numpy(zero_copy_only=False)[order]
+        key = fxhash64_bytes_list([t.encode("utf-8") for t in tok])
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "token": pa.array(tok, pa.string()),
+                         "w": pa.array(w[order], pa.float64()),
+                         "nrm": pa.array(nrm, pa.float64()),
+                         "__key": pa.array(key, pa.uint64())})
+
+    with_norms = partitionwise(weighted, _norms, "doc_id", num_parts)
+
+    def _dots(g: pa.Table) -> pa.Table:
+        key = np_col(g, "__key").astype(np.uint64)
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        ids = np_col(g, "doc_id")
+        w = np_col(g, "w")
+        nrm = np_col(g, "nrm")
+        # group by (hash, STRING) — collisions split, never merge; the
+        # trailing id key makes ids ascend within a run, so ii<jj ⇒ a<b
+        order, gid, counts = run_ids(key, tok, ids.astype(np.uint64),
+                                     n_group_keys=2)
+        ids_s, w_s, n_s = ids[order], w[order], nrm[order]
+        if max_df is not None and (counts > max_df).any():
+            keep_rows = (counts <= max_df)[gid]
+            ids_s, w_s, n_s = ids_s[keep_rows], w_s[keep_rows], n_s[keep_rows]
+            counts = counts[counts <= max_df]
+        ii, jj = pairs_within_runs(counts)
+        z = pa.array([], pa.int64())
+        zf = pa.array([], pa.float64())
+        if len(ii) == 0:
+            return pa.table({"id_a": z, "id_b": z, "dot": zf,
+                             "na": zf, "nb": zf})
+        a, b = ids_s[ii], ids_s[jj]
+        dot = w_s[ii] * w_s[jj]
+        na, nb = n_s[ii], n_s[jj]
+        # in-partition combiner: one row per pair
+        order2, gid2, _c2 = run_ids(a.astype(np.uint64), b.astype(np.uint64))
+        first = np.zeros(len(gid2), bool)
+        first[0] = True
+        first[1:] = gid2[1:] != gid2[:-1]
+        tot = np.zeros(int(gid2[-1]) + 1, np.float64)
+        np.add.at(tot, gid2, dot[order2])
+        return pa.table({"id_a": pa.array(a[order2][first], pa.int64()),
+                         "id_b": pa.array(b[order2][first], pa.int64()),
+                         "dot": pa.array(tot, pa.float64()),
+                         "na": pa.array(na[order2][first], pa.float64()),
+                         "nb": pa.array(nb[order2][first], pa.float64())})
+
+    partial = partitionwise(with_norms, _dots, "__key", num_parts)
+
+    def _gate(g: pa.Table) -> pa.Table:
+        a = np_col(g, "id_a")
+        b = np_col(g, "id_b")
+        z = pa.array([], pa.int64())
+        if len(a) == 0:
+            return pa.table({"id_a": z, "id_b": z,
+                             "cos": pa.array([], pa.float64())})
+        dot = np_col(g, "dot")
+        den = np_col(g, "na") * np_col(g, "nb")
+        order, gid, counts = run_ids(a.astype(np.uint64), b.astype(np.uint64))
+        first = np.zeros(len(gid), bool)
+        first[0] = True
+        first[1:] = gid[1:] != gid[:-1]
+        tot = np.zeros(len(counts), np.float64)
+        np.add.at(tot, gid, dot[order])
+        d1 = den[order][first]
+        cos = np.where(d1 > 0, tot / np.where(d1 == 0, 1.0, d1), 0.0)
+        keep = (cos >= threshold) & (d1 > 0)
+        return pa.table({"id_a": pa.array(a[order][first][keep], pa.int64()),
+                         "id_b": pa.array(b[order][first][keep], pa.int64()),
+                         "cos": pa.array(np.round(cos[keep], 6), pa.float64())})
+
+    return partitionwise(partial, _gate, "id_a", num_parts)

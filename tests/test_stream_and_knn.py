@@ -946,3 +946,62 @@ def test_knn_graph_ivf_recall_on_clustered_data(ray_session, tmp_path):
     a = {tuple(r) for r in ivf[["vec_id", "neighbor_id"]]
          .itertuples(index=False)}
     assert len(a & e) / len(e) >= 0.9
+
+
+def test_tfidf_cosine_pairs_matches_numpy(ray_session, tmp_path):
+    """Pairs + rounded cosines equal a single-process numpy TF-IDF cosine
+    computation over the same w = tf·ln(N/df) convention."""
+    import collections
+
+    from rensa_ray.pipelines.simjoin import tfidf_cosine_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(5, 25)))
+             for _ in range(60)]
+    sf = _mk_docs_table(tmp_path, texts)
+    tau = 0.8
+
+    got = (tfidf_cosine_pairs(sf, threshold=tau).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    n = len(texts)
+    df = collections.Counter()
+    toks = [t.lower().split() for t in texts]
+    for ws in toks:
+        df.update(set(ws))
+    idx = {w: j for j, w in enumerate(sorted(df))}
+    m = np.zeros((n, len(idx)))
+    for r, ws in enumerate(toks):
+        for w, tf in collections.Counter(ws).items():
+            m[r, idx[w]] = tf * np.log(n / df[w])
+    nv = np.linalg.norm(m, axis=1)
+    want = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            den = nv[a] * nv[b]
+            if den > 0 and m[a] @ m[b] / den >= tau:
+                want.append((a, b, round(float(m[a] @ m[b] / den), 6)))
+    assert len(got) == len(want)
+    assert [tuple(r)[:2] for r in got.itertuples(index=False)] \
+        == [w[:2] for w in want]
+    assert np.allclose(got["cos"], [w[2] for w in want], atol=1e-9)
+
+
+def test_tfidf_cosine_pairs_max_df_only_loses_pairs(ray_session, tmp_path):
+    """The df cap drops stop-token postings before pair emission: the
+    capped pair set is a subset of the exact one, and pairs held together
+    by rare vocabulary survive."""
+    from rensa_ray.pipelines.simjoin import tfidf_cosine_pairs
+
+    stop = "the and of to in"                       # df = n for each
+    texts = ([f"{stop} alpha beta gamma delta"] * 2  # rare-token twins
+             + [f"{stop} x{i} y{i} z{i} q{i}" for i in range(8)])
+    sf = _mk_docs_table(tmp_path, texts)
+
+    exact = tfidf_cosine_pairs(sf, threshold=0.5).to_pandas()
+    capped = tfidf_cosine_pairs(sf, threshold=0.5, max_df=5).to_pandas()
+    e = {tuple(r) for r in exact[["id_a", "id_b"]].itertuples(index=False)}
+    c = {tuple(r) for r in capped[["id_a", "id_b"]].itertuples(index=False)}
+    assert c <= e
+    assert (0, 1) in c   # the rare-vocabulary twin pair survives the cap
