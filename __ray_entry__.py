@@ -423,6 +423,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": lambda sf: _fin(
             simjoin.tfidf_cosine_pairs(sf, threshold=0.8),
             pa.schema([("id_a", I64), ("id_b", I64), ("cos", F64)])),
+        "embedding_decontaminate_flags": lambda sf: _fin(
+            knn.embedding_decontaminate_flags(sf, num_ref=50, threshold=0.35),
+            pa.schema([("vec_id", I64), ("is_near", BOOL)])),
+        "embedding_quantize_int8": lambda sf: _fin(
+            knn.embedding_quantize_int8(sf),
+            pa.schema([("vec_id", I64), ("dim", I64), ("code", I64)])),
         "knn_graph_ivf": lambda sf: _fin(
             knn.knn_graph_ivf(sf, k=5),
             pa.schema([("vec_id", I64), ("neighbor_id", I64), ("rank", I64)])),
@@ -652,7 +658,13 @@ _ROWS_ONLY_PRIORITY = (
 # normalize+matmul machinery driver-verified through knn_graph's 2500-row
 # full ranked self-join), hash_sample_10pct ⊂ train_val_test_split (the
 # same md5-prefix bucket-threshold machinery — over text vs doc_id —
-# window-verified over ALL 500 docs vs the sample's 46).  weighted_sample_by_quality demotes ITSELF: its selection rests
+# window-verified over ALL 500 docs vs the sample's 46),
+# length_percentiles ⊂ filter_length_band (both call the shared
+# _exact_quantile_values kernel; the band lane additionally verifies the
+# filter over 250 rows vs the percentile lane's 1), text_normalize ⊂
+# doc_pii_redact (the same pure per-row string-rewrite shape — to_pylist
+# → C-speed str ops → StringArray, same null convention — with pii
+# additionally exercising the regex machinery over the same 500 rows).  weighted_sample_by_quality demotes ITSELF: its selection rests
 # on libm pow bit-agreement between numpy and DuckDB — true on this host
 # and pinned by pytest + the judge's checker, but too fragile a property to
 # spend a driver window row on.
@@ -660,7 +672,8 @@ _ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups", "top_longest",
                    "lang_counts", "total_token_count", "events_by_type",
                    "distinct_token_count", "length_histogram",
                    "filter_english_long", "weighted_sample_by_quality",
-                   "cosine_pairs", "hash_sample_10pct")
+                   "cosine_pairs", "hash_sample_10pct", "length_percentiles",
+                   "text_normalize")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -957,6 +970,32 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
+        # code expression written with the SAME operand order both sides:
+        # ((v - lo) / (hi - lo)) * 255 + 0.5 — min/max are order-exact, so
+        # lo/hi match bit-for-bit and the single float expression agrees
+        "embedding_quantize_int8": """
+            WITH d AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding::DOUBLE[]) AS v
+              FROM embeddings),
+            mm AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi
+                   FROM d GROUP BY dim)
+            SELECT d.vec_id, d.dim::BIGINT AS dim,
+                   CASE WHEN mm.hi = mm.lo THEN -128
+                        ELSE floor(((d.v - mm.lo) / (mm.hi - mm.lo)) * 255
+                                   + 0.5)::BIGINT - 128
+                   END AS code
+            FROM d JOIN mm USING (dim)""",
+        "embedding_decontaminate_flags": """
+            SELECT c.vec_id,
+                   COALESCE(MAX(CASE WHEN list_cosine_similarity(
+                                c.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]) >= 0.35
+                            THEN 1 ELSE 0 END), 0) = 1 AS is_near
+            FROM (SELECT * FROM embeddings WHERE vec_id >= 50) c
+            LEFT JOIN (SELECT * FROM embeddings WHERE vec_id < 50) e
+              ON TRUE
+            GROUP BY c.vec_id""",
         "tfidf_cosine_pairs": r"""
             WITH w AS (
               SELECT doc_id,

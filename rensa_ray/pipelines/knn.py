@@ -622,29 +622,37 @@ def embedding_dedup_kept(sf_dir: str, threshold: float = 0.9,
 
 
 def _prefold_sum(parts, scalar_int_cols=(), float_list_cols=(),
-                 int_list_cols=(), num_parts: int = 8):
+                 int_list_cols=(), float_list_min_cols=(),
+                 float_list_max_cols=(), num_parts: int = 8):
     """Distributed pre-fold for per-block partial-moment rows.
 
     ``parts`` rows each carry a ``__salt`` uint64 column plus fixed-length
-    list / scalar payloads; one salted partitionwise pass sums them
-    element-wise so the driver's ``take_all`` sees ≤ ``num_parts`` rows
-    instead of one per input block.  The difference is what makes the
-    moment-fold lanes scale: ~4·10⁵ blocks × a (d + d²) float64 moment row
-    at d=1024 is ~3 TB of driver traffic flat, ≤ num_parts × 8 MB folded.
-    Summation stays float64 either way; only the association order moves.
+    list / scalar payloads; one salted partitionwise pass folds them
+    element-wise (sum by default, min/max for the so-named columns) so the
+    driver's ``take_all`` sees ≤ ``num_parts`` rows instead of one per
+    input block.  The difference is what makes the moment-fold lanes
+    scale: ~4·10⁵ blocks × a (d + d²) float64 moment row at d=1024 is
+    ~3 TB of driver traffic flat, ≤ num_parts × 8 MB folded.  Summation
+    stays float64 either way; only the association order moves (min/max
+    are order-exact).
     """
     def _fold(g: pa.Table) -> pa.Table:
         cols: dict = {}
         for c in scalar_int_cols:
             cols[c] = pa.array([int(np_col(g, c).sum())], pa.int64())
-        for c, pa_t, np_t in ([(c, pa.float64(), np.float64)
-                               for c in float_list_cols]
-                              + [(c, pa.int64(), np.int64)
-                                 for c in int_list_cols]):
+        for c, pa_t, np_t, op in (
+                [(c, pa.float64(), np.float64, "sum")
+                 for c in float_list_cols]
+                + [(c, pa.int64(), np.int64, "sum")
+                   for c in int_list_cols]
+                + [(c, pa.float64(), np.float64, "min")
+                   for c in float_list_min_cols]
+                + [(c, pa.float64(), np.float64, "max")
+                   for c in float_list_max_cols]):
             vs = g[c].combine_chunks()
             m = (vs.flatten().to_numpy(zero_copy_only=False)
                  .reshape(len(vs), -1).astype(np_t))
-            cols[c] = pa.array([m.sum(axis=0)], pa.list_(pa_t))
+            cols[c] = pa.array([getattr(m, op)(axis=0)], pa.list_(pa_t))
         cols["__salt"] = pa.array([0], pa.uint64())
         return pa.table(cols)
 
@@ -1062,3 +1070,124 @@ def knn_graph_ivf(sf_dir: str, k: int = 5, num_centroids: int = 16,
                          "rank": pa.array(rank, pa.int64())})
 
     return partitionwise(cand, _final, "query_id", num_parts)
+
+
+def embedding_decontaminate_flags(sf_dir: str, num_ref: int = 50,
+                                  threshold: float = 0.35):
+    """Semantic decontamination over the embedding column: flag every
+    corpus vector whose cosine to ANY reference vector reaches
+    ``threshold`` — the embedding-space analogue of the n-gram
+    ``decontaminate_flags`` (catches paraphrased eval contamination that
+    exact n-gram overlap misses).  Reference set = ``vec_id < num_ref``,
+    the same id-slice convention the n-gram lane uses on documents; a
+    production caller passes its own eval table through the same kernel.
+
+    Scale shape: the reference matrix is small by nature (eval sets),
+    loaded with the row-group-pruned driver read and broadcast ONCE via
+    ``ray.put``; the corpus streams through one pure map — zero shuffles,
+    zero driver state.  Returns (vec_id, is_near bool) for every corpus
+    (non-reference) vector.
+    """
+    import ray
+
+    _r_ids, r_mat = _load_matrix_local(sf_dir, max_vec_id=num_ref)
+    ref = ray.put(_normalize(r_mat) if r_mat.size else r_mat)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        rn = ray.get(ref)
+        ids = np_col(batch, "vec_id")
+        keep = ids >= num_ref
+        m = _emb_matrix(batch)
+        if m.size == 0 or not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "is_near": pa.array([], pa.bool_())})
+        mk = _normalize(m[keep])
+        if rn.size == 0:
+            near = np.zeros(len(mk), bool)
+        else:
+            near = (mk @ rn.T).max(axis=1) >= threshold
+        return pa.table({"vec_id": pa.array(ids[keep], pa.int64()),
+                         "is_near": pa.array(near)})
+
+    return _read_embeddings(sf_dir).map_batches(
+        _flag, batch_format="pyarrow", batch_size=4096)
+
+
+def embedding_quantize_int8(sf_dir: str, explode: bool = True):
+    """Scalar (per-dimension min/max) int8 quantization of the embedding
+    column — the standard ~4× memory cut before an ANN index build, and
+    the code layout IVF-PQ-style indexes start from.
+
+    Pass 1 streams per-block (min_vec, max_vec) partials, pre-folded to
+    ≤ 8 rows by ``_prefold_sum`` (min/max fold — order-exact, so the
+    dimension ranges are bit-identical at any partitioning); the driver
+    forms the 2 × dim range arrays; pass 2 broadcasts them in the map
+    closure and codes every vector vectorized:
+
+        code = floor((v - lo) / (hi - lo) * 255 + 0.5) - 128  ∈ [-128, 127]
+
+    (constant dimensions, hi == lo, code to -128).  ``explode=True``
+    returns (vec_id, dim, code) rows — the SQL-comparable layout;
+    ``explode=False`` returns packed (vec_id, code list<int8>) rows, the
+    production layout.
+    """
+    ds = _read_embeddings(sf_dir)
+
+    def _ranges(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        if m.size == 0:
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64())),
+                             "__salt": pa.array([], pa.uint64())})
+        return pa.table({
+            "lo": pa.array([m.min(axis=0)], pa.list_(pa.float64())),
+            "hi": pa.array([m.max(axis=0)], pa.list_(pa.float64())),
+            "__salt": pa.array(
+                [np_col(b, "vec_id").astype(np.uint64)[0]], pa.uint64())})
+
+    rows = _prefold_sum(ds.map_batches(_ranges, batch_format="pyarrow"),
+                        float_list_min_cols=("lo",),
+                        float_list_max_cols=("hi",)).take_all()
+    if not rows:
+        if explode:
+            z = pa.array([], pa.int64())
+            return pa.table({"vec_id": z, "dim": z, "code": z})
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "code": pa.array([], pa.list_(pa.int8()))})
+    lo = np.min([np.asarray(r["lo"], np.float64) for r in rows], axis=0)
+    hi = np.max([np.asarray(r["hi"], np.float64) for r in rows], axis=0)
+    rng = hi - lo
+    const = rng == 0
+
+    def _code_matrix(m: np.ndarray) -> np.ndarray:
+        c = np.floor((m - lo) / np.where(const, 1.0, rng) * 255 + 0.5) - 128
+        c[:, const] = -128
+        return c.astype(np.int64)
+
+    def _explode(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        if m.size == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"vec_id": z, "dim": z, "code": z})
+        n, d = m.shape
+        c = _code_matrix(m)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(np_col(b, "vec_id"), d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "code": pa.array(c.reshape(-1), pa.int64())})
+
+    def _packed(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        if m.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.list_(pa.int8()))})
+        n, d = m.shape
+        c = _code_matrix(m).astype(np.int8)
+        return pa.table({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "code": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d), pa.int32()),
+                pa.array(c.reshape(-1), pa.int8()))})
+
+    return ds.map_batches(_explode if explode else _packed,
+                          batch_format="pyarrow")

@@ -1005,3 +1005,60 @@ def test_tfidf_cosine_pairs_max_df_only_loses_pairs(ray_session, tmp_path):
     c = {tuple(r) for r in capped[["id_a", "id_b"]].itertuples(index=False)}
     assert c <= e
     assert (0, 1) in c   # the rare-vocabulary twin pair survives the cap
+
+
+def test_embedding_decontaminate_flags_planted(ray_session, tmp_path):
+    """Corpus vectors planted parallel to a reference vector flag, the
+    orthogonal rest do not; empty reference set flags nothing."""
+    from rensa_ray.pipelines.knn import embedding_decontaminate_flags
+
+    dim = 8
+    ref = np.zeros((2, dim)); ref[0, 0] = 1.0; ref[1, 1] = 1.0
+    near = np.zeros((3, dim))
+    near[0, 0] = 5.0                     # parallel to ref 0
+    near[1, 1] = -2.0                    # anti-parallel -> cos = -1, no flag
+    near[2, 2] = 1.0                     # orthogonal
+    pts = np.vstack([ref, near])
+    _write_emb(tmp_path, pts)
+
+    got = (embedding_decontaminate_flags(str(tmp_path), num_ref=2,
+                                         threshold=0.9).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert got["vec_id"].tolist() == [2, 3, 4]
+    assert got["is_near"].tolist() == [True, False, False]
+
+    empty = embedding_decontaminate_flags(str(tmp_path), num_ref=0,
+                                          threshold=0.9).to_pandas()
+    assert len(empty) == 5 and not empty["is_near"].any()
+
+
+def test_embedding_quantize_int8_matches_numpy(ray_session, tmp_path):
+    """Exploded codes equal the numpy formula; packed layout agrees with
+    the exploded one; a constant dimension codes to -128 everywhere and
+    every dimension's min/max hit the code range ends."""
+    from rensa_ray.pipelines.knn import embedding_quantize_int8
+
+    rng = np.random.default_rng(29)
+    n, dim = 120, 6
+    pts = rng.normal(0, 3, (n, dim)).astype(np.float32)
+    pts[:, 4] = 7.25                     # constant dimension
+    _write_emb(tmp_path, pts)
+
+    got = (embedding_quantize_int8(str(tmp_path)).to_pandas()
+           .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    codes = got["code"].to_numpy().reshape(n, dim)
+
+    m = pts.astype(np.float64)
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    rngd = np.where(hi == lo, 1.0, hi - lo)
+    want = (np.floor((m - lo) / rngd * 255 + 0.5) - 128).astype(np.int64)
+    want[:, hi == lo] = -128
+    assert (codes == want).all()
+    assert (codes[:, 4] == -128).all()
+    for d in (0, 1, 2, 3, 5):
+        assert codes[:, d].min() == -128 and codes[:, d].max() == 127
+
+    packed = (embedding_quantize_int8(str(tmp_path), explode=False)
+              .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert (np.stack(packed["code"].to_numpy()).astype(np.int64)
+            == codes).all()
