@@ -429,6 +429,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize_int8": lambda sf: _fin(
             knn.embedding_quantize_int8(sf),
             pa.schema([("vec_id", I64), ("dim", I64), ("code", I64)])),
+        "source_shingle_jaccard": lambda sf: _fin(
+            textops.source_shingle_jaccard(sf),
+            pa.schema([("source_a", STR), ("source_b", STR),
+                       ("jaccard", F64)])),
         "knn_graph_ivf": lambda sf: _fin(
             knn.knn_graph_ivf(sf, k=5),
             pa.schema([("vec_id", I64), ("neighbor_id", I64), ("rank", I64)])),
@@ -664,7 +668,11 @@ _ROWS_ONLY_PRIORITY = (
 # filter over 250 rows vs the percentile lane's 1), text_normalize ⊂
 # doc_pii_redact (the same pure per-row string-rewrite shape — to_pylist
 # → C-speed str ops → StringArray, same null convention — with pii
-# additionally exercising the regex machinery over the same 500 rows).  weighted_sample_by_quality demotes ITSELF: its selection rests
+# additionally exercising the regex machinery over the same 500 rows).
+# source_shingle_jaccard demotes ITSELF: 10 rows of pair-fold output
+# whose machinery (batch_shingle_hashes + shingle-keyed partitionwise +
+# pairs_within_runs) is window-verified through ngram_jaccard_pairs'
+# doc-level join over the same shingler.  weighted_sample_by_quality demotes ITSELF: its selection rests
 # on libm pow bit-agreement between numpy and DuckDB — true on this host
 # and pinned by pytest + the judge's checker, but too fragile a property to
 # spend a driver window row on.
@@ -673,7 +681,7 @@ _ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups", "top_longest",
                    "distinct_token_count", "length_histogram",
                    "filter_english_long", "weighted_sample_by_quality",
                    "cosine_pairs", "hash_sample_10pct", "length_percentiles",
-                   "text_normalize")
+                   "text_normalize", "source_shingle_jaccard")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -970,6 +978,30 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
+        "source_shingle_jaccard": r"""
+            WITH t AS (
+              SELECT source,
+                     string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents
+              WHERE trim(text) <> '' AND source IS NOT NULL),
+            g AS (
+              SELECT source,
+                     CASE WHEN len(w) >= 3 THEN list_transform(
+                              generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          ELSE w END AS sh
+              FROM t),
+            e AS (SELECT DISTINCT source, s
+                  FROM (SELECT source, unnest(sh) AS s FROM g)),
+            sz AS (SELECT source, COUNT(*) AS n FROM e GROUP BY source),
+            co AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS c
+                   FROM e a JOIN e b
+                     ON a.s = b.s AND a.source < b.source
+                   GROUP BY a.source, b.source)
+            SELECT co.sa AS source_a, co.sb AS source_b,
+                   round(co.c::DOUBLE / (za.n + zb.n - co.c), 6) AS jaccard
+            FROM co JOIN sz za ON co.sa = za.source
+            JOIN sz zb ON co.sb = zb.source""",
         # code expression written with the SAME operand order both sides:
         # ((v - lo) / (hi - lo)) * 255 + 0.5 — min/max are order-exact, so
         # lo/hi match bit-for-bit and the single float expression agrees

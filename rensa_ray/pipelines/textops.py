@@ -2094,3 +2094,95 @@ def weighted_sample_by_quality(sf_dir: str, k: int = 50):
     top = ds.map_batches(_pri, batch_format="pyarrow").sort(
         ["__pri", "doc_id"], descending=[True, False]).limit(k)
     return top.drop_columns(["__pri"])
+
+
+def source_shingle_jaccard(sf_dir: str, ngram_size: int = 3,
+                           num_parts: int = DEFAULT_PARTS):
+    """Source-pair corpus similarity: exact Jaccard between the DISTINCT
+    n-gram shingle sets of every source pair → (source_a < source_b,
+    jaccard round 6), zero-overlap pairs omitted.  The corpus-mix
+    diagnostic ("how redundant are these two crawls?") that decides
+    whether a cross-corpus dedup pass pays for itself before any doc-level
+    work runs.
+
+    One shingle-keyed shuffle: each partition dedupes (shingle, source),
+    folds per-source distinct-count partials and per-pair co-count
+    partials (a shingle's full source set is co-located, so pair emission
+    is bounded by source cardinality, never doc count); the driver folds
+    parts × (sources + pairs) tiny rows.  Intended for LOW-cardinality
+    source sets (corpus mixes — the driver fold is O(parts × sources²));
+    at domain cardinality use ``cross_source_overlap``'s content-key
+    formulation instead.
+    """
+    from ..kernels.shingle import batch_shingle_hashes
+    from .common import pairs_within_runs
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["source"]))
+        texts = ["" if t is None else t for t in b["text"].to_pylist()]
+        hashes, offsets = batch_shingle_hashes(texts, ngram_size)
+        src = np.repeat(b["source"].to_numpy(zero_copy_only=False),
+                        offsets[1:] - offsets[:-1])
+        if len(hashes) == 0:
+            return pa.table({"shingle": pa.array([], pa.uint64()),
+                             "source": pa.array([], pa.string())})
+        order = np.lexsort((src, hashes))
+        h_s, s_s = hashes[order], src[order]
+        keep = np.ones(len(h_s), bool)
+        keep[1:] = (h_s[1:] != h_s[:-1]) | (s_s[1:] != s_s[:-1])
+        return pa.table({"shingle": pa.array(h_s[keep], pa.uint64()),
+                         "source": pa.array(s_s[keep], pa.string())})
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        sh = np_col(g, "shingle").astype(np.uint64)
+        src = g["source"].to_numpy(zero_copy_only=False)
+        if len(sh) == 0:
+            return empty
+        # cross-batch duplicates of (shingle, source) — dedupe, then each
+        # shingle's run holds its distinct sources in sorted order
+        order = np.lexsort((src, sh))
+        sh_s, src_s = sh[order], src[order]
+        keep = np.ones(len(sh_s), bool)
+        keep[1:] = (sh_s[1:] != sh_s[:-1]) | (src_s[1:] != src_s[:-1])
+        sh_d, src_d = sh_s[keep], src_s[keep]
+        su, sc = np.unique(src_d, return_counts=True)
+        parts = [pa.table({"source_a": pa.array(su, pa.string()),
+                           "source_b": pa.array([None] * len(su), pa.string()),
+                           "n": pa.array(sc, pa.int64())})]
+        runs = np.ones(len(sh_d), bool)
+        runs[1:] = sh_d[1:] != sh_d[:-1]
+        rcounts = np.bincount(np.cumsum(runs) - 1)
+        ii, jj = pairs_within_runs(rcounts)
+        if len(ii):
+            co = pa.TableGroupBy(
+                pa.table({"source_a": pa.array(src_d[ii], pa.string()),
+                          "source_b": pa.array(src_d[jj], pa.string())}),
+                ["source_a", "source_b"]).aggregate(
+                [("source_a", "count")]).rename_columns(
+                ["source_a", "source_b", "n"])
+            parts.append(co)
+        return pa.concat_tables(parts)
+
+    rows = partitionwise(exploded, _fold, "shingle", num_parts).take_all()
+    sizes: dict[str, int] = {}
+    co: dict[tuple[str, str], int] = {}
+    for r in rows:
+        if r["source_b"] is None:
+            sizes[r["source_a"]] = sizes.get(r["source_a"], 0) + int(r["n"])
+        else:
+            k = (r["source_a"], r["source_b"])
+            co[k] = co.get(k, 0) + int(r["n"])
+    keys = sorted(co)
+    return pa.table({
+        "source_a": pa.array([k[0] for k in keys], pa.string()),
+        "source_b": pa.array([k[1] for k in keys], pa.string()),
+        "jaccard": pa.array(
+            [round(co[k] / (sizes[k[0]] + sizes[k[1]] - co[k]), 6)
+             for k in keys], pa.float64())})

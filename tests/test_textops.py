@@ -1483,3 +1483,26 @@ def test_weighted_sample_by_quality_matches_numpy(ray_session, tmp_path):
                                        for i in sorted(want.tolist())]
     # weight actually matters: long docs should dominate the sample
     assert (got["n_chars"] > 100).mean() > 0.8
+
+
+def test_source_shingle_jaccard_planted(ray_session, tmp_path):
+    """Hand-computed source-pair shingle Jaccard; zero-overlap pairs are
+    omitted and within-source duplicate shingles count once."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import source_shingle_jaccard
+
+    docs = [
+        ("A", "a b c d"),       # A shingles: {abc, bcd}
+        ("A", "a b c"),         # duplicate shingle abc — counted once
+        ("B", "a b c x"),       # B: {abc, bcx}
+        ("C", "p q r"),         # C: {pqr} — no overlap with anyone
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "source": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = source_shingle_jaccard(str(tmp_path)).to_pandas()
+    assert got.values.tolist() == [["A", "B", round(1 / 3, 6)]]
