@@ -433,6 +433,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textops.source_shingle_jaccard(sf),
             pa.schema([("source_a", STR), ("source_b", STR),
                        ("jaccard", F64)])),
+        "source_report": lambda sf: _fin(
+            textops.source_report(sf),
+            pa.schema([("source", STR), ("n_docs", I64),
+                       ("n_unique_texts", I64), ("dup_frac", F64),
+                       ("mean_n_chars", F64)])),
         "knn_graph_ivf": lambda sf: _fin(
             knn.knn_graph_ivf(sf, k=5),
             pa.schema([("vec_id", I64), ("neighbor_id", I64), ("rank", I64)])),
@@ -672,7 +677,9 @@ _ROWS_ONLY_PRIORITY = (
 # source_shingle_jaccard demotes ITSELF: 10 rows of pair-fold output
 # whose machinery (batch_shingle_hashes + shingle-keyed partitionwise +
 # pairs_within_runs) is window-verified through ngram_jaccard_pairs'
-# doc-level join over the same shingler.  weighted_sample_by_quality demotes ITSELF: its selection rests
+# doc-level join over the same shingler.  source_report demotes ITSELF:
+# its content-key shuffle + grouped-aggregate machinery is
+# window-verified through exact_dedup_kept + doc_stats_by_lang.  weighted_sample_by_quality demotes ITSELF: its selection rests
 # on libm pow bit-agreement between numpy and DuckDB — true on this host
 # and pinned by pytest + the judge's checker, but too fragile a property to
 # spend a driver window row on.
@@ -681,7 +688,8 @@ _ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups", "top_longest",
                    "distinct_token_count", "length_histogram",
                    "filter_english_long", "weighted_sample_by_quality",
                    "cosine_pairs", "hash_sample_10pct", "length_percentiles",
-                   "text_normalize", "source_shingle_jaccard")
+                   "text_normalize", "source_shingle_jaccard",
+                   "source_report")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -978,6 +986,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
+        # floor(x*10^k + 0.5) on BOTH sides (not round): integer-ratio
+        # means land exactly on half boundaries where the two engines'
+        # rounding rules differ
+        "source_report": """
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT md5(coalesce(text, '')))::BIGINT
+                       AS n_unique_texts,
+                   floor((1 - COUNT(DISTINCT md5(coalesce(text, '')))::DOUBLE
+                              / COUNT(*)) * 1e6 + 0.5) / 1e6 AS dup_frac,
+                   floor(SUM(n_chars)::DOUBLE / COUNT(*) * 100 + 0.5) / 100
+                       AS mean_n_chars
+            FROM documents WHERE source IS NOT NULL
+            GROUP BY source""",
         "source_shingle_jaccard": r"""
             WITH t AS (
               SELECT source,

@@ -2186,3 +2186,67 @@ def source_shingle_jaccard(sf_dir: str, ngram_size: int = 3,
         "jaccard": pa.array(
             [round(co[k] / (sizes[k[0]] + sizes[k[1]] - co[k]), 6)
              for k in keys], pa.float64())})
+
+
+def source_report(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Per-source corpus report card: (source, n_docs, n_unique_texts,
+    dup_frac round 6, mean_n_chars round 2) — the one-page health summary
+    a mix owner reads before deciding which source needs which dedup tier.
+
+    One content-key shuffle (the exact-dup family's) computes per-source
+    distinct-text partials alongside doc counts and char sums inside the
+    same partition kernel; a builtin groupby folds the ≤ parts × sources
+    partial rows.  NULL-source docs are excluded (no owner to report to).
+    """
+    from ray.data.aggregate import Sum
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return _content_key(batch.filter(pc.is_valid(batch["source"])),
+                            ("source", "n_chars"))
+
+    ds = _docs(sf_dir, ["source", "text", "n_chars"]).map_batches(
+        _key, batch_format="pyarrow")
+
+    def _partial(g: pa.Table) -> pa.Table:
+        # all rows of a text are co-located: distinct (text, source) counts
+        # are complete in-partition; docs/chars sum anywhere
+        if g.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_unique_texts": pa.array([], pa.int64()),
+                             "sum_chars": pa.array([], pa.int64())})
+        uniq = pa.TableGroupBy(g, ["source", "text_md5"]).aggregate(
+            [("text_md5", "count")]).rename_columns(
+            ["source", "text_md5", "cnt"])
+        per_src = pa.TableGroupBy(uniq, "source").aggregate(
+            [("text_md5", "count"), ("cnt", "sum")]).rename_columns(
+            ["source", "n_unique_texts", "n_docs"])
+        chars = pa.TableGroupBy(g, "source").aggregate(
+            [("n_chars", "sum")]).rename_columns(["source", "sum_chars"])
+        j = per_src.join(chars, "source")
+        return j.select(["source", "n_docs", "n_unique_texts", "sum_chars"])
+
+    part = partitionwise(ds, _partial, "__key", num_parts)
+    folded = part.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_unique_texts", alias_name="n_unique_texts"),
+        Sum("sum_chars", alias_name="sum_chars"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        nd = np_col(b, "n_docs").astype(np.float64)
+        nu = np_col(b, "n_unique_texts").astype(np.float64)
+        sc = np_col(b, "sum_chars").astype(np.float64)
+        # floor(x·10^k + 0.5)/10^k instead of round(): integer-ratio means
+        # land exactly on half boundaries, where numpy (half-even) and
+        # DuckDB (half-away) disagree — the same single expression on both
+        # sides is boundary-rule-free
+        dup = np.floor((1.0 - nu / nd) * 1e6 + 0.5) / 1e6
+        mean = np.floor(sc / nd * 100 + 0.5) / 100
+        return pa.table({
+            "source": b["source"],
+            "n_docs": b["n_docs"].cast(pa.int64()),
+            "n_unique_texts": b["n_unique_texts"].cast(pa.int64()),
+            "dup_frac": pa.array(dup, pa.float64()),
+            "mean_n_chars": pa.array(mean, pa.float64())})
+
+    return folded.map_batches(_final, batch_format="pyarrow")

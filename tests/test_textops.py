@@ -1506,3 +1506,30 @@ def test_source_shingle_jaccard_planted(ray_session, tmp_path):
 
     got = source_shingle_jaccard(str(tmp_path)).to_pandas()
     assert got.values.tolist() == [["A", "B", round(1 / 3, 6)]]
+
+
+def test_source_report_planted(ray_session, tmp_path):
+    """Hand-computed per-source doc counts, unique texts, dup fraction and
+    mean length; NULL-source docs are excluded."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import source_report
+
+    docs = [
+        ("A", "xx"), ("A", "xx"), ("A", "yyyy"),   # 3 docs, 2 unique
+        ("B", "zzz"),                              # 1 doc, 1 unique
+        (None, "orphan"),                          # excluded
+    ]
+    texts = [d[1] for d in docs]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "source": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = (source_report(str(tmp_path)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert got.values.tolist() == [
+        ["A", 3, 2, round(1 / 3, 6), round(8 / 3, 2)],
+        ["B", 1, 1, 0.0, 3.0]]
