@@ -1,0 +1,77 @@
+"""URL kernels for the Common-Crawl-style (url, warc_ts, html, …) table.
+
+Pure-python string kernels (urllib split + C-speed str ops per batch) used
+by ``pipelines.weburl``.  The canonicalization policy is deterministic and
+documented here once so every lane (snapshot dedup, domain rollups,
+blocklists) agrees on what "the same page" means:
+
+- scheme and host lowercased; userinfo dropped; default ports (:80 http,
+  :443 https) dropped;
+- fragments dropped;
+- tracking query parameters dropped (``utm_*``, ``fbclid``, ``gclid``,
+  ``msclkid``, ``ref``, ``ref_src``) — the crawl-noise class that makes one
+  page look like many;
+- remaining query parameters sorted by (key, value) so parameter order
+  cannot split a page;
+- path ``//`` runs collapsed; a trailing slash on a non-root path dropped.
+
+``registrable_domain`` is the last-two-labels approximation (no public
+suffix list ships in this environment — documented trade-off: ``co.uk``
+style suffixes group one level too coarse).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urlsplit
+
+_TRACKING = ("fbclid", "gclid", "msclkid", "ref", "ref_src")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """One URL → its canonical form per the module policy; malformed
+    inputs come back stripped-but-unparsed rather than raising (a crawl
+    always contains garbage rows)."""
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return url.strip()
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = parts.path
+    while "//" in path:
+        path = path.replace("//", "/")
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    q = [(k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
+         if not k.startswith("utm_") and k not in _TRACKING]
+    query = urlencode(sorted(q))
+    out = f"{scheme}://{netloc}{path}" if scheme else f"{netloc}{path}"
+    return f"{out}?{query}" if query else out
+
+
+def canonicalize_urls(urls: list) -> list:
+    return [canonicalize_url("" if u is None else u) for u in urls]
+
+
+def url_host(url: str) -> str:
+    """Lowercased hostname (no port, no userinfo); '' for garbage."""
+    try:
+        return (urlsplit(url.strip()).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def registrable_domain(url: str) -> str:
+    """Last-two-labels registrable-domain approximation of the host."""
+    host = url_host(url)
+    labels = host.split(".")
+    return ".".join(labels[-2:]) if len(labels) >= 2 else host
+
+
+def registrable_domains(urls: list) -> list:
+    return [registrable_domain("" if u is None else u) for u in urls]

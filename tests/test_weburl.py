@@ -1,0 +1,96 @@
+"""URL canonicalization kernels + crawl-snapshot dedup stages
+(input_hint schema: url, warc_ts, html, text, lang)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from rensa_ray.functions.url import (
+    canonicalize_url,
+    registrable_domain,
+    url_host,
+)
+
+
+def test_canonicalize_url_policy():
+    # tracking params dropped, survivors sorted, fragment dropped
+    assert canonicalize_url(
+        "https://Example.COM:443/a//b/?utm_source=x&b=2&a=1&fbclid=z#frag"
+    ) == "https://example.com/a/b?a=1&b=2"
+    # default port dropped only for the matching scheme
+    assert canonicalize_url("http://host:80/p/") == "http://host/p"
+    assert canonicalize_url("http://host:8080/p") == "http://host:8080/p"
+    # root path keeps its slash; userinfo dropped
+    assert canonicalize_url("https://user:pw@host/") == "https://host/"
+    # blank query values survive, order normalized
+    assert canonicalize_url("https://h/p?b=&a=") == "https://h/p?a=&b="
+    # garbage comes back stripped, not raised
+    assert canonicalize_url("  not a url  ") == "not a url"
+
+
+def test_domain_helpers():
+    assert url_host("https://Sub.Example.org:9/x") == "sub.example.org"
+    assert registrable_domain("https://a.b.example.org/x") == "example.org"
+    assert registrable_domain("https://localhost/x") == "localhost"
+
+
+def _write_corpus(tmp_path, rows):
+    tbl = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "text": pa.array([r[2] for r in rows], pa.string())})
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(tbl, path)
+    return path
+
+
+def test_keep_latest_snapshot(ray_session, tmp_path):
+    """Tracking-param aliases and re-crawls of a page collapse to the
+    newest capture; the tie breaks to the smallest original url."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.weburl import keep_latest_snapshot
+
+    rows = [
+        ("https://a.test/p?utm_source=x", 100, "old"),
+        ("https://a.test/p", 300, "new"),          # same canonical, newest
+        ("https://a.test/p?gclid=42", 200, "mid"),
+        ("https://b.test/q", 50, "only"),
+        ("https://c.test/r?z=1", 70, "tie-b"),
+        # equal ts: smallest ORIGINAL url wins ('?u' < '?z')
+        ("https://c.test/r?utm_x=1&z=1", 70, "tie-a"),
+    ]
+    path = _write_corpus(tmp_path, rows)
+    got = (keep_latest_snapshot(rd.read_parquet(path)).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert got["text"].tolist() == ["new", "only", "tie-a"]
+    assert got["url"].tolist() == [
+        "https://a.test/p", "https://b.test/q",
+        "https://c.test/r?utm_x=1&z=1"]
+    # original (pre-canonicalization) columns survive untouched
+    assert set(got.columns) == {"url", "warc_ts", "text"}
+
+
+def test_domain_counts_and_blocklist(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rensa_ray.pipelines.weburl import (
+        domain_doc_counts,
+        filter_blocked_domains,
+    )
+
+    rows = [(u, 1, "t") for u in (
+        "https://x.spam.test/1", "https://y.spam.test/2",
+        "https://ok.test/3", "https://www.ok.test/4")]
+    path = _write_corpus(tmp_path, rows)
+    ds = rd.read_parquet(path)
+
+    counts = (domain_doc_counts(ds).to_pandas()
+              .sort_values("domain").reset_index(drop=True))
+    assert counts.values.tolist() == [["ok.test", 2], ["spam.test", 2]]
+
+    kept = filter_blocked_domains(ds, {"spam.test"}).to_pandas()
+    assert sorted(kept["url"]) == [
+        "https://ok.test/3", "https://www.ok.test/4"]
