@@ -34,11 +34,13 @@ def canonicalize_url(url: str) -> str:
     always contains garbage rows)."""
     try:
         parts = urlsplit(url.strip())
+        # .port parses lazily and raises on garbage ('host:bad', ':1e9') —
+        # it must sit INSIDE the guard for the no-raise contract to hold
+        host = (parts.hostname or "").lower().rstrip(".")
+        port = parts.port
     except ValueError:
         return url.strip()
     scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower()
-    port = parts.port
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
@@ -59,9 +61,11 @@ def canonicalize_urls(urls: list) -> list:
 
 
 def url_host(url: str) -> str:
-    """Lowercased hostname (no port, no userinfo); '' for garbage."""
+    """Lowercased hostname (no port, no userinfo, no trailing FQDN dot —
+    'spam.test.' and 'spam.test' resolve identically and must group and
+    block identically); '' for garbage."""
     try:
-        return (urlsplit(url.strip()).hostname or "").lower()
+        return (urlsplit(url.strip()).hostname or "").lower().rstrip(".")
     except ValueError:
         return ""
 

@@ -257,3 +257,44 @@ def capped_distinct_value_pairs(
         rcounts = rcounts[rcounts <= max_bucket]
     ii, jj = pairs_within_runs(rcounts)
     return vgid, vcounts, vstart, rep_rows, rep_vgroup, ii, jj
+
+
+def explode_doc_token_tf(batch: pa.Table) -> pa.Table:
+    """(doc_id, token, tf, __key=fxhash64(token)) per-batch term counts —
+    the ONE definition of the whitespace-token explode stage shared by
+    ``doc_tfidf``, ``doc_unigram_logprob`` and ``tfidf_cosine_pairs``, so
+    the tokenization (lower → split_whitespace → drop empties) and the
+    key scheme can never silently diverge from their common SQL-oracle
+    convention."""
+    import pyarrow.compute as pc
+
+    from ..kernels.hashing import fxhash64_bytes_list
+
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(batch["text"], "")))
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    ids = np.repeat(np_col(batch, "doc_id"), lens)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "token": flat})
+    tbl = tbl.filter(pc.not_equal(tbl["token"], ""))  # boundary empties
+    tf = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
+        [("token", "count")]).rename_columns(["doc_id", "token", "tf"])
+    key = fxhash64_bytes_list(
+        [t.encode("utf-8") for t in tf["token"].to_pylist()])
+    return tf.append_column("__key", pa.array(key, pa.uint64()))
+
+
+def tf_df_weight(g: pa.Table, n_docs: int
+                 ) -> tuple[pa.Table, np.ndarray, np.ndarray]:
+    """In-partition TF-IDF weight kernel shared by ``doc_tfidf`` and
+    ``tfidf_cosine_pairs``: re-sum (doc, token) tf partials split across
+    input blocks, join per-token df (complete in the token partition),
+    return (joined table, tf int64 array, tf·ln(N/df) float array)."""
+    tf = pa.TableGroupBy(g, ["doc_id", "token"]).aggregate(
+        [("tf", "sum")]).rename_columns(["doc_id", "token", "tf"])
+    df_t = pa.TableGroupBy(tf, "token").aggregate(
+        [("doc_id", "count")]).rename_columns(["token", "df"])
+    j = tf.join(df_t, "token")
+    tfv = np_col(j, "tf").astype(np.int64)
+    w = tfv * np.log(float(n_docs) / np_col(j, "df").astype(np.float64))
+    return j, tfv, w

@@ -514,57 +514,80 @@ def cosine_pairs_lsh(sf_dir: str, threshold: float = 0.9, num_bits: int = 12,
         "id_a", num_parts)
 
 
+def _label_sum_partial(batch: pa.Table) -> pa.Table:
+    """Per-block (label, n, vec_sum) partial — the ONE definition of the
+    label-keyed embedding fold, shared by ``embedding_label_centroids``
+    and ``embedding_centroid_distance``."""
+    lab = np_col(batch, "label").astype(np.int64)
+    m = _emb_matrix(batch)
+    if m.size == 0:  # same list<float64> schema as non-empty blocks
+        return pa.table({
+            "label": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "vec_sum": pa.array([], pa.list_(pa.float64()))})
+    uniq, inv = np.unique(lab, return_inverse=True)
+    dim = m.shape[1]
+    sums = np.zeros((len(uniq), dim))
+    np.add.at(sums, inv, m)
+    cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    return pa.table({
+        "label": pa.array(uniq),
+        "n": pa.array(cnt),
+        "vec_sum": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
+            pa.array(sums.reshape(-1), pa.float64()))})
+
+
+def _label_sum_merge(g: pa.Table) -> pa.Table:
+    """Fold (label, n, vec_sum) partials to ONE row per label — all rows
+    of a label are co-located by the label-keyed partitionwise."""
+    lab = np_col(g, "label").astype(np.int64)
+    cnt = np_col(g, "n").astype(np.int64)
+    vs = g["vec_sum"].combine_chunks()
+    if len(vs) == 0:
+        return pa.table({"label": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "vec_sum": pa.array([], pa.list_(pa.float64()))})
+    m = vs.flatten().to_numpy(zero_copy_only=False).reshape(len(vs), -1)
+    uniq, inv = np.unique(lab, return_inverse=True)
+    sums = np.zeros((len(uniq), m.shape[1]))
+    np.add.at(sums, inv, m)
+    n = np.zeros(len(uniq), np.int64)
+    np.add.at(n, inv, cnt)
+    dim = m.shape[1]
+    return pa.table({
+        "label": pa.array(uniq),
+        "n": pa.array(n),
+        "vec_sum": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
+            pa.array(sums.reshape(-1), pa.float64()))})
+
+
 def embedding_label_centroids(sf_dir: str):
     """Per-label centroid norm + count — a vectorized grouped aggregate over
     the embedding column: (label, n_vecs, centroid_norm round 6)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/{EMB_FILE}", columns=["label", "embedding"])
+    merged = partitionwise(
+        ds.map_batches(_label_sum_partial, batch_format="pyarrow"),
+        _label_sum_merge, "label", num_parts=4)
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        lab = np_col(batch, "label").astype(np.int64)
-        m = _emb_matrix(batch)
-        if m.size == 0:  # same list<float64> schema as non-empty blocks
-            return pa.table({
-                "label": pa.array([], pa.int64()),
-                "n_vecs": pa.array([], pa.int64()),
-                "vec_sum": pa.array([], pa.list_(pa.float64()))})
-        uniq, inv = np.unique(lab, return_inverse=True)
-        dim = m.shape[1]
-        sums = np.zeros((len(uniq), dim))
-        np.add.at(sums, inv, m)
-        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        return pa.table({
-            "label": pa.array(uniq),
-            "n_vecs": pa.array(cnt),
-            "vec_sum": pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
-                pa.array(sums.reshape(-1), pa.float64())),
-        })
-
-    partial = ds.map_batches(_partial, batch_format="pyarrow")
-
-    def _merge(g: pa.Table) -> pa.Table:
-        lab = np_col(g, "label")
-        cnt = np_col(g, "n_vecs")
-        vs = g["vec_sum"].combine_chunks()
+    def _norms(b: pa.Table) -> pa.Table:
+        vs = b["vec_sum"].combine_chunks()
         if len(vs) == 0:
             return pa.table({"label": pa.array([], pa.int64()),
                              "n_vecs": pa.array([], pa.int64()),
                              "centroid_norm": pa.array([], pa.float64())})
         m = vs.flatten().to_numpy(zero_copy_only=False).reshape(len(vs), -1)
-        uniq, inv = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(uniq), m.shape[1]))
-        np.add.at(sums, inv, m)
-        n = np.zeros(len(uniq), np.int64)
-        np.add.at(n, inv, cnt)
-        centroid = sums / n[:, None]
-        return pa.table({"label": pa.array(uniq.astype(np.int64)),
+        n = np_col(b, "n").astype(np.int64)
+        centroid = m / n[:, None]
+        return pa.table({"label": b["label"].cast(pa.int64()),
                          "n_vecs": pa.array(n),
                          "centroid_norm": pa.array(
                              np.round(np.linalg.norm(centroid, axis=1), 6))})
 
-    return partitionwise(partial, _merge, "label", num_parts=4)
+    return merged.map_batches(_norms, batch_format="pyarrow")
 
 
 def embedding_dedup_kept(sf_dir: str, threshold: float = 0.9,
@@ -762,51 +785,9 @@ def embedding_centroid_distance(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/{EMB_FILE}",
                          columns=["vec_id", "label", "embedding"])
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        lab = np_col(batch, "label").astype(np.int64)
-        m = _emb_matrix(batch)
-        if m.size == 0:
-            return pa.table({
-                "label": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64()),
-                "vec_sum": pa.array([], pa.list_(pa.float64()))})
-        uniq, inv = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(uniq), m.shape[1]))
-        np.add.at(sums, inv, m)
-        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        dim = m.shape[1]
-        return pa.table({
-            "label": pa.array(uniq),
-            "n": pa.array(cnt),
-            "vec_sum": pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
-                pa.array(sums.reshape(-1), pa.float64()))})
-
-    def _merge_label(g: pa.Table) -> pa.Table:
-        lab = np_col(g, "label").astype(np.int64)
-        cnt = np_col(g, "n").astype(np.int64)
-        vs = g["vec_sum"].combine_chunks()
-        if len(vs) == 0:
-            return pa.table({"label": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64()),
-                             "vec_sum": pa.array([], pa.list_(pa.float64()))})
-        m = (vs.flatten().to_numpy(zero_copy_only=False)
-             .reshape(len(vs), -1))
-        uniq, inv = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(uniq), m.shape[1]))
-        np.add.at(sums, inv, m)
-        n = np.zeros(len(uniq), np.int64)
-        np.add.at(n, inv, cnt)
-        dim = m.shape[1]
-        return pa.table({
-            "label": pa.array(uniq),
-            "n": pa.array(n),
-            "vec_sum": pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (len(uniq) + 1) * dim, dim), pa.int32()),
-                pa.array(sums.reshape(-1), pa.float64()))})
-
-    rows = partitionwise(ds.map_batches(_partial, batch_format="pyarrow"),
-                         _merge_label, "label", num_parts=4).take_all()
+    rows = partitionwise(
+        ds.map_batches(_label_sum_partial, batch_format="pyarrow"),
+        _label_sum_merge, "label", num_parts=4).take_all()
     acc: dict[int, list] = {}
     for r in rows:
         s = np.asarray(r["vec_sum"], np.float64)
@@ -815,7 +796,11 @@ def embedding_centroid_distance(sf_dir: str):
         a[1] += int(r["n"])
     labels = sorted(acc)
     cent = {l: acc[l][0] / acc[l][1] for l in labels}
-    # centroid means divide in a fixed (sum/count) order -> deterministic
+    # centroid means divide in a fixed (sum/count) order -> deterministic;
+    # the lookup arrays are built ONCE here, not per batch
+    labels_arr = np.array(labels, np.int64)
+    cmat = (np.stack([cent[l] for l in labels])
+            if labels else np.empty((0, 0)))
 
     def _score(batch: pa.Table) -> pa.Table:
         lab = np_col(batch, "label").astype(np.int64)
@@ -824,9 +809,8 @@ def embedding_centroid_distance(sf_dir: str):
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "label": pa.array([], pa.int64()),
                              "cos_to_centroid": pa.array([], pa.float64())})
-        c = np.stack([cent[int(l)] for l in sorted(cent)])
-        idx = np.searchsorted(np.array(sorted(cent)), lab)
-        cm = c[idx]
+        idx = np.searchsorted(labels_arr, lab)
+        cm = cmat[idx]
         num = (m * cm).sum(axis=1)
         den = np.linalg.norm(m, axis=1) * np.linalg.norm(cm, axis=1)
         cos = np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0)
@@ -928,7 +912,8 @@ def knn_graph(sf_dir: str, k: int = 5):
     import ray
 
     ids_all, mat = _load_matrix_local(sf_dir)
-    ref = ray.put((ids_all, _normalize(mat)))
+    order0 = np.argsort(ids_all, kind="stable")  # sorted once: O(B) self-
+    ref = ray.put((ids_all[order0], _normalize(mat)[order0]))  # mask below
 
     def _block_topk(batch: pa.Table) -> pa.Table:
         all_ids, all_n = ray.get(ref)  # zero-copy plasma read per task
@@ -940,7 +925,13 @@ def knn_graph(sf_dir: str, k: int = 5):
         if m.size == 0 or len(all_ids) <= 1:
             return empty
         scores = m @ all_n.T                                  # (B, N)
-        scores[ids[:, None] == all_ids[None, :]] = -np.inf    # self
+        # self-mask in O(B) via the sorted broadcast ids — a (B, N) bool
+        # equality matrix would double peak task memory at the documented
+        # ~10⁶-vector broadcast bound
+        pos = np.searchsorted(all_ids, ids)
+        ok = (pos < len(all_ids)) & (all_ids[np.minimum(
+            pos, len(all_ids) - 1)] == ids)
+        scores[np.flatnonzero(ok), pos[ok]] = -np.inf         # self
         kk = min(k, scores.shape[1] - 1)
         part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
         sc = np.take_along_axis(scores, part, axis=1).reshape(-1)
@@ -993,10 +984,11 @@ def knn_graph_ivf(sf_dir: str, k: int = 5, num_centroids: int = 16,
     def _explode(batch: pa.Table) -> pa.Table:
         m = _emb_matrix(batch)
         if m.size == 0:
+            val_t = batch.schema.field("embedding").type.value_type
             return pa.table({"cell": pa.array([], pa.uint64()),
                              "vec_id": pa.array([], pa.int64()),
                              "is_member": pa.array([], pa.bool_()),
-                             "emb": pa.array([], pa.list_(pa.float32()))})
+                             "emb": pa.array([], pa.list_(val_t))})
         ids = np_col(batch, "vec_id")
         n, dim = m.shape
         mn = _normalize(m)
@@ -1009,9 +1001,13 @@ def knn_graph_ivf(sf_dir: str, k: int = 5, num_centroids: int = 16,
                 .to_numpy(zero_copy_only=False))
         tiled = np.repeat(flat.reshape(n, dim), npb, axis=0).reshape(-1)
         rows = n * npb
+        # ship at SOURCE precision: a float32 downcast of a float64-stored
+        # column would rank-flip near-tied cosines vs knn_graph and break
+        # the documented full-probe equality
+        pa_val_t = pa.from_numpy_dtype(tiled.dtype)
         emb_col = pa.ListArray.from_arrays(
             pa.array(np.arange(0, (rows + 1) * dim, dim), pa.int32()),
-            pa.array(tiled.astype(np.float32), pa.float32()))
+            pa.array(tiled, pa_val_t))
         return pa.table({
             "cell": pa.array(probe.reshape(-1).astype(np.uint64)),
             "vec_id": pa.array(np.repeat(ids, npb), pa.int64()),

@@ -480,38 +480,16 @@ def tfidf_cosine_pairs(sf_dir: str, threshold: float = 0.8,
     import ray.data as rd
 
     from ..kernels.hashing import fxhash64_bytes_list
-    from .common import pairs_within_runs
+    from .common import explode_doc_token_tf, pairs_within_runs, tf_df_weight
 
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = rd.read_parquet(f"{sf_dir}/{DOC_FILE}",
                              columns=["doc_id"]).count()
 
-    def _tf(b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(pc.fill_null(b["text"], "")))
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        ids = np.repeat(np_col(b, "doc_id"), lens)
-        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "token": flat})
-        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
-        tf = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
-            [("token", "count")]).rename_columns(["doc_id", "token", "tf"])
-        key = fxhash64_bytes_list(
-            [t.encode("utf-8") for t in tf["token"].to_pylist()])
-        return tf.append_column("__key", pa.array(key, pa.uint64()))
-
-    exploded = ds.map_batches(_tf, batch_format="pyarrow")
+    exploded = ds.map_batches(explode_doc_token_tf, batch_format="pyarrow")
 
     def _weight(g: pa.Table) -> pa.Table:
-        # (doc, token) partials may split across input blocks — re-sum,
-        # then df and the weight are Arrow C++ hash ops in-partition
-        tf = pa.TableGroupBy(g, ["doc_id", "token"]).aggregate(
-            [("tf", "sum")]).rename_columns(["doc_id", "token", "tf"])
-        df_t = pa.TableGroupBy(tf, "token").aggregate(
-            [("doc_id", "count")]).rename_columns(["token", "df"])
-        j = tf.join(df_t, "token")
-        w = (np_col(j, "tf").astype(np.float64)
-             * np.log(float(n_docs) / np_col(j, "df").astype(np.float64)))
+        j, _tfv, w = tf_df_weight(g, n_docs)
         return pa.table({"doc_id": j["doc_id"], "token": j["token"],
                          "w": pa.array(w, pa.float64())})
 

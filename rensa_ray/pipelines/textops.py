@@ -864,40 +864,19 @@ def doc_tfidf(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     """
     import ray.data as rd
 
+    from .common import explode_doc_token_tf, tf_df_weight
+
     ds = _docs(sf_dir, ["doc_id", "text"])
     n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                              columns=["doc_id"]).count()
 
-    def _tf(b: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(pc.fill_null(b["text"], "")))
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        ids = np.repeat(np_col(b, "doc_id"), lens)
-        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "token": flat})
-        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))  # boundary empties
-        tf = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
-            [("token", "count")])
-        tf = tf.rename_columns(["doc_id", "token", "tf"])
-        key = fxhash64_bytes_list(
-            [t.encode("utf-8") for t in tf["token"].to_pylist()])
-        return tf.append_column("__key", pa.array(key, pa.uint64()))
-
-    exploded = ds.map_batches(_tf, batch_format="pyarrow")
+    exploded = ds.map_batches(explode_doc_token_tf, batch_format="pyarrow")
 
     def _score(g: pa.Table) -> pa.Table:
-        # (doc, token) rows may repeat across input batches of one doc — re-sum,
-        # then df per token and the join are Arrow C++ hash ops in-partition.
-        tf = pa.TableGroupBy(g, ["doc_id", "token"]).aggregate([("tf", "sum")])
-        tf = tf.rename_columns(["doc_id", "token", "tf"])
-        df_t = pa.TableGroupBy(tf, "token").aggregate([("doc_id", "count")])
-        df_t = df_t.rename_columns(["token", "df"])
-        j = tf.join(df_t, "token")
-        tfv = np_col(j, "tf").astype(np.int64)
-        idf = np.log(float(n_docs) / np_col(j, "df").astype(np.float64))
+        j, tfv, w = tf_df_weight(g, n_docs)
         return pa.table({"doc_id": j["doc_id"], "token": j["token"],
                          "tf": pa.array(tfv),
-                         "tfidf": pa.array(tfv * idf, pa.float64())})
+                         "tfidf": pa.array(w, pa.float64())})
 
     return partitionwise(exploded, _score, "__key", num_parts)
 
@@ -1978,23 +1957,12 @@ def doc_unigram_logprob(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     folds partials and subtracts ln(T).  T itself is one streaming counting
     pass (scalar result) — nothing materializes.
     """
+    from .common import explode_doc_token_tf
+
     ds = _docs(sf_dir, ["doc_id", "text"])
     total = int(total_token_count(sf_dir)["total_tokens"][0].as_py())
 
-    def _tf(b: pa.Table) -> pa.Table:
-        toks = _tokens_list(b, lower=True)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        ids = np.repeat(np_col(b, "doc_id"), lens)
-        tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "token": flat})
-        tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
-        tf = pa.TableGroupBy(tbl, ["doc_id", "token"]).aggregate(
-            [("token", "count")]).rename_columns(["doc_id", "token", "tf"])
-        key = fxhash64_bytes_list(
-            [t.encode("utf-8") for t in tf["token"].to_pylist()])
-        return tf.append_column("__key", pa.array(key, pa.uint64()))
-
-    exploded = ds.map_batches(_tf, batch_format="pyarrow")
+    exploded = ds.map_batches(explode_doc_token_tf, batch_format="pyarrow")
 
     def _partial(g: pa.Table) -> pa.Table:
         # re-sum split (doc, token) partials, then the corpus count per
@@ -2084,7 +2052,12 @@ def weighted_sample_by_quality(sf_dir: str, k: int = 50):
         u = (v + 1.0) / float(1 << 60)
         w = np.maximum(np_col(b, "n_chars").astype(np.float64), 1.0)
         pri = u ** (1.0 / w)
-        keep = (np.argpartition(-pri, k - 1)[:k] if len(pri) > k
+        # local selection must apply the GLOBAL tie rule (pri desc, doc_id
+        # asc): a plain argpartition keeps an arbitrary k among equal
+        # priorities (exact-duplicate texts), silently dropping the
+        # smallest doc_ids and making the sample partitioning-dependent
+        ids = np_col(b, "doc_id")
+        keep = (np.lexsort((ids, -pri))[:k] if len(pri) > k
                 else np.arange(len(pri)))
         return pa.table({
             "doc_id": pa.array(np_col(b, "doc_id")[keep], pa.int64()),

@@ -49,7 +49,11 @@ def keep_latest_snapshot(ds, url_col: str = "url", ts_col: str = "warc_ts",
             return g.drop_columns(["__canon", "__key"])
         canon = g["__canon"].to_numpy(zero_copy_only=False)
         ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
-        urls = g[url_col].to_numpy(zero_copy_only=False)
+        # null urls (canonicalized to "" upstream) must not poison the
+        # object-array lexsort tiebreak — coalesce for the SORT KEY only,
+        # output rows keep their original null
+        urls = np.asarray(
+            ["" if u is None else u for u in g[url_col].to_pylist()], object)
         # per canonical group: max ts, then min original url
         order = np.lexsort((urls, -ts, canon))
         canon_s = canon[order]

@@ -1062,3 +1062,27 @@ def test_embedding_quantize_int8_matches_numpy(ray_session, tmp_path):
               .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert (np.stack(packed["code"].to_numpy()).astype(np.int64)
             == codes).all()
+
+
+def test_knn_graph_ivf_full_probe_equals_exact_float64(ray_session, tmp_path):
+    """Regression: the IVF explode downcast embeddings to float32, so a
+    float64-stored column rank-flipped near-tied cosines vs the exact
+    lane despite the documented full-probe equality."""
+    from rensa_ray.pipelines.knn import knn_graph, knn_graph_ivf
+
+    rng = np.random.default_rng(31)
+    pts = rng.normal(0, 1, (80, 6))
+    # near-tied neighbor pair: differences below float32 resolution
+    pts[1] = pts[0] + 1e-9
+    pts[2] = pts[0] + 2e-9
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(pts)), pa.int64()),
+        "embedding": pa.array(pts.tolist(), pa.list_(pa.float64()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    exact = (knn_graph(str(tmp_path), k=3).to_pandas()
+             .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    ivf = (knn_graph_ivf(str(tmp_path), k=3, num_centroids=4, nprobe=4)
+           .to_pandas().sort_values(["vec_id", "rank"])
+           .reset_index(drop=True))
+    assert ivf.values.tolist() == exact.values.tolist()

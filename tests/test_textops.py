@@ -1533,3 +1533,23 @@ def test_source_report_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         ["A", 3, 2, round(1 / 3, 6), round(8 / 3, 2)],
         ["B", 1, 1, 0.0, 3.0]]
+
+
+def test_weighted_sample_tie_keeps_smallest_ids(ray_session, tmp_path):
+    """Regression: block-local argpartition kept an ARBITRARY k among
+    equal priorities (exact-duplicate texts), dropping the smallest
+    doc_ids and making the sample partitioning-dependent.  The global
+    rule is (pri desc, doc_id asc)."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import weighted_sample_by_quality
+
+    n, k = 40, 3
+    texts = ["same heavy doc " * 50] * n      # all tied at one priority
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    got = weighted_sample_by_quality(str(tmp_path), k=k).to_pandas()
+    assert sorted(got["doc_id"].tolist()) == [0, 1, 2]

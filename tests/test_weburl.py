@@ -94,3 +94,39 @@ def test_domain_counts_and_blocklist(ray_session, tmp_path):
     kept = filter_blocked_domains(ds, {"spam.test"}).to_pandas()
     assert sorted(kept["url"]) == [
         "https://ok.test/3", "https://www.ok.test/4"]
+
+
+def test_canonicalize_url_garbage_ports_do_not_raise():
+    """Regression: SplitResult.port parses lazily — garbage ports raised
+    ValueError past the guard and killed the pipeline."""
+    assert canonicalize_url("http://example.com:bad/path") \
+        == "http://example.com:bad/path"
+    assert canonicalize_url("http://e.com:99999999/") \
+        == "http://e.com:99999999/"
+
+
+def test_registrable_domain_trailing_dot():
+    """Regression: 'spam.test.' (valid FQDN form) returned bare 'test.'
+    and bypassed the blocklist."""
+    assert registrable_domain("https://x.spam.test./1") == "spam.test"
+    assert url_host("https://Host.Example.COM./x") == "host.example.com"
+
+
+def test_keep_latest_snapshot_null_url(ray_session, tmp_path):
+    """Regression: a null url poisoned the object-array lexsort tiebreak
+    with a str/None comparison."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.weburl import keep_latest_snapshot
+
+    tbl = pa.table({
+        "url": pa.array(["https://a.test/p", None, None], pa.string()),
+        "warc_ts": pa.array([10, 5, 9], pa.timestamp("us")),
+        "text": pa.array(["real", "null-old", "null-new"], pa.string())})
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(tbl, path)
+    got = (keep_latest_snapshot(rd.read_parquet(path)).to_pandas()
+           .sort_values("text").reset_index(drop=True))
+    # both null urls canonicalize to "" -> one group, newest ts wins
+    assert got["text"].tolist() == ["null-new", "real"]
+    assert got["url"].tolist()[0] is None   # original null survives
