@@ -290,3 +290,45 @@ def test_capped_distinct_value_pairs_matches_brute():
             # rep_vg indexes the value group of each rep
             assert vgid[ra] == rep_vg[a] and vgid[rc] == rep_vg[c]
         assert got_pairs == want_pairs, (trial, max_bucket)
+
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019-._~:/?#[]@!$&'()*+,;= %ü", max_size=40)
+_URLISH = st.one_of(
+    _URL_CHARS,
+    st.builds(
+        lambda scheme, host, port, path, q, frag:
+            f"{scheme}://{host}{port}/{path}?{q}#{frag}",
+        st.sampled_from(["http", "https", "HTTP", "ftp"]),
+        st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True),
+        st.sampled_from(["", ":80", ":443", ":8080", ":bad"]),
+        st.from_regex(r"[A-Za-z0-9/._-]{0,20}", fullmatch=True),
+        st.from_regex(r"([a-z]{1,5}=[a-z0-9]{0,4}&?){0,3}", fullmatch=True),
+        st.from_regex(r"[a-z0-9]{0,6}", fullmatch=True)))
+
+
+@settings(**SETTINGS)
+@given(_URLISH)
+def test_canonicalize_url_idempotent_and_total(url):
+    """canonicalize is total (never raises on crawl garbage) and
+    idempotent — a canonical form is its own canonical form, so
+    re-canonicalizing checkpointed output can't re-split groups."""
+    from rensa_ray.functions.url import canonicalize_url
+
+    once = canonicalize_url(url)
+    assert isinstance(once, str)
+    assert canonicalize_url(once) == once
+
+
+@settings(**SETTINGS)
+@given(_URLISH)
+def test_registrable_domain_total_and_suffix(url):
+    """registrable_domain is total and always a suffix of the host with at
+    most two labels (the documented approximation)."""
+    from rensa_ray.functions.url import registrable_domain, url_host
+
+    d = registrable_domain(url)
+    h = url_host(url)
+    assert isinstance(d, str)
+    assert h.endswith(d)
+    assert d == "" or len(d.split(".")) <= 2
