@@ -233,6 +233,12 @@ def main(argv: list[str] | None = None) -> int:
                         "substring-cut over survivors) instead of the "
                         "flagship; --input must be a dir holding a "
                         "documents.parquet with (doc_id, text)")
+    p.add_argument("--snapshot-dedup", action="store_true",
+                   help="crawl-snapshot pre-stage: collapse each canonical "
+                        "url (tracking-param aliases, re-crawls) to its "
+                        "newest warc_ts capture before content dedup; "
+                        "checkpointed under <out>/stage=snapshots and "
+                        "skipped on resume")
     p.add_argument("--use-html", action="store_true",
                    help="extract text from the html column (byte-identical "
                         "invariant) instead of reading the text column")
@@ -277,14 +283,43 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.webdedup import run_web_dedup
 
-    cfg = _auto_config(args.input)
-    out, manifest = run_web_dedup(args.input, args.out, cfg=cfg,
+    input_dir = args.input
+    snap_stage: dict = {}
+    if args.snapshot_dedup:
+        import os
+        import shutil
+        import time
+
+        import ray.data as rd
+
+        from .pipelines.weburl import keep_latest_snapshot
+
+        snap_dir = os.path.join(args.out, "stage=snapshots")
+        done = os.path.join(snap_dir, "_DONE")
+        if os.path.exists(done):
+            snap_stage = {"resumed": True, "path": snap_dir}
+        else:
+            if os.path.isdir(snap_dir):  # stale partial from a kill
+                shutil.rmtree(snap_dir)
+            t0 = time.time()
+            keep_latest_snapshot(
+                rd.read_parquet(input_dir)).write_parquet(snap_dir)
+            with open(done, "w") as f:
+                f.write("ok")
+            snap_stage = {"resumed": False, "path": snap_dir,
+                          "wall_sec": round(time.time() - t0, 3)}
+        input_dir = snap_dir
+
+    cfg = _auto_config(input_dir)
+    out, manifest = run_web_dedup(input_dir, args.out, cfg=cfg,
                                   use_html=args.use_html,
                                   checkpoint=not args.no_checkpoint)
     n_rows = out.count()
     report = {"rows": n_rows, "out": args.out,
               "config": {k: v for k, v in cfg.__dict__.items()},
               "stages": manifest.get("stages", {})}
+    if snap_stage:
+        report["snapshot_stage"] = snap_stage
     json.dump(report, sys.stdout, indent=2, default=str)
     print()
     ray.shutdown()

@@ -69,3 +69,52 @@ def test_job_tiered_mode(tmp_path):
     assert rep["n_input"] == 5
     assert rep["n_after_exact"] == 4          # the "a b" copy drops
     assert rep["tokens_removed_cut"] == 24    # the 12-token span, both docs
+
+
+def test_job_snapshot_dedup_pre_stage(tmp_path):
+    """--snapshot-dedup collapses canonical-url re-crawls before content
+    dedup, checkpoints under stage=snapshots, and a re-run resumes it."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["old capture words here", "new capture words here",
+             " ".join(f"u{i}" for i in range(20)),
+             " ".join(f"v{i}" for i in range(20))]
+    tbl = pa.table({
+        "url": pa.array(["https://a.test/p?utm_source=x",
+                         "https://a.test/p",
+                         "https://b.test/q", "https://c.test/r"],
+                        pa.string()),
+        "warc_ts": pa.array([100, 200, 50, 60], pa.timestamp("us")),
+        "html": pa.array([t.encode() for t in texts], pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string())})
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    pq.write_table(tbl, str(cdir / "part0.parquet"))
+    out = str(tmp_path / "out")
+
+    cmd = [sys.executable, "-m", "rensa_ray.job", "--snapshot-dedup",
+           "--input", str(cdir), "--out", out, "--num-cpus", "4"]
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=280, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout)
+    # 4 pages -> 3 after the snapshot tier (the utm alias collapses to
+    # the newest capture), and those 3 texts are mutually distinct
+    assert rep["rows"] == 3
+    assert rep["snapshot_stage"]["resumed"] is False
+    snap_texts = pq.read_table(f"{out}/stage=snapshots")["text"].to_pylist()
+    assert "new capture words here" in snap_texts
+    assert "old capture words here" not in snap_texts
+
+    proc2 = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=280, cwd="/root/repo")
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    rep2 = json.loads(proc2.stdout)
+    assert rep2["snapshot_stage"]["resumed"] is True
+    assert rep2["rows"] == 3
