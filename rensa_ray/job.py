@@ -294,6 +294,8 @@ def main(argv: list[str] | None = None) -> int:
 
         from .pipelines.weburl import keep_latest_snapshot
 
+        import pyarrow.parquet as _pq
+
         snap_dir = os.path.join(args.out, "stage=snapshots")
         done = os.path.join(snap_dir, "_DONE")
         if os.path.exists(done):
@@ -308,6 +310,16 @@ def main(argv: list[str] | None = None) -> int:
                 f.write("ok")
             snap_stage = {"resumed": False, "path": snap_dir,
                           "wall_sec": round(time.time() - t0, 3)}
+        # per-partition lineage from parquet footers, same accounting as
+        # the checkpointer stages (no Ray execution)
+        parts = {}
+        for f in sorted(os.listdir(snap_dir)):
+            if f.endswith(".parquet"):
+                fp = os.path.join(snap_dir, f)
+                parts[f] = {"rows": _pq.ParquetFile(fp).metadata.num_rows,
+                            "bytes": os.path.getsize(fp)}
+        snap_stage["rows"] = sum(p["rows"] for p in parts.values())
+        snap_stage["partitions"] = parts
         input_dir = snap_dir
 
     cfg = _auto_config(input_dir)

@@ -108,6 +108,9 @@ def test_job_snapshot_dedup_pre_stage(tmp_path):
     # the newest capture), and those 3 texts are mutually distinct
     assert rep["rows"] == 3
     assert rep["snapshot_stage"]["resumed"] is False
+    assert rep["snapshot_stage"]["rows"] == 3
+    assert sum(p["rows"] for p in
+               rep["snapshot_stage"]["partitions"].values()) == 3
     snap_texts = pq.read_table(f"{out}/stage=snapshots")["text"].to_pylist()
     assert "new capture words here" in snap_texts
     assert "old capture words here" not in snap_texts
