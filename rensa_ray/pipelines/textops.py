@@ -2223,3 +2223,66 @@ def source_report(sf_dir: str, num_parts: int = DEFAULT_PARTS):
             "mean_n_chars": pa.array(mean, pa.float64())})
 
     return folded.map_batches(_final, batch_format="pyarrow")
+
+
+def doc_ngram_novelty(sf_dir: str, ngram_size: int = 3,
+                      num_parts: int = DEFAULT_PARTS):
+    """Per-doc n-gram novelty: (doc_id, n_grams, novel_frac round 6) where
+    novel_frac is the fraction of the doc's DISTINCT n-grams whose
+    corpus-wide first appearance (minimum doc_id) is this doc — the
+    contribution-to-corpus signal that attributes dedup savings per doc
+    (a doc of all-novel grams is irreplaceable; near-zero novelty means
+    everything it says arrived earlier).
+
+    Two keyed shuffles: the shingle-hash partition holds each gram's full
+    posting list, so the first-appearance doc and per-doc (novel, total)
+    partials are computed in-partition; a doc-keyed fold sums partials.
+    Grams ride as 64-bit shingle hashes (the 2⁻⁶⁴ collision class every
+    shingle lane shares).
+    """
+    from .simjoin import _explode_distinct_shingles
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    exploded = ds.map_batches(
+        lambda b: _explode_distinct_shingles(b, ngram_size),
+        batch_format="pyarrow")
+
+    def _first(g: pa.Table) -> pa.Table:
+        from .common import run_ids
+
+        z = pa.array([], pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"doc_id": z, "novel": z, "cnt": z})
+        sh = np_col(g, "shingle").astype(np.uint64)
+        ids = np_col(g, "doc_id")
+        # sort each gram's run by doc id: the run head is the first
+        # appearance (explode emits one row per DISTINCT (doc, gram))
+        order, gid, counts = run_ids(sh, ids.astype(np.uint64),
+                                     n_group_keys=1)
+        ids_s = ids[order]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        novel = np.zeros(len(ids_s), np.int64)
+        novel[starts] = 1
+        per_doc = pa.TableGroupBy(
+            pa.table({"doc_id": pa.array(ids_s, pa.int64()),
+                      "novel": pa.array(novel, pa.int64()),
+                      "cnt": pa.array(np.ones(len(ids_s), np.int64))}),
+            "doc_id").aggregate([("novel", "sum"), ("cnt", "sum")])
+        return per_doc.rename_columns(["doc_id", "novel", "cnt"])
+
+    partial = partitionwise(exploded, _first, "shingle", num_parts)
+
+    def _fold(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "doc_id").aggregate(
+            [("novel", "sum"), ("cnt", "sum")]).rename_columns(
+            ["doc_id", "novel", "cnt"])
+        nv = np_col(agg, "novel").astype(np.float64)
+        ct = np_col(agg, "cnt").astype(np.float64)
+        # floor(x·1e6 + 0.5), not round(): integer ratios land exactly on
+        # half boundaries where numpy and DuckDB rounding rules differ
+        frac = np.floor(nv / ct * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": agg["doc_id"],
+                         "n_grams": agg["cnt"].cast(pa.int64()),
+                         "novel_frac": pa.array(frac, pa.float64())})
+
+    return partitionwise(partial, _fold, "doc_id", num_parts)

@@ -1553,3 +1553,28 @@ def test_weighted_sample_tie_keeps_smallest_ids(ray_session, tmp_path):
         str(tmp_path / "documents.parquet"))
     got = weighted_sample_by_quality(str(tmp_path), k=k).to_pandas()
     assert sorted(got["doc_id"].tolist()) == [0, 1, 2]
+
+
+def test_doc_ngram_novelty_planted(ray_session, tmp_path):
+    """Hand-computed novelty: the first doc owns all its grams, a verbatim
+    copy owns none, a half-overlapping doc owns exactly its new half."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import doc_ngram_novelty
+
+    base = "a b c d e"               # trigrams: abc, bcd, cde (3)
+    docs = [
+        (0, base),                   # all 3 novel
+        (1, base),                   # verbatim copy: 0 novel
+        (2, "c d e f g"),            # cde (seen), def, efg -> 2/3 novel
+        (3, "x y"),                  # <3 words: unigram fallback, 2 novel
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = (doc_ngram_novelty(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_grams"].tolist() == [3, 3, 3, 2]
+    assert got["novel_frac"].tolist() == [1.0, 0.0, round(2 / 3, 6), 1.0]
