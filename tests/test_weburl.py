@@ -130,3 +130,41 @@ def test_keep_latest_snapshot_null_url(ray_session, tmp_path):
     # both null urls canonicalize to "" -> one group, newest ts wins
     assert got["text"].tolist() == ["null-new", "real"]
     assert got["url"].tolist()[0] is None   # original null survives
+
+
+def test_keep_latest_snapshot_block_structure_invariant(ray_session, tmp_path):
+    """The elected winners are identical whether the corpus arrives as one
+    file or many small shards (different Ray block boundaries) — the
+    partitioning-independence contract every dedup lane carries."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.weburl import keep_latest_snapshot
+
+    rng = np.random.default_rng(41)
+    n = 200
+    rows = []
+    for i in range(n):
+        page = int(rng.integers(0, 60))          # ~3 snapshots per page
+        alias = ["", "?utm_source=x", "?gclid=7"][int(rng.integers(0, 3))]
+        rows.append((f"https://s{page % 7}.test/p{page}{alias}",
+                     int(rng.integers(0, 10_000)), f"capture {i}"))
+
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir()
+    many.mkdir()
+    tbl = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "text": pa.array([r[2] for r in rows], pa.string())})
+    pq.write_table(tbl, str(one / "all.parquet"))
+    for s in range(8):
+        pq.write_table(tbl.slice(s * 25, 25), str(many / f"p{s}.parquet"))
+
+    a = (keep_latest_snapshot(rd.read_parquet(str(one))).to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    b = (keep_latest_snapshot(rd.read_parquet(str(many))).to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    assert a.values.tolist() == b.values.tolist()
+    n_pages = len({u.split("?")[0] for u, _, _ in rows})
+    assert len(a) == n_pages
