@@ -27,6 +27,16 @@ from urllib.parse import parse_qsl, urlencode, urlsplit
 _TRACKING = ("fbclid", "gclid", "msclkid", "ref", "ref_src")
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# Already-canonical fast-path shape: lowercase http(s) scheme, lowercase
+# dotted host with no userinfo/port/trailing dot, slash-separated path
+# segments with no empty segment (//), no trailing slash, no query, no
+# fragment.  Every string matching this is a FIXED POINT of
+# ``canonicalize_url`` (pinned by a hypothesis property test), so the
+# batch kernel can skip the pure-python urlsplit for it — on a real crawl
+# that is the overwhelming majority of rows, and the check itself runs as
+# one vectorized RE2 pass over the Arrow column.
+FAST_CANONICAL_RE = r"^https?://[a-z0-9-]+(\.[a-z0-9-]+)*(/[^/?#\s]+)*$"
+
 
 def canonicalize_url(url: str) -> str:
     """One URL → its canonical form per the module policy; malformed

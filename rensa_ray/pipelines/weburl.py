@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.url import canonicalize_urls, registrable_domains
+from ..functions.url import registrable_domains
 from ..kernels.hashing import fxhash64_bytes_list
 from .common import np_col, partitionwise
 
@@ -36,8 +36,19 @@ def keep_latest_snapshot(ds, url_col: str = "url", ts_col: str = "warc_ts",
     """
 
     def _canon(batch: pa.Table) -> pa.Table:
-        urls = batch[url_col].to_pylist()
-        canon = canonicalize_urls(urls)
+        import pyarrow.compute as pc
+
+        from ..functions.url import FAST_CANONICAL_RE, canonicalize_url
+
+        # one vectorized RE2 pass marks already-canonical urls (proven
+        # fixed points); only the crawl-noise minority pays the
+        # pure-python urlsplit
+        filled = pc.fill_null(batch[url_col], "")
+        fast = pc.match_substring_regex(
+            filled, FAST_CANONICAL_RE).to_numpy(zero_copy_only=False)
+        urls = filled.to_pylist()
+        canon = [u if f else canonicalize_url(u)
+                 for u, f in zip(urls, fast)]
         key = fxhash64_bytes_list([c.encode("utf-8") for c in canon])
         return (batch.append_column("__canon", pa.array(canon, pa.string()))
                      .append_column("__key", pa.array(key, pa.uint64())))

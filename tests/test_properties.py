@@ -332,3 +332,19 @@ def test_registrable_domain_total_and_suffix(url):
     assert isinstance(d, str)
     assert h.endswith(d)
     assert d == "" or len(d.split(".")) <= 2
+
+
+@settings(**SETTINGS)
+@given(st.from_regex(r"https?://[a-z0-9-]{1,10}(\.[a-z0-9-]{1,8}){0,3}"
+                     r"(/[a-zA-Z0-9%._~!$&'()*+,;=:@-]{1,12}){0,4}",
+                     fullmatch=True))
+def test_fast_canonical_shape_is_a_fixed_point(url):
+    """Every string matching FAST_CANONICAL_RE must be a fixed point of
+    canonicalize_url — the batch kernel skips urlsplit for matches, so a
+    counterexample here would silently split snapshot groups."""
+    import re
+
+    from rensa_ray.functions.url import FAST_CANONICAL_RE, canonicalize_url
+
+    if re.fullmatch(FAST_CANONICAL_RE[1:-1], url):
+        assert canonicalize_url(url) == url
