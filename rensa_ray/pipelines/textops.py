@@ -1993,7 +1993,10 @@ def doc_unigram_logprob(sf_dir: str, num_parts: int = DEFAULT_PARTS):
         return pa.table({
             "doc_id": agg["doc_id"],
             "n_tokens": agg["nt"].cast(pa.int64()),
-            "mean_logprob": pa.array(np.round(s / n - ln_t, 6), pa.float64())})
+            # floor(x·1e6 + 0.5) on BOTH sides (repo oracle convention):
+            # numpy half-even and DuckDB round() disagree on half boundaries
+            "mean_logprob": pa.array(
+                np.floor((s / n - ln_t) * 1e6 + 0.5) / 1e6, pa.float64())})
 
     return partitionwise(partial, _per_doc, "doc_id", num_parts)
 

@@ -22,12 +22,27 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def compare(name: str, got, sql: str | None, con) -> str:
-    got_df = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    import pyarrow as pa
+
+    got_tbl = (pa.Table.from_pandas(got, preserve_index=False)
+               if isinstance(got, pd.DataFrame) else got)
+    got_df = got_tbl.to_pandas()
     if sql is None:
         return f"rows-only: {len(got_df)} rows"
-    want_df = con.execute(sql).arrow().to_pandas()
+    want_tbl = con.execute(sql).arrow()
+    want_df = want_tbl.to_pandas()
     if sorted(got_df.columns) != sorted(want_df.columns):
         return f"SCHEMA MISMATCH got={list(got_df.columns)} want={list(want_df.columns)}"
+    # dtype-EXACT: the driver's value hash is over raw Arrow values, so a
+    # decimal128-vs-int64 or float32-vs-float64 drift hash-mismatches even
+    # when every value is equal (round-4 dedup_savings red row).  Fail it
+    # locally before the driver sees it.
+    got_types = {f.name: f.type for f in got_tbl.schema}
+    want_types = {f.name: f.type for f in want_tbl.schema}
+    bad_types = {c: (str(got_types[c]), str(want_types[c]))
+                 for c in got_types if got_types[c] != want_types[c]}
+    if bad_types:
+        return f"DTYPE MISMATCH (got, want): {bad_types}"
     cols = sorted(got_df.columns)
     g = got_df[cols].sort_values(cols).reset_index(drop=True)
     w = want_df[cols].sort_values(cols).reset_index(drop=True)
