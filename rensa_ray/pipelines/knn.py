@@ -87,6 +87,44 @@ def _load_matrix_local(sf_dir: str, max_vec_id: int | None = None):
     return ids, _emb_matrix(tbl)
 
 
+BROADCAST_BUDGET_ENV = "RENSA_BROADCAST_BUDGET_BYTES"
+# 1 GiB default ≈ the documented ~10⁶-vector × 128-dim float64 bound of the
+# exact broadcast lanes; above it the auto-tier dispatches to the
+# partitioned formulation instead of ray.put-ing the corpus.
+DEFAULT_BROADCAST_BUDGET = 1 << 30
+
+
+def _broadcast_budget(override: int | None = None) -> int:
+    import os
+
+    if override is not None:
+        return int(override)
+    try:
+        return int(os.environ.get(BROADCAST_BUDGET_ENV,
+                                  DEFAULT_BROADCAST_BUDGET))
+    except ValueError:  # garbage env value → documented default
+        return DEFAULT_BROADCAST_BUDGET
+
+
+def _estimate_corpus_matrix_bytes(sf_dir: str) -> int:
+    """Size of the normalized float64 corpus matrix a broadcast lane would
+    ``ray.put`` — estimated from parquet METADATA (row count + embedding
+    dim), no data read, so the guardrail itself is O(footer) at any scale."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/{EMB_FILE}")
+    n = pf.metadata.num_rows
+    t = pf.schema_arrow.field("embedding").type
+    if pa.types.is_fixed_size_list(t):
+        dim = t.list_size
+    else:
+        head = next(pf.iter_batches(batch_size=1, columns=["embedding"]),
+                    None)
+        dim = (len(head.column(0)[0])
+               if head is not None and head.num_rows else 0)
+    return int(n) * max(int(dim), 1) * 8
+
+
 def cosine_topk(sf_dir: str, k: int = 5, num_queries: int = 10) -> pa.Table:
     """Exact cosine top-k neighbors for query vectors (vec_id < num_queries).
 
@@ -313,9 +351,24 @@ def cosine_topk_ivf(sf_dir: str, k: int = 5, num_queries: int = 10,
     return _reduce_topk(ds, k)
 
 
-def cosine_pairs(sf_dir: str, threshold: float = 0.9):
-    """Exact all-pairs (id_a < id_b, cosine ≥ threshold) — broadcast join."""
+def cosine_pairs(sf_dir: str, threshold: float = 0.9,
+                 broadcast_budget_bytes: int | None = None):
+    """Exact all-pairs (id_a < id_b, cosine ≥ threshold).
+
+    Auto-tiered (VERDICT r4 #3): below the broadcast budget
+    (``RENSA_BROADCAST_BUDGET_BYTES``, default 1 GiB ≈ the documented
+    ~10⁶-vector bound) the corpus matrix is ``ray.put`` once and each
+    block emits its pairs from one block × corpus matmul; above it the
+    SAME exact semantics run through ``cosine_pairs_partitioned`` — no
+    broadcast, cell-keyed shuffles — instead of silently scale-killing.
+    ``cosine_pairs_lsh`` remains the approximate scale path when exactness
+    can be traded for less shuffle volume.
+    """
     import ray
+
+    if _estimate_corpus_matrix_bytes(sf_dir) > \
+            _broadcast_budget(broadcast_budget_bytes):
+        return cosine_pairs_partitioned(sf_dir, threshold)
 
     ids, mat = _load_matrix_local(sf_dir)
     ref = ray.put((ids, _normalize(mat)))
@@ -335,6 +388,98 @@ def cosine_pairs(sf_dir: str, threshold: float = 0.9):
 
     return _read_embeddings(sf_dir).map_batches(
         pair_emitter, batch_format="pyarrow", batch_size=2048)
+
+
+def cosine_pairs_partitioned(sf_dir: str, threshold: float = 0.9,
+                             num_centroids: int = 16, seed: int = 42,
+                             sample_rows: int = 20000, num_parts: int = 32):
+    """EXACT all-pairs cosine ≥ threshold with NO corpus broadcast — the
+    over-budget tier of ``cosine_pairs``.
+
+    Full-probe IVF shape (same trick as ``knn_graph_ivf`` at
+    nprobe == num_centroids, where it is proven exact): every vector is
+    exploded to ALL C cells as a query and to its HOME cell (nearest
+    centroid) as a member; per cell one queries × members matmul emits
+    (query_id < member_id, cos ≥ threshold) pairs.  A pair (a < b) is
+    emitted exactly once — in b's home cell with a as query (the reverse
+    orientation fails the id ordering) — so no dedup pass is needed.
+
+    Cost model vs the broadcast lane: total matmul work is the same
+    O(N²·dim); what changes is that no task ever holds the corpus — the
+    price is C× replication of the vectors through one cell-keyed
+    shuffle, so keep ``num_centroids`` modest.  Exactness does not depend
+    on centroid quality (every cell is probed); centroids only balance
+    partition sizes.
+    """
+    cents = _train_centroids(_sample_embeddings(sf_dir, sample_rows),
+                             num_centroids, seed)
+    C = len(cents)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    if C == 0:
+        return empty
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        if m.size == 0:
+            val_t = batch.schema.field("embedding").type.value_type
+            return pa.table({"cell": pa.array([], pa.uint64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "is_member": pa.array([], pa.bool_()),
+                             "emb": pa.array([], pa.list_(val_t))})
+        ids = np_col(batch, "vec_id")
+        n, dim = m.shape
+        mn = _normalize(m)
+        home = np.argmax(mn @ cents.T, axis=1).astype(np.uint64)
+        flat = (batch["embedding"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False))
+        # every vector → C query rows; member only in the home cell
+        tiled = np.repeat(flat.reshape(n, dim), C, axis=0).reshape(-1)
+        cells = np.tile(np.arange(C, dtype=np.uint64), n)
+        member = cells == np.repeat(home, C)
+        rows = n * C
+        pa_val_t = pa.from_numpy_dtype(tiled.dtype)
+        emb_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (rows + 1) * dim, dim), pa.int32()),
+            pa.array(tiled, pa_val_t))
+        return pa.table({"cell": pa.array(cells),
+                         "vec_id": pa.array(np.repeat(ids, C), pa.int64()),
+                         "is_member": pa.array(member),
+                         "emb": emb_col})
+
+    exploded = _read_embeddings(sf_dir).map_batches(
+        _explode, batch_format="pyarrow", batch_size=4096)
+
+    def _cell_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        cell = np_col(g, "cell").astype(np.uint64)
+        ids = np_col(g, "vec_id")
+        is_mem = np_col(g, "is_member") > 0
+        emb = g["emb"].combine_chunks()
+        m = _normalize(emb.flatten().to_numpy(zero_copy_only=False)
+                       .reshape(n, -1).astype(np.float64))
+        order, gid, counts = run_ids(cell)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        a_l, b_l = [], []
+        for s, c in zip(starts, counts):
+            sel = order[s:s + c]
+            mem = sel[is_mem[sel]]
+            if len(mem) == 0:
+                continue
+            scores = m[sel] @ m[mem].T                        # (q, mem)
+            mask = (scores >= threshold) & \
+                (ids[sel][:, None] < ids[mem][None, :])
+            qi, mi = np.nonzero(mask)
+            a_l.append(ids[sel][qi])
+            b_l.append(ids[mem][mi])
+        if not a_l:
+            return empty
+        return pa.table({"id_a": pa.array(np.concatenate(a_l), pa.int64()),
+                         "id_b": pa.array(np.concatenate(b_l), pa.int64())})
+
+    return partitionwise(exploded, _cell_pairs, "cell", num_parts)
 
 
 def _hyperplanes(dim: int, num_bits: int, num_tables: int, seed: int) -> np.ndarray:
@@ -894,7 +1039,8 @@ def embedding_pca_project(sf_dir: str, num_components: int = 8):
     return ds.map_batches(_project, batch_format="pyarrow")
 
 
-def knn_graph(sf_dir: str, k: int = 5):
+def knn_graph(sf_dir: str, k: int = 5,
+              broadcast_budget_bytes: int | None = None):
     """Exact k-nearest-neighbor GRAPH over the embedding column:
     (vec_id, neighbor_id, rank) for EVERY vector, rank 1..k ordered by
     (cosine desc, neighbor_id asc), self excluded — the all-vectors
@@ -905,11 +1051,22 @@ def knn_graph(sf_dir: str, k: int = 5):
     matrix) is ``ray.put`` once; each block computes one block x corpus
     matmul and — because the FULL corpus is present in the task — its
     rows' COMPLETE top-k locally.  No driver reduce, the graph streams
-    out as a Dataset.  Exact lane, bounded by the broadcastable corpus
-    (~10^6 x dim floats in plasma, same documented bound as
-    ``cosine_pairs``); ``knn_graph_ivf`` is the 10^12-vector scale path.
+    out as a Dataset.
+
+    Auto-tiered (VERDICT r4 #3): above the broadcast budget
+    (``RENSA_BROADCAST_BUDGET_BYTES``, default 1 GiB ≈ the documented
+    ~10⁶-vector bound) the call dispatches to ``knn_graph_ivf`` at
+    nprobe == num_centroids — the full-probe configuration that is
+    PROVEN equal to this exact lane (pytest) but broadcasts nothing.
+    Approximate ``knn_graph_ivf`` with partial nprobe remains the
+    10^12-vector scale path when exact full-probe cost is too high.
     """
     import ray
+
+    if _estimate_corpus_matrix_bytes(sf_dir) > \
+            _broadcast_budget(broadcast_budget_bytes):
+        ncent = 16
+        return knn_graph_ivf(sf_dir, k=k, num_centroids=ncent, nprobe=ncent)
 
     ids_all, mat = _load_matrix_local(sf_dir)
     order0 = np.argsort(ids_all, kind="stable")  # sorted once: O(B) self-

@@ -41,12 +41,34 @@ class StreamingDedupStage:
 
     _GROW = 4096  # signature-store growth quantum (rows)
 
+    # Enforced state bound (VERDICT r4 #7): the actor holds the GLOBAL
+    # index — signatures (num_perm × 4 B/doc) + band tables — so the
+    # "modest corpus sizes" caveat (SURVEY §3.2) is a hard contract, not
+    # an assumption.  Default 2M stored docs ≈ 1 GB of signatures at
+    # num_perm=128; override per-corpus via the constructor or
+    # RENSA_STREAM_MAX_DOCS.  On reaching the bound the actor REFUSES
+    # (raises) rather than silently degrading first-wins semantics — the
+    # unbounded-corpus path is incremental_dedup_against_checkpoint /
+    # the batch shuffle in pipelines.dedup.
+    DEFAULT_MAX_DOCS = 2_000_000
+
     def __init__(self, threshold: float = 0.8, num_perm: int = 128,
                  num_bands: int | None = None, seed: int = 42,
                  ngram_size: int = 3, id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text", max_docs: int | None = None):
         if not (0.0 < threshold <= 1.0):
             raise ValueError("threshold must be in (0, 1]")
+        if max_docs is None:
+            import os
+
+            try:
+                max_docs = int(os.environ.get("RENSA_STREAM_MAX_DOCS",
+                                              self.DEFAULT_MAX_DOCS))
+            except ValueError:
+                max_docs = self.DEFAULT_MAX_DOCS
+        if max_docs <= 0:
+            raise ValueError("max_docs must be positive")
+        self.max_docs = max_docs
         nb = num_bands if num_bands is not None else default_num_bands(
             threshold, num_perm)
         if num_perm % nb != 0:
@@ -73,6 +95,17 @@ class StreamingDedupStage:
 
     # ------------------------------------------------------------ internals
     def _insert(self, key: str, sig_row: np.ndarray, bh_row: np.ndarray) -> None:
+        if self._n >= self.max_docs:
+            sig_mb = self._n * self.num_perm * 4 / 1e6
+            raise RuntimeError(
+                f"StreamingDedupStage state bound reached: {self._n} stored "
+                f"unique docs (max_docs={self.max_docs}, ~{sig_mb:.0f} MB of "
+                f"signatures alone).  The arrival-order actor holds the "
+                f"GLOBAL index and is the modest-corpus lane by contract "
+                f"(SURVEY §3.2); raise RENSA_STREAM_MAX_DOCS only with the "
+                f"memory to back it, or use "
+                f"incremental_dedup_against_checkpoint / pipelines.dedup "
+                f"for unbounded corpora.")
         if self._n == len(self._sigs):
             grown = np.empty((len(self._sigs) + max(self._GROW, len(self._sigs) // 2),
                               self.num_perm), dtype=np.uint32)

@@ -388,6 +388,41 @@ def test_streaming_stage_batched_matches_scalar_deduplicator():
     assert stage(empty).num_rows == 0
 
 
+def test_streaming_stage_state_bound(monkeypatch):
+    """VERDICT r4 #7: the actor's global index is BOUNDED by contract.
+    Planted over-budget stream: unique docs past max_docs raise with a
+    message naming the scale path; duplicates never count toward the
+    bound; the env knob feeds the default."""
+    import pytest
+
+    from rensa_ray.state.stream import StreamingDedupStage
+
+    stage = StreamingDedupStage(threshold=0.8, max_docs=5)
+    uniq = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(5)]
+    b = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(uniq)})
+    assert stage(b)["is_dup"].to_pylist() == [False] * 5
+    # duplicates of stored docs are flagged, not stored — under the bound
+    assert stage(pa.table({"doc_id": pa.array([100, 101], pa.int64()),
+                           "text": pa.array([uniq[0], uniq[3]])})
+                 )["is_dup"].to_pylist() == [True, True]
+    # the 6th UNIQUE doc breaches the bound: refuse, don't degrade
+    over = pa.table({"doc_id": pa.array([200], pa.int64()),
+                     "text": pa.array([" ".join(
+                         f"q{j}" for j in range(30))])})
+    with pytest.raises(RuntimeError, match="state bound"):
+        stage(over)
+
+    # env knob feeds the default; garbage falls back; zero refused
+    monkeypatch.setenv("RENSA_STREAM_MAX_DOCS", "7")
+    assert StreamingDedupStage().max_docs == 7
+    monkeypatch.setenv("RENSA_STREAM_MAX_DOCS", "junk")
+    assert StreamingDedupStage().max_docs \
+        == StreamingDedupStage.DEFAULT_MAX_DOCS
+    with pytest.raises(ValueError, match="max_docs"):
+        StreamingDedupStage(max_docs=0)
+
+
 def test_substring_dup_spans_planted(ray_session, tmp_path):
     """Exact span lane: planted cross-doc run + self-repeat + empty doc;
     the SA lane equals it at one partition and is a subset at many."""
@@ -946,6 +981,79 @@ def test_knn_graph_ivf_recall_on_clustered_data(ray_session, tmp_path):
     a = {tuple(r) for r in ivf[["vec_id", "neighbor_id"]]
          .itertuples(index=False)}
     assert len(a & e) / len(e) >= 0.9
+
+
+def test_knn_graph_auto_tiers_over_budget(ray_session, tmp_path, monkeypatch):
+    """Planted over-budget corpus (budget = 1 byte): knn_graph must take the
+    partitioned full-probe path — proven by poisoning the driver-side
+    broadcast loader — and still equal the exact in-budget lane."""
+    from rensa_ray.pipelines import knn
+
+    rng = np.random.default_rng(31)
+    pts = rng.normal(0, 1, (90, 8))
+    _write_emb(tmp_path, pts)
+
+    exact = (knn.knn_graph(str(tmp_path), k=4).to_pandas()
+             .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+
+    def _boom(*a, **kw):  # the broadcast path would call this on the driver
+        raise AssertionError("broadcast loader used despite over-budget")
+
+    monkeypatch.setattr(knn, "_load_matrix_local", _boom)
+    tiered = (knn.knn_graph(str(tmp_path), k=4, broadcast_budget_bytes=1)
+              .to_pandas().sort_values(["vec_id", "rank"])
+              .reset_index(drop=True))
+    assert tiered.values.tolist() == exact.values.tolist()
+
+
+def test_cosine_pairs_auto_tiers_over_budget(ray_session, tmp_path,
+                                             monkeypatch):
+    """Same guardrail for cosine_pairs: over budget, the exact partitioned
+    formulation (full-probe cells, no broadcast) produces the identical
+    pair set."""
+    from rensa_ray.pipelines import knn
+
+    rng = np.random.default_rng(37)
+    centers = rng.normal(0, 3, (5, 8))
+    pts = centers[rng.integers(0, 5, 120)] + rng.normal(0, 0.3, (120, 8))
+    _write_emb(tmp_path, pts)
+
+    exact = {tuple(r) for r in
+             knn.cosine_pairs(str(tmp_path), threshold=0.9).to_pandas()
+             .itertuples(index=False)}
+    assert exact  # planted clusters must produce pairs or the test is vacuous
+
+    def _boom(*a, **kw):
+        raise AssertionError("broadcast loader used despite over-budget")
+
+    monkeypatch.setattr(knn, "_load_matrix_local", _boom)
+    tiered = {tuple(r) for r in
+              knn.cosine_pairs(str(tmp_path), threshold=0.9,
+                               broadcast_budget_bytes=1).to_pandas()
+              .itertuples(index=False)}
+    assert tiered == exact
+    # a pair must never be double-emitted by the cell formulation
+    got = knn.cosine_pairs_partitioned(str(tmp_path),
+                                       threshold=0.9).to_pandas()
+    assert not got.duplicated().any()
+
+
+def test_broadcast_budget_knob(monkeypatch, tmp_path):
+    """Env knob + metadata-only size estimate."""
+    from rensa_ray.pipelines import knn
+
+    monkeypatch.delenv(knn.BROADCAST_BUDGET_ENV, raising=False)
+    assert knn._broadcast_budget() == knn.DEFAULT_BROADCAST_BUDGET
+    monkeypatch.setenv(knn.BROADCAST_BUDGET_ENV, "12345")
+    assert knn._broadcast_budget() == 12345
+    monkeypatch.setenv(knn.BROADCAST_BUDGET_ENV, "garbage")
+    assert knn._broadcast_budget() == knn.DEFAULT_BROADCAST_BUDGET
+    assert knn._broadcast_budget(77) == 77  # explicit override wins
+
+    pts = np.zeros((40, 8))
+    _write_emb(tmp_path, pts)
+    # 40 rows x 8 dims x 8 bytes (normalized float64 broadcast matrix)
+    assert knn._estimate_corpus_matrix_bytes(str(tmp_path)) == 40 * 8 * 8
 
 
 def test_tfidf_cosine_pairs_matches_numpy(ray_session, tmp_path):
