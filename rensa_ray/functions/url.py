@@ -8,9 +8,14 @@ blocklists) agrees on what "the same page" means:
 - scheme and host lowercased; userinfo dropped; default ports (:80 http,
   :443 https) dropped;
 - fragments dropped;
-- tracking query parameters dropped (``utm_*``, ``fbclid``, ``gclid``,
-  ``msclkid``, ``ref``, ``ref_src``) — the crawl-noise class that makes one
-  page look like many;
+- tracking query parameters dropped (``utm_*`` and the ``*clid``
+  click-tracking ids by default) — the crawl-noise class that makes one
+  page look like many.  The default set contains ONLY unambiguous
+  click-tracking keys: the bare ``ref`` key in particular is semantically
+  load-bearing on many sites (git-hosting refs, API object references),
+  and dropping it would merge genuinely distinct pages which the snapshot
+  dedup then permanently discards.  The key set is a parameter of
+  ``canonicalize_url`` so a caller can tune it per corpus;
 - remaining query parameters sorted by (key, value) so parameter order
   cannot split a page;
 - path ``//`` runs collapsed; a trailing slash on a non-root path dropped.
@@ -24,7 +29,10 @@ from __future__ import annotations
 
 from urllib.parse import parse_qsl, urlencode, urlsplit
 
-_TRACKING = ("fbclid", "gclid", "msclkid", "ref", "ref_src")
+# Unambiguous click-tracking keys only (ADVICE r4: the bare 'ref' key is
+# load-bearing on many sites and must NOT be stripped by default).
+DEFAULT_TRACKING_KEYS = frozenset(("fbclid", "gclid", "msclkid", "twclid",
+                                   "yclid", "dclid"))
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 # Already-canonical fast-path shape: lowercase http(s) scheme, lowercase
@@ -38,10 +46,12 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 FAST_CANONICAL_RE = r"^https?://[a-z0-9-]+(\.[a-z0-9-]+)*(/[^/?#\s]+)*$"
 
 
-def canonicalize_url(url: str) -> str:
+def canonicalize_url(url: str, tracking_keys=DEFAULT_TRACKING_KEYS) -> str:
     """One URL → its canonical form per the module policy; malformed
     inputs come back stripped-but-unparsed rather than raising (a crawl
-    always contains garbage rows)."""
+    always contains garbage rows).  ``tracking_keys`` is the exact-match
+    query-key drop set (``utm_*`` is always dropped by prefix); pass a
+    wider set to reproduce an aggressive per-corpus policy."""
     try:
         parts = urlsplit(url.strip())
         # .port parses lazily and raises on garbage ('host:bad', ':1e9') —
@@ -60,7 +70,7 @@ def canonicalize_url(url: str) -> str:
     if len(path) > 1 and path.endswith("/"):
         path = path[:-1]
     q = [(k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
-         if not k.startswith("utm_") and k not in _TRACKING]
+         if not k.startswith("utm_") and k not in tracking_keys]
     query = urlencode(sorted(q))
     out = f"{scheme}://{netloc}{path}" if scheme else f"{netloc}{path}"
     return f"{out}?{query}" if query else out

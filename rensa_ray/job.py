@@ -298,16 +298,24 @@ def main(argv: list[str] | None = None) -> int:
 
         snap_dir = os.path.join(args.out, "stage=snapshots")
         done = os.path.join(snap_dir, "_DONE")
+        # the _DONE marker records WHICH input the snapshots came from, so
+        # a resume with a different --input recomputes instead of silently
+        # reusing another corpus's snapshot stage (ADVICE r4)
+        fingerprint = os.path.abspath(input_dir)
+        resumed = False
         if os.path.exists(done):
+            with open(done) as f:
+                resumed = f.read().strip() == fingerprint
+        if resumed:
             snap_stage = {"resumed": True, "path": snap_dir}
         else:
-            if os.path.isdir(snap_dir):  # stale partial from a kill
+            if os.path.isdir(snap_dir):  # stale partial / other-input stage
                 shutil.rmtree(snap_dir)
             t0 = time.time()
             keep_latest_snapshot(
                 rd.read_parquet(input_dir)).write_parquet(snap_dir)
             with open(done, "w") as f:
-                f.write("ok")
+                f.write(fingerprint)
             snap_stage = {"resumed": False, "path": snap_dir,
                           "wall_sec": round(time.time() - t0, 3)}
         # per-partition lineage from parquet footers, same accounting as

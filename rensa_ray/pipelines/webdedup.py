@@ -88,7 +88,8 @@ def extract_text(ds, html_col: str = "html", text_col: str = "text"):
 class _Checkpointer:
     """Stage-level checkpoint/resume: parquet dir + _SUCCESS + manifest entry."""
 
-    def __init__(self, out_dir: str, num_blocks: int | None = None):
+    def __init__(self, out_dir: str, num_blocks: int | None = None,
+                 effective_input: dict | None = None):
         self.out_dir = out_dir
         # blocks-per-stage hint: keeping block count ≈ shuffle partition
         # count (not #files) keeps the sort's map×reduce fan-out quadratic
@@ -104,6 +105,34 @@ class _Checkpointer:
                     self.manifest = json.load(f)
             except Exception:
                 pass
+        # ADVICE r4: _SUCCESS alone does not identify WHAT a stage was
+        # computed from — resuming into an --out whose checkpoints came
+        # from a different effective input (e.g. --snapshot-dedup toggled)
+        # would silently reuse stale downstream stages.  Record the
+        # effective input in the manifest and REFUSE resume on mismatch.
+        if effective_input is not None:
+            stored = self.manifest.get("effective_input")
+            if (stored is not None and stored != effective_input
+                    and self._any_stage_finished()):
+                raise ValueError(
+                    f"checkpoint dir {out_dir!r} holds stages computed from "
+                    f"a different effective input {stored!r} (current: "
+                    f"{effective_input!r}) — resuming would silently reuse "
+                    f"stale results.  Use a fresh --out or delete the "
+                    f"stage=* checkpoints.")
+            self.manifest["effective_input"] = effective_input
+            with open(self.manifest_path, "w") as f:
+                json.dump(self.manifest, f, indent=2)
+
+    def _any_stage_finished(self) -> bool:
+        try:
+            entries = os.listdir(self.out_dir)
+        except OSError:  # pragma: no cover
+            return False
+        return any(
+            e.startswith("stage=")
+            and os.path.exists(os.path.join(self.out_dir, e, "_SUCCESS"))
+            for e in entries)
 
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.out_dir, f"stage={name}")
@@ -186,7 +215,14 @@ def run_web_dedup(input_path: str, out_dir: str, cfg: DedupConfig | None = None,
     cfg = cfg or DedupConfig.from_env(id_col=UID_COL, text_col="text")
     if cfg.id_col != UID_COL:
         cfg = DedupConfig(**{**cfg.__dict__, "id_col": UID_COL})
-    ck = _Checkpointer(out_dir, num_blocks=cfg.num_parts) if checkpoint else None
+    # the fingerprint that must match for a resume to be valid: the actual
+    # input path (distinguishes a --snapshot-dedup pre-staged input from
+    # the raw corpus) + the extraction mode
+    effective_input = {"input": os.path.abspath(input_path),
+                       "use_html": bool(use_html)}
+    ck = (_Checkpointer(out_dir, num_blocks=cfg.num_parts,
+                        effective_input=effective_input)
+          if checkpoint else None)
 
     cols = ["url", "html"] if use_html else ["url", "text"]
 

@@ -58,8 +58,17 @@ def keep_latest_snapshot(ds, url_col: str = "url", ts_col: str = "warc_ts",
     def _elect(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return g.drop_columns(["__canon", "__key"])
+        import pyarrow.compute as pc
+
         canon = g["__canon"].to_numpy(zero_copy_only=False)
-        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
+        # crawl garbage tolerance: a null warc_ts must not abort the stage
+        # (to_numpy raises ArrowInvalid on nulls).  Coalesce for the SORT
+        # KEY only — int64 min+1, NOT min: the lexsort key below negates,
+        # and -int64.min wraps back to int64.min (the null capture would
+        # WIN); -(min+1) == max, so a null-ts capture deterministically
+        # loses to any dated one.  The output row keeps its null.
+        ts = pc.fill_null(g[ts_col].combine_chunks().cast(pa.int64()),
+                          np.iinfo(np.int64).min + 1).to_numpy()
         # null urls (canonicalized to "" upstream) must not poison the
         # object-array lexsort tiebreak — coalesce for the SORT KEY only,
         # output rows keep their original null

@@ -42,6 +42,38 @@ def test_webdedup_resume_skips_finished_stages(ray_session, tmp_path):
     pd.testing.assert_frame_equal(df1, df2)
 
 
+def test_webdedup_refuses_resume_on_changed_input(ray_session, tmp_path):
+    """ADVICE r4: _SUCCESS alone keyed the resume, so rerunning into an
+    --out whose checkpoints came from a DIFFERENT effective input (e.g.
+    --snapshot-dedup toggled, which swaps the input dir) silently reused
+    stale stages.  Contract now: the manifest records the effective input
+    and a mismatched resume is refused with a clear error; same-input
+    resume and use_html flips are each their own fingerprint."""
+    import pytest
+
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.pipelines.webdedup import run_web_dedup
+    from rensa_ray.sources.corpus import write_corpus
+
+    cdir_a, _ = write_corpus(str(tmp_path / "corpus_a"), n_docs=120, seed=7)
+    cdir_b, _ = write_corpus(str(tmp_path / "corpus_b"), n_docs=120, seed=8)
+    out_dir = str(tmp_path / "out")
+    cfg = DedupConfig(id_col="uid", num_parts=4, concurrency=None)
+
+    run_web_dedup(cdir_a, out_dir, cfg)
+    # same effective input → normal resume
+    run_web_dedup(cdir_a, out_dir, cfg)
+    # different input dir → refuse, do not silently reuse stale stages
+    with pytest.raises(ValueError, match="different effective input"):
+        run_web_dedup(cdir_b, out_dir, cfg)
+    # same dir but flipped extraction mode is a different effective input
+    with pytest.raises(ValueError, match="different effective input"):
+        run_web_dedup(cdir_a, out_dir, cfg, use_html=True)
+    # a fresh out dir accepts the new input
+    out_b, _ = run_web_dedup(cdir_b, str(tmp_path / "out_b"), cfg)
+    assert out_b.count() == 120
+
+
 def test_webdedup_full_restart_is_noop(ray_session, tmp_path):
     from rensa_ray.pipelines.dedup import DedupConfig
     from rensa_ray.pipelines.webdedup import run_web_dedup

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -28,6 +29,14 @@ def test_canonicalize_url_policy():
     assert canonicalize_url("https://h/p?b=&a=") == "https://h/p?a=&b="
     # garbage comes back stripped, not raised
     assert canonicalize_url("  not a url  ") == "not a url"
+    # ADVICE r4: the bare 'ref' key is load-bearing (git refs, API object
+    # references) and must SURVIVE default canonicalization …
+    assert canonicalize_url("https://h/repo?ref=main") \
+        == "https://h/repo?ref=main"
+    # … while an explicit per-corpus key set can still drop it
+    assert canonicalize_url("https://h/repo?ref=main",
+                            tracking_keys=frozenset({"ref"})) \
+        == "https://h/repo"
 
 
 def test_domain_helpers():
@@ -130,6 +139,35 @@ def test_keep_latest_snapshot_null_url(ray_session, tmp_path):
     # both null urls canonicalize to "" -> one group, newest ts wins
     assert got["text"].tolist() == ["null-new", "real"]
     assert got["url"].tolist()[0] is None   # original null survives
+
+
+def test_keep_latest_snapshot_null_ts(ray_session, tmp_path):
+    """Regression (ADVICE r4): a null warc_ts raised ArrowInvalid in the
+    election's cast().to_numpy(), aborting the whole pre-stage on one
+    garbage row.  Contract: a null-ts capture deterministically LOSES to
+    any dated capture of the same page; output rows keep their null; an
+    all-null group still elects exactly one row (url tiebreak)."""
+    import ray.data as rd
+
+    from rensa_ray.pipelines.weburl import keep_latest_snapshot
+
+    tbl = pa.table({
+        "url": pa.array(["https://a.test/p", "https://a.test/p?utm_x=1",
+                         "https://b.test/q?utm_2=2", "https://b.test/q?utm_1=1"],
+                        pa.string()),
+        "warc_ts": pa.array([7, None, None, None], pa.timestamp("us")),
+        "text": pa.array(["dated", "null-ts", "null-b", "null-a"],
+                         pa.string())})
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(tbl, path)
+    got = (keep_latest_snapshot(rd.read_parquet(path)).to_pandas()
+           .sort_values("text").reset_index(drop=True))
+    # group a: the dated capture beats the null-ts alias; group b (all
+    # null): smallest original url wins, null survives in the output
+    assert got["text"].tolist() == ["dated", "null-a"]
+    assert got["url"].tolist() == ["https://a.test/p",
+                                   "https://b.test/q?utm_1=1"]
+    assert pd.isna(got["warc_ts"].tolist()[1])
 
 
 def test_keep_latest_snapshot_block_structure_invariant(ray_session, tmp_path):
