@@ -89,6 +89,30 @@ def test_demoted_oracle_entries_are_a_documented_minimum():
         assert DRIVER_WINDOW <= names.index(k) < len(oracle)
 
 
+def test_doc_counts_match_registry():
+    """VERDICT r4 #8: COVERAGE.md / README registry counts went stale when
+    the registry grew.  Pin the documented counts to the live registry so
+    a future insertion fails this test instead of shipping stale docs."""
+    import os
+    import re
+
+    names, oracle = _registry()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname, pattern in (
+            ("COVERAGE.md", r"(\d+) queries / (\d+)\s*\n?oracle-paired"),
+            ("README.md", r"`queries\(\)` \((\d+) operators\).*?"
+                          r"(\d+) SQL-expressible")):
+        with open(os.path.join(repo, fname)) as f:
+            text = f.read()
+        m = re.search(pattern, text, re.DOTALL)
+        assert m, f"{fname}: registry-count sentence not found"
+        assert int(m.group(1)) == len(names), (
+            f"{fname} says {m.group(1)} queries; registry has {len(names)}")
+        assert int(m.group(2)) == len(oracle), (
+            f"{fname} says {m.group(2)} oracle-paired; registry has "
+            f"{len(oracle)}")
+
+
 def test_registry_names_are_unique_and_callable():
     names, _ = _registry()
     assert len(names) == len(set(names))
