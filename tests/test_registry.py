@@ -120,3 +120,24 @@ def test_registry_names_are_unique_and_callable():
 
     q = entry.queries()
     assert all(callable(v) for v in q.values())
+
+
+def test_bench_headline_lanes_exist_in_registry():
+    """bench.py's suite indexes queries() by name; a lane rename that
+    misses bench.py would crash the per-round bench artifact run."""
+    import ast
+    import os
+
+    names, _ = _registry()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "bench.py")) as f:
+        tree = ast.parse(f.read())
+    headline: list[str] | None = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign)
+                and any(getattr(t, "id", None) == "headline"
+                        for t in node.targets)):
+            headline = [ast.literal_eval(e) for e in node.value.elts]
+    assert headline, "bench.py headline list not found"
+    missing = sorted(set(headline) - set(names))
+    assert not missing, f"bench headline lanes missing from registry: {missing}"
