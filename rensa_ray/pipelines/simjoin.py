@@ -452,6 +452,87 @@ def ngram_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.5,
     return j2.map_batches(_verify, batch_format="pyarrow")
 
 
+def _tfidf_dense_pairs_if_small(weighted, threshold: float):
+    """Budget-gated dense tier for ``tfidf_cosine_pairs``.
+
+    Returns ``None`` when the tier is disabled (cells budget 0), else
+    ``(materialized_weighted, dense_result_or_None)`` — the caller reuses
+    the materialized postings for the general path when any gate fails,
+    so probing costs one stage execution either way.
+
+    Three explicit gates, every one measured before any driver fetch:
+
+    1. postings rows P ≤ cells budget  (bounds the driver-side fetch);
+    2. docs × vocab ≤ cells budget     (bounds the broadcast matrix);
+    3. docs² × vocab ≤ flops budget    (bounds the blocked matmul).
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    try:
+        max_cells = int(os.environ.get("RENSA_TFIDF_DENSE_MAX_CELLS",
+                                       str(1 << 25)))
+        max_flops = int(os.environ.get("RENSA_TFIDF_DENSE_MAX_FLOPS",
+                                       str(1 << 36)))
+    except ValueError:
+        max_cells, max_flops = 1 << 25, 1 << 36
+    if max_cells <= 0 or max_flops <= 0:
+        return None
+    weighted = weighted.materialize()
+    if weighted.count() > max_cells:
+        return weighted, None
+    parts = [t for t in ray.get(weighted.to_arrow_refs())
+             if t.num_rows > 0]                 # empty blocks carry no schema
+    if not parts:
+        return weighted, None
+    tbl = pa.concat_tables(parts).combine_chunks()
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = tbl["token"].to_numpy(zero_copy_only=False)
+    w = tbl["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+    uids, id_idx = np.unique(ids, return_inverse=True)
+    utok, tok_idx = np.unique(toks, return_inverse=True)
+    n, v = len(uids), len(utok)
+    if n * v > max_cells or n * n * v > max_flops:
+        return weighted, None
+    m = np.zeros((n, v), np.float64)
+    m[id_idx, tok_idx] = w
+    nrm = np.sqrt((m * m).sum(axis=1))
+    bcast = ray.put((m, nrm, uids))
+    block = max(256, min(4096, (n + 31) // 32))
+
+    def _block_pairs(b: dict) -> pa.Table:
+        mm, nn, dd = ray.get(bcast)
+        z = pa.array([], pa.int64())
+        out_a, out_b, out_c = [], [], []
+        for s in np.asarray(b["id"], np.int64):
+            e = min(int(s) + block, len(dd))
+            s = int(s)
+            dots = mm[s:e] @ mm.T                      # (e-s, n)
+            den = nn[s:e, None] * nn[None, :]
+            cos = np.divide(dots, den, out=np.zeros_like(dots),
+                            where=den > 0)
+            bi, bj = np.nonzero(cos >= threshold)
+            keep = (bi + s) < bj                       # id_a < id_b, upper tri
+            bi, bj = bi[keep], bj[keep]
+            out_a.append(dd[bi + s])
+            out_b.append(dd[bj])
+            out_c.append(np.round(cos[bi, bj], 6))
+        if not out_a:
+            return pa.table({"id_a": z, "id_b": z,
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cos": pa.array(np.concatenate(out_c), pa.float64())})
+
+    starts = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(0, n, block, dtype=np.int64), pa.int64())}))
+    return weighted, starts.map_batches(_block_pairs, batch_format="numpy",
+                                        batch_size=1)
+
+
 def tfidf_cosine_pairs(sf_dir: str, threshold: float = 0.8,
                        num_parts: int = 32, max_df: int | None = None):
     """Weighted sparse similarity self-join: all doc pairs with TF-IDF
@@ -494,6 +575,27 @@ def tfidf_cosine_pairs(sf_dir: str, threshold: float = 0.8,
                          "w": pa.array(w, pa.float64())})
 
     weighted = partitionwise(exploded, _weight, "__key", num_parts)
+
+    # ---- dense auto-tier ------------------------------------------------
+    # The posting-list join below is quadratic in df: a corpus whose
+    # vocabulary is tiny relative to its size (every token near-stopword
+    # density) explodes into Σ df²/2 pair emissions even though the exact
+    # answer is a small dense matmul (the sf0.1 documents table: 5k docs,
+    # 31 distinct tokens → 224M posting pairs vs a 5000×31 matrix).  When
+    # the full TF-IDF matrix provably fits a budget, compute cosines as
+    # blocked row-block × broadcast-matrixᵀ products instead — bit-stable
+    # at the round-6 output convention (pytest pins dense == posting) and
+    # the same measure-the-bytes-then-dispatch pattern as knn_graph's
+    # broadcast guardrail.  Budgets via RENSA_TFIDF_DENSE_MAX_CELLS /
+    # _MAX_FLOPS; 0 disables the tier.  Only the exact join tiers
+    # (max_df would change which pairs exist, and its scale story is the
+    # posting path by construction).
+    if max_df is None:
+        res = _tfidf_dense_pairs_if_small(weighted, threshold)
+        if res is not None:
+            weighted, dense = res
+            if dense is not None:
+                return dense
 
     def _norms(g: pa.Table) -> pa.Table:
         ids = np_col(g, "doc_id")

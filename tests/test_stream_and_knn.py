@@ -1096,6 +1096,38 @@ def test_tfidf_cosine_pairs_matches_numpy(ray_session, tmp_path):
     assert np.allclose(got["cos"], [w[2] for w in want], atol=1e-9)
 
 
+def test_tfidf_cosine_pairs_dense_tier_equals_posting_path(
+        ray_session, tmp_path, monkeypatch):
+    """The budget-gated dense tier (tiny-vocab matmul) returns the exact
+    same pairs and round-6 cosines as the general posting-list join, and
+    every gate (cells budget, flops budget, disabled) falls back to the
+    posting path rather than erroring."""
+    from rensa_ray.pipelines.simjoin import tfidf_cosine_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(9)]            # stopword-dense corpus
+    texts = [" ".join(rng.choice(vocab, rng.integers(4, 30)))
+             for _ in range(120)]
+    sf = _mk_docs_table(tmp_path, texts)
+
+    def run():
+        return (tfidf_cosine_pairs(sf, threshold=0.6).to_pandas()
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    dense = run()                                   # default budgets → dense
+    monkeypatch.setenv("RENSA_TFIDF_DENSE_MAX_CELLS", "0")
+    posting = run()                                 # tier disabled
+    monkeypatch.setenv("RENSA_TFIDF_DENSE_MAX_CELLS", "4")
+    too_small = run()                               # cells gate → fallback
+    monkeypatch.setenv("RENSA_TFIDF_DENSE_MAX_CELLS", str(1 << 25))
+    monkeypatch.setenv("RENSA_TFIDF_DENSE_MAX_FLOPS", "4")
+    no_flops = run()                                # flops gate → fallback
+
+    assert len(dense) > 0
+    for other in (posting, too_small, no_flops):
+        assert dense.equals(other)
+
+
 def test_tfidf_cosine_pairs_max_df_only_loses_pairs(ray_session, tmp_path):
     """The df cap drops stop-token postings before pair emission: the
     capped pair set is a subset of the exact one, and pairs held together
