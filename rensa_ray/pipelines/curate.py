@@ -280,6 +280,60 @@ def curate(ds, cfg: DedupConfig | None = None,
     return curated, stats
 
 
+def web_tiered_dedup(input_path: str, cfg: DedupConfig | None = None,
+                     num_parts: int = 16):
+    """Web-schema tiered dedup over ``(url, warc_ts, text)`` crawl rows:
+
+        crawl-snapshot (one row per canonical url, newest capture wins)
+          → exact text dedup (content-hash keep-min-uid)
+            → near-dup (MinHash-LSH clusters, keep representatives)
+
+    The RefinedWeb-style tier ordering for raw crawl input — each tier is
+    cheaper per-row than the next and runs only on the previous tier's
+    survivors, so the expensive near-dup sketch never sees re-crawled
+    snapshots or byte-identical mirrors.  Returns ``(kept_ds, report)``
+    where ``report`` is a single-row table of per-tier survivor counts.
+
+    All three tiers are the standalone streaming operators composed
+    unchanged (weburl.keep_latest_snapshot → exact_dedup →
+    near_dedup_keep_representatives); the two materializes are the tier
+    boundaries a production run would checkpoint to parquet, exactly as
+    pipelines.webdedup does for its stages.
+    """
+    import dataclasses
+
+    import ray.data as rd
+
+    from .webdedup import add_uid
+    from .weburl import keep_latest_snapshot
+
+    cfg = cfg or DedupConfig(num_parts=num_parts, concurrency=None)
+    if cfg.id_col != "uid":
+        cfg = dataclasses.replace(cfg, id_col="uid")
+    ds = rd.read_parquet(input_path, columns=["url", "warc_ts", "text"])
+    n_input = ds.count()  # parquet metadata — no execution
+
+    snap = keep_latest_snapshot(ds, num_parts=num_parts).materialize()
+    n_snap = snap.count()
+
+    # uid = fxhash64(url): stable across runs, min-uid election deterministic
+    keyed = add_uid(snap.drop_columns(["warc_ts"]))
+    exact = exact_dedup(keyed, id_col="uid", text_col=cfg.text_col,
+                        num_parts=num_parts).materialize()
+    n_exact = exact.count()
+
+    kept = near_dedup_keep_representatives(exact, cfg)
+    n_near = kept.count()
+
+    report = pa.table({
+        "n_input": pa.array([n_input], pa.int64()),
+        "n_after_snapshot": pa.array([n_snap], pa.int64()),
+        "n_after_exact": pa.array([n_exact], pa.int64()),
+        "n_after_near": pa.array([n_near], pa.int64()),
+    })
+    return kept, report
+
+
 def tiered_dedup_report(sf_dir: str, cfg: DedupConfig | None = None,
                         min_len: int = 10, num_parts: int = 16):
     """The production tier-dedup drill in one row: exact → near-dup →

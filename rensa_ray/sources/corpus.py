@@ -55,11 +55,19 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def generate_corpus(n_docs: int = 10_000, seed: int = 42):
+def generate_corpus(n_docs: int = 10_000, seed: int = 42,
+                    snapshot_dup_frac: float = 0.0):
     """Returns (corpus: pa.Table, truth: pa.Table).
 
-    truth columns: url, root_url, kind(unique|exact|near|adv),
+    truth columns: url, root_url, kind(unique|exact|near|adv|snapshot),
     true_jaccard_to_root (word-3-gram Jaccard vs the cluster root's text).
+
+    ``snapshot_dup_frac`` > 0 additionally plants crawl re-captures: that
+    fraction of base docs gains 1-3 EXTRA rows with the same text, a later
+    ``warc_ts`` and the same url decorated with tracking params
+    (utm_*/fbclid) — the rows ``keep_latest_snapshot`` must collapse to one
+    per canonical url.  The default 0.0 leaves the corpus byte-identical
+    to previous releases (every existing fixture/benchmark is pinned on it).
     """
     rng = np.random.default_rng(seed)
     vocab = _zipf_vocab(rng)
@@ -165,11 +173,66 @@ def generate_corpus(n_docs: int = 10_000, seed: int = 42):
         "kind": pa.array([kinds[i] for i in order]),
         "true_jaccard_to_root": pa.array([jaccs[i] for i in order], pa.float64()),
     })
+    if snapshot_dup_frac > 0:
+        corpus, truth = _plant_snapshot_recaptures(
+            corpus, truth, snapshot_dup_frac, seed)
     return corpus, truth
 
 
+def _plant_snapshot_recaptures(corpus: pa.Table, truth: pa.Table,
+                               frac: float, seed: int) -> tuple[pa.Table, pa.Table]:
+    """Append 1-3 re-capture rows for ``frac`` of the corpus: same text,
+    strictly later warc_ts, url decorated with tracking query params that
+    ``canonicalize_url`` strips — so the canonical-url group's LATEST
+    capture is always a planted row, never the base row.  Deterministic in
+    ``seed``; rows are shuffled back in so re-captures aren't disk-adjacent.
+    """
+    rng = np.random.default_rng(seed + 991)
+    n = corpus.num_rows
+    k = int(n * frac)
+    if k == 0:
+        return corpus, truth
+    base_rows = rng.choice(n, size=k, replace=False)
+    urls = corpus["url"].to_pylist()
+    ts = corpus["warc_ts"].to_numpy(zero_copy_only=False)
+    texts = corpus["text"].to_pylist()
+    htmls = corpus["html"].to_pylist()
+    langs = corpus["lang"].to_pylist()
+    n_extra = rng.integers(1, 4, size=k)
+    r_url, r_ts, r_text, r_html, r_lang, r_root = [], [], [], [], [], []
+    for row, ne in zip(base_rows, n_extra):
+        row = int(row)
+        for cap in range(int(ne)):
+            # each decoration canonicalizes back to the base url
+            r_url.append(f"{urls[row]}?utm_source=feed&fbclid=c{cap}x{row}")
+            r_ts.append(ts[row] + np.timedelta64((cap + 1) * 3600, "s"))
+            r_text.append(texts[row])
+            r_html.append(htmls[row])
+            r_lang.append(langs[row])
+            r_root.append(urls[row])
+    extra = pa.table({
+        "url": pa.array(r_url, pa.string()),
+        "warc_ts": pa.array(np.array(r_ts, dtype="datetime64[us]"),
+                            pa.timestamp("us")),
+        "html": pa.array(r_html, pa.binary()),
+        "text": pa.array(r_text, pa.string()),
+        "lang": pa.array(r_lang, pa.string()),
+    })
+    extra_truth = pa.table({
+        "url": extra["url"],
+        "root_url": pa.array(r_root, pa.string()),
+        "kind": pa.array(["snapshot"] * len(r_url), pa.string()),
+        "true_jaccard_to_root": pa.array([1.0] * len(r_url), pa.float64()),
+    })
+    corpus = pa.concat_tables([corpus, extra])
+    truth = pa.concat_tables([truth, extra_truth])
+    perm = pa.array(rng.permutation(corpus.num_rows))
+    return corpus.take(perm), truth.take(perm)
+
+
 def write_corpus(out_dir: str, n_docs: int = 10_000, seed: int = 42,
-                 n_shards: int = 8) -> tuple[str, str]:
+                 n_shards: int = 8,
+                 snapshot_dup_frac: float = 0.0) -> tuple[str, str]:
     """Write a sharded corpus + truth sidecar; returns (corpus_dir, truth_path).
 
     Sharded layout (one file per shard) is what makes downstream runs
@@ -179,7 +242,8 @@ def write_corpus(out_dir: str, n_docs: int = 10_000, seed: int = 42,
 
     import pyarrow.parquet as pq
 
-    corpus, truth = generate_corpus(n_docs, seed)
+    corpus, truth = generate_corpus(n_docs, seed,
+                                    snapshot_dup_frac=snapshot_dup_frac)
     cdir = os.path.join(out_dir, "corpus")
     os.makedirs(cdir, exist_ok=True)
     n = corpus.num_rows

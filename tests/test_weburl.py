@@ -206,3 +206,46 @@ def test_keep_latest_snapshot_block_structure_invariant(ray_session, tmp_path):
     assert a.values.tolist() == b.values.tolist()
     n_pages = len({u.split("?")[0] for u, _, _ in rows})
     assert len(a) == n_pages
+
+
+def test_web_tiered_dedup_planted_corpus(ray_session, tmp_path):
+    """End-to-end tier composition over a corpus with planted snapshot
+    re-captures: tier 1 collapses exactly the canonical-url groups, tier 2
+    exactly the identical-text groups among latest captures, tier 3 only
+    merges further (and does merge the planted near-dups)."""
+    import collections
+
+    from rensa_ray.pipelines.curate import web_tiered_dedup
+    from rensa_ray.pipelines.dedup import DedupConfig
+    from rensa_ray.sources.corpus import write_corpus
+
+    cdir, _tpath = write_corpus(str(tmp_path), n_docs=600, seed=7,
+                                snapshot_dup_frac=0.2)
+    corpus = pq.read_table(cdir)
+
+    # ground truth, computed independently with the scalar url kernel
+    groups: dict[str, tuple] = {}
+    ts = corpus["warc_ts"].to_numpy(zero_copy_only=False)
+    for url, t, text in zip(corpus["url"].to_pylist(), ts,
+                            corpus["text"].to_pylist()):
+        c = canonicalize_url(url)
+        best = groups.get(c)
+        if best is None or (t, ) > (best[0], ):
+            groups[c] = (t, url, text)
+    latest_texts = [v[2] for v in groups.values()]
+    want_snap = len(groups)
+    want_exact = len(set(latest_texts))
+    assert corpus.num_rows > want_snap > want_exact  # both tiers have work
+
+    cfg = DedupConfig(id_col="uid", num_parts=8, concurrency=2)
+    kept, report = web_tiered_dedup(cdir, cfg=cfg, num_parts=8)
+    row = report.to_pylist()[0]
+    assert row["n_input"] == corpus.num_rows
+    assert row["n_after_snapshot"] == want_snap
+    assert row["n_after_exact"] == want_exact
+    # near tier merges the planted near-dup clusters — strictly shrinks
+    assert row["n_after_near"] < row["n_after_exact"]
+    df = kept.to_pandas()
+    assert len(df) == row["n_after_near"]
+    # survivors still unique by text (tier 3 never resurrects a duplicate)
+    assert df["text"].nunique() == len(df)
