@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_pairs": lambda sf: _fin(
             textops.exact_dup_pairs(sf),
             pa.schema([("id_a", I64), ("id_b", I64)])),
+        "normalized_exact_dedup_kept": lambda sf: _fin(
+            textops.normalized_exact_dedup_kept(sf),
+            pa.schema([("doc_id", I64)])),
         # near-dup (MinHash / SimHash / set-similarity) ----------------------
         "minhash_dup_flags": minhash_dup_flags,
         "cminhash_dup_flags": cminhash_dup_flags,
@@ -362,6 +365,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": lambda sf: _fin(
             simjoin.ngram_containment_pairs(sf, threshold=0.6),
             pa.schema([("id_a", I64), ("id_b", I64)])),
+        "containment_dedup_kept": lambda sf: _fin(
+            simjoin.containment_dedup_kept(sf, threshold=0.6),
+            pa.schema([("doc_id", I64)])),
+        "dup_line_fraction": lambda sf: _fin(
+            textops.dup_line_fraction(sf),
+            pa.schema([("doc_id", I64), ("n_lines", I64),
+                       ("dup_lines", I64), ("dup_line_frac", F64)])),
         "doc_dup_ngram_fraction": lambda sf: _fin(
             textops.doc_dup_ngram_fraction(sf),
             pa.schema([("doc_id", I64), ("n_grams", I64), ("dup_frac", F64)])),
@@ -678,7 +688,15 @@ _ORACLE_DEMOTED = ("exact_dedup_kept", "substring_dup_pairs",
                    "cosine_topk", "doc_token_counts", "doc_stats_by_lang",
                    "top_docs_per_lang", "top_tokens", "doc_lang_pred",
                    "doc_fingerprint", "doc_bpe_token_counts",
-                   "events_hourly")
+                   "events_hourly",
+                   # r5-session additions grew the oracle surface 67 → 70;
+                   # three MORE r4-green incumbents rotate out so the three
+                   # NEW dedup lanes (normalized_exact_dedup_kept,
+                   # containment_dedup_kept, dup_line_fraction) get fresh
+                   # driver rows — each demotee below holds a green
+                   # CORRECTNESS_r04 row, preserving the union property
+                   "embedding_centroid_distance",
+                   "dup_cluster_size_histogram", "train_val_test_split")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -711,6 +729,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2""",
         "exact_dedup_kept": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)""",
+        "normalized_exact_dedup_kept": r"""
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '\s+', ' ', 'g')))""",
+        "dup_line_fraction": """
+            WITH s AS (
+              SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM documents),
+            l AS (SELECT doc_id, unnest(ls) AS line FROM s),
+            df AS (
+              SELECT line, COUNT(DISTINCT doc_id) AS d
+              FROM l GROUP BY line)
+            SELECT l.doc_id, COUNT(*)::BIGINT AS n_lines,
+                   SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS dup_lines,
+                   floor(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_line_frac
+            FROM l JOIN df USING (line)
+            GROUP BY l.doc_id""",
         "exact_dup_pairs": """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM documents a JOIN documents b
@@ -761,6 +798,37 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN sz sa ON sa.doc_id = co.id_a
                     JOIN sz sb ON sb.doc_id = co.id_b
             WHERE c::DOUBLE / least(sa.n, sb.n) >= 0.6""",
+        "containment_dedup_kept": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE trim(text) <> ''),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN list_transform(
+                              generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          ELSE w END AS sh
+              FROM t),
+            e AS (
+              SELECT DISTINCT doc_id, s
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+            co AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            p AS (
+              SELECT id_a, id_b, sa.n AS na, sb.n AS nb
+              FROM co JOIN sz sa ON sa.doc_id = co.id_a
+                      JOIN sz sb ON sb.doc_id = co.id_b
+              WHERE c::DOUBLE / least(sa.n, sb.n) >= 0.6),
+            losers AS (
+              SELECT DISTINCT CASE WHEN na < nb THEN id_a
+                                   WHEN nb < na THEN id_b
+                                   ELSE greatest(id_a, id_b) END AS doc_id
+              FROM p)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
         "doc_dup_ngram_fraction": r"""
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -58,12 +58,15 @@ def _explode_distinct_shingles(batch: pa.Table, ngram_size: int) -> pa.Table:
 
 
 def _ngram_pair_join(sf_dir: str, ngram_size: int, num_parts: int,
-                     max_df: int | None, gate):
+                     max_df: int | None, gate, with_sizes: bool = False):
     """Shared two-shuffle n-gram-set pair join (jaccard + containment lanes).
 
     Shuffle 1: inverted index partitioned by shingle hash → per-bucket
-    co-occurring (id_a < id_b, partial co-count, size sum, size min).
+    co-occurring (id_a < id_b, partial co-count, per-side set sizes).
     Shuffle 2: sum co-counts per pair → ``gate(co, sz_sum, sz_min)`` mask.
+    ``with_sizes=True`` keeps the per-side distinct-shingle counts on the
+    surviving pairs (id_a, id_b, sz_a, sz_b) so keep/drop lanes can elect a
+    loser without a third shuffle.
     Pair fan-out is quadratic in a shingle's document frequency, so at web
     scale pass ``max_df``: a shingle's full posting list is co-located in
     its partition, and lists longer than ``max_df`` (boilerplate/
@@ -93,7 +96,7 @@ def _ngram_pair_join(sf_dir: str, ngram_size: int, num_parts: int,
         if len(ii) == 0:
             z = pa.array([], pa.int64())
             return pa.table({"id_a": z, "id_b": z, "co": z,
-                             "sz": z, "szmin": z})
+                             "sza": z, "szb": z})
         a, b = ids_s[ii], ids_s[jj]
         sa, sb = sz_s[ii], sz_s[jj]
         # aggregate within partition (combiner): count co-occurrences per pair
@@ -102,31 +105,41 @@ def _ngram_pair_join(sf_dir: str, ngram_size: int, num_parts: int,
         if len(gid2):
             first[0] = True
             first[1:] = gid2[1:] != gid2[:-1]
+        # (sa, sb) is constant per (id_a, id_b) pair, so first-row take is exact
         return pa.table({"id_a": pa.array(a[order2][first], pa.int64()),
                          "id_b": pa.array(b[order2][first], pa.int64()),
                          "co": pa.array(counts2, pa.int64()),
-                         "sz": pa.array((sa + sb)[order2][first], pa.int64()),
-                         "szmin": pa.array(
-                             np.minimum(sa, sb)[order2][first], pa.int64())})
+                         "sza": pa.array(sa[order2][first], pa.int64()),
+                         "szb": pa.array(sb[order2][first], pa.int64())})
 
     partial = partitionwise(ds, _co_pairs, "shingle", num_parts)
 
     def _sum_and_gate(g: pa.Table) -> pa.Table:
         a = np_col(g, "id_a"); b = np_col(g, "id_b")
-        co = np_col(g, "co"); sz = np_col(g, "sz")
-        szmin = np_col(g, "szmin")
+        co = np_col(g, "co")
+        sza = np_col(g, "sza"); szb = np_col(g, "szb")
         if len(a) == 0:
-            return pa.table({"id_a": pa.array(a, pa.int64()),
-                             "id_b": pa.array(b, pa.int64())})
+            cols = {"id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64())}
+            if with_sizes:
+                cols["sz_a"] = pa.array(sza, pa.int64())
+                cols["sz_b"] = pa.array(szb, pa.int64())
+            return pa.table(cols)
         order, gid, counts = run_ids(a.astype(np.uint64), b.astype(np.uint64))
         first = np.zeros(len(gid), bool)
         first[0] = True
         first[1:] = gid[1:] != gid[:-1]
         tot = np.zeros(len(counts), np.int64)
         np.add.at(tot, gid, co[order])
-        keep = gate(tot, sz[order][first], szmin[order][first])
-        return pa.table({"id_a": pa.array(a[order][first][keep], pa.int64()),
-                         "id_b": pa.array(b[order][first][keep], pa.int64())})
+        sa_f = sza[order][first]
+        sb_f = szb[order][first]
+        keep = gate(tot, sa_f + sb_f, np.minimum(sa_f, sb_f))
+        cols = {"id_a": pa.array(a[order][first][keep], pa.int64()),
+                "id_b": pa.array(b[order][first][keep], pa.int64())}
+        if with_sizes:
+            cols["sz_a"] = pa.array(sa_f[keep], pa.int64())
+            cols["sz_b"] = pa.array(sb_f[keep], pa.int64())
+        return pa.table(cols)
 
     return partitionwise(partial, _sum_and_gate, "id_a", num_parts)
 
@@ -157,6 +170,51 @@ def ngram_containment_pairs(sf_dir: str, threshold: float = 0.8,
     return _ngram_pair_join(
         sf_dir, ngram_size, num_parts, max_df,
         lambda co, szsum, szmin: co / szmin >= threshold)
+
+
+def containment_dedup_kept(sf_dir: str, threshold: float = 0.6,
+                           ngram_size: int = 3, num_parts: int = 32,
+                           max_df: int | None = None):
+    """Keep-longest containment dedup: docs (near-)wholly embedded in a
+    larger doc are dropped; output is the kept (doc_id) set.
+
+    The real-pipeline complement to ``ngram_containment_pairs`` (quote
+    pages, syndicated excerpts, list subsets survive Jaccard but not
+    containment): for every pair with shingle-set containment ≥
+    ``threshold`` the doc with the SMALLER distinct-shingle set loses (it
+    is the contained side); equal sizes break to the larger doc_id losing,
+    matching the repo's keep-first-id convention.  The election is local
+    per pair — no iteration — so a chain a⊂b⊂c drops both a and b in one
+    pass.  Docs that appear in no pair (including empty/short docs with no
+    shingles) are kept.
+
+    Plan: the shared two-shuffle pair join (``_ngram_pair_join`` with
+    per-side sizes riding the pair rows) → per-batch loser election →
+    ``merge_flags`` anti-join against the full doc_id column.  Adds ONE
+    keyed shuffle (the flag merge) on top of the pair join; the loser set
+    never lands on the driver.
+    """
+    pairs = _ngram_pair_join(
+        sf_dir, ngram_size, num_parts, max_df,
+        lambda co, szsum, szmin: co / szmin >= threshold, with_sizes=True)
+
+    def _losers(b: pa.Table) -> pa.Table:
+        a = np_col(b, "id_a"); bb = np_col(b, "id_b")
+        sa = np_col(b, "sz_a"); sb = np_col(b, "sz_b")
+        loser = np.where(sa < sb, a, np.where(sb < sa, bb,
+                                              np.maximum(a, bb)))
+        return pa.table({"doc_id": pa.array(loser, pa.int64())})
+
+    from .common import merge_flags
+
+    all_ids = _read_docs(sf_dir, ["doc_id"])
+    flags = merge_flags(all_ids, pairs.map_batches(
+        _losers, batch_format="pyarrow"), "doc_id", num_parts)
+    def _kept(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.filter(b["doc_id"], pc.invert(b["is_dup"]))})
+
+    return flags.map_batches(_kept, batch_format="pyarrow")
 
 
 class SimHashStage:

@@ -103,6 +103,102 @@ def exact_dup_pairs(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     return partitionwise(ds, _pairs, "__key", num_parts)
 
 
+def normalized_exact_dedup_kept(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Exact dedup keyed on NORMALIZED text (lowercase + whitespace
+    collapse, the canonical ``text_normalize`` convention): one kept doc
+    (min doc_id) per distinct normalized form → (doc_id).
+
+    The "fuzzy-exact" tier real web pipelines run between byte-exact and
+    MinHash dedup: re-crawls that differ only in case or whitespace
+    reflow collapse here at exact-dedup cost (one 16-byte-key shuffle) —
+    no shingling, no signatures.  Normalization happens batch-local; only
+    the md5 of the normalized form crosses the wire.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _norm_key(batch: pa.Table) -> pa.Table:
+        norm = [" ".join(("" if t is None else t).lower().split())
+                for t in batch["text"].to_pylist()]
+        md5s = md5_hex(norm)
+        key = fxhash64_bytes_list([m.encode() for m in md5s])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_md5": pa.array(md5s, pa.string()),
+                         "__key": pa.array(key, pa.uint64())})
+
+    keyed = ds.map_batches(_norm_key, batch_format="pyarrow")
+
+    def _kept(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "norm_md5").aggregate([("doc_id", "min")])
+        return pa.table({"doc_id": agg["doc_id_min"]})
+
+    return partitionwise(keyed, _kept, "__key", num_parts)
+
+
+def dup_line_fraction(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Per-doc corpus-level duplicate-line fraction → (doc_id, n_lines,
+    dup_lines, dup_line_frac round-6).
+
+    The RefinedWeb/MassiveText corpus-dedup signal that complements the
+    WITHIN-doc ``doc_repetition_stats``: a line position counts as
+    duplicated when its exact line text occurs in ≥ 2 DISTINCT documents
+    anywhere in the corpus (cross-source, unlike the per-source
+    ``strip_boilerplate_lines``).  High fractions mark boilerplate shells
+    and syndicated pages — the docs a line-level filter would gut.
+
+    Two keyed shuffles, both streaming: explode to (doc_id, line) keyed on
+    fxhash64(line) — distinct-doc df per line is computed with all of a
+    line's rows co-located (grouping is by the full line string, so hash
+    collisions cannot merge distinct lines) and reduced to per-doc PARTIAL
+    (n, dup) counts before leaving the partition — then a doc_id-keyed sum
+    of the ≤ num_parts partials per doc.  Line content never crosses the
+    second shuffle.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        ids = np_col(b, "doc_id")
+        texts = b["text"].to_pylist()
+        lines_per = [("" if t is None else t).split("\n") for t in texts]
+        n_lines = np.fromiter((len(ls) for ls in lines_per), np.int64,
+                              len(texts))
+        flat = [ln for ls in lines_per for ln in ls]
+        did = np.repeat(ids, n_lines)
+        key = fxhash64_bytes_list([ln.encode("utf-8") for ln in flat])
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "line": pa.array(flat, pa.string()),
+                         "__key": pa.array(key, pa.uint64())})
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _partials(g: pa.Table) -> pa.Table:
+        # distinct-doc df per line (a doc repeating a line counts once)
+        dis = pa.TableGroupBy(
+            g.select(["line", "doc_id"]),
+            ["line", "doc_id"]).aggregate([]).group_by(
+            ["line"]).aggregate([("doc_id", "count")])
+        dis = dis.rename_columns(["line", "df"])
+        j = g.select(["doc_id", "line"]).join(dis, ["line"])
+        dup = pc.cast(pc.greater_equal(j["df"], 2), pa.int64())
+        per = pa.table({"doc_id": j["doc_id"], "__dup": dup}).group_by(
+            ["doc_id"]).aggregate([("__dup", "sum"), ("__dup", "count")])
+        return per.rename_columns(["doc_id", "dup_part", "n_part"])
+
+    partial = partitionwise(exploded, _partials, "__key", num_parts)
+
+    def _sum(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, "doc_id").aggregate(
+            [("n_part", "sum"), ("dup_part", "sum")])
+        n = np_col(agg, "n_part_sum").astype(np.float64)
+        dup = np_col(agg, "dup_part_sum").astype(np.float64)
+        frac = np.floor(dup / n * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": agg["doc_id"],
+                         "n_lines": agg["n_part_sum"].cast(pa.int64()),
+                         "dup_lines": agg["dup_part_sum"].cast(pa.int64()),
+                         "dup_line_frac": pa.array(frac, pa.float64())})
+
+    return partitionwise(partial, _sum, "doc_id", num_parts)
+
+
 def doc_token_counts(sf_dir: str):
     """Per-doc whitespace token count and reference-rule 3-gram shingle count."""
     ds = _docs(sf_dir, ["doc_id", "text"])

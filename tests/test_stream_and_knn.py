@@ -728,6 +728,35 @@ def test_ngram_containment_pairs(ray_session, tmp_path):
         "/root/testdata/sf0.001")
 
 
+def test_containment_dedup_kept(ray_session, tmp_path):
+    """Keep-longest containment dedup: the contained (smaller-set) side of
+    every >=tau pair drops in ONE pass — including both lower links of a
+    chain a⊂b⊂c — byte-identical docs tie-break to keep the smaller id,
+    and docs in no pair (disjoint or empty) are kept."""
+    from rensa_ray.pipelines.simjoin import containment_dedup_kept
+
+    a = " ".join(f"w{i}" for i in range(10))               # ⊂ b ⊂ c
+    b = a + " " + " ".join(f"x{i}" for i in range(30))
+    c = b + " " + " ".join(f"y{i}" for i in range(30))
+    other = " ".join(f"q{i}" for i in range(30))           # disjoint: kept
+    texts = [a, b, c, other, "", other]  # 5 == byte-copy of 3 (tie: drop 5)
+    sf_dir = _mk_docs_table(tmp_path, texts)
+    kept = set(containment_dedup_kept(sf_dir, threshold=0.6)
+               .to_pandas()["doc_id"])
+    assert kept == {2, 3, 4}
+
+    import __ray_entry__ as entry
+
+    from tests.test_textops import assert_matches_sql
+
+    assert_matches_sql(containment_dedup_kept(sf_dir, threshold=0.6),
+                       entry.oracle_sql()["containment_dedup_kept"], sf_dir)
+    assert_matches_sql(
+        containment_dedup_kept("/root/testdata/sf0.001", threshold=0.6),
+        entry.oracle_sql()["containment_dedup_kept"],
+        "/root/testdata/sf0.001")
+
+
 def test_tiered_dedup_report(ray_session, tmp_path):
     """Each tier removes exactly its planted duplicates: an exact copy at
     tier 1, a near-dup at tier 2, a repeated >=10-word span at tier 3."""

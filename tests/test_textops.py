@@ -1578,3 +1578,71 @@ def test_doc_ngram_novelty_planted(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert got["n_grams"].tolist() == [3, 3, 3, 2]
     assert got["novel_frac"].tolist() == [1.0, 0.0, round(2 / 3, 6), 1.0]
+
+
+def test_normalized_exact_dedup_kept_planted(ray_session, tmp_path):
+    """Case/whitespace variants collapse to one kept doc (min id); docs
+    distinct after normalization all survive."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import normalized_exact_dedup_kept
+
+    texts = [
+        "Hello   World",        # 0: canonical form "hello world"
+        "hello world",          # 1: same normalized -> dropped
+        "  HELLO\nWORLD  ",     # 2: same normalized -> dropped
+        "hello worlds",         # 3: distinct
+        "",                     # 4: empty normalizes to ""
+        "   \n  ",              # 5: whitespace-only -> "" -> dropped vs 4
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    kept = sorted(normalized_exact_dedup_kept(str(tmp_path))
+                  .to_pandas()["doc_id"])
+    assert kept == [0, 3, 4]
+
+
+def test_normalized_exact_dedup_kept_oracle(ray_session):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import normalized_exact_dedup_kept
+
+    assert_matches_sql(normalized_exact_dedup_kept(SF_DIR),
+                       entry.oracle_sql()["normalized_exact_dedup_kept"])
+
+
+def test_dup_line_fraction_planted(ray_session, tmp_path):
+    """Hand-computed cross-doc duplicate-line fractions: a line counts as
+    duplicated only when >= 2 DISTINCT docs carry it; repeats inside one
+    doc do not make it corpus-duplicated, but every position of a
+    corpus-duplicated line counts."""
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import dup_line_fraction
+
+    texts = [
+        "shared\nunique0",           # 0: "shared" in docs 0,1 -> 1/2
+        "shared\nunique1\nshared",   # 1: both "shared" positions dup -> 2/3
+        "solo\nsolo",                # 2: repeated only within-doc -> 0/2
+        "unique3",                   # 3: 0/1
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = (dup_line_fraction(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_lines"].tolist() == [2, 3, 2, 1]
+    assert got["dup_lines"].tolist() == [1, 2, 0, 0]
+    assert got["dup_line_frac"].tolist() == [0.5, round(2 / 3, 6), 0.0, 0.0]
+
+
+def test_dup_line_fraction_oracle(ray_session):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import dup_line_fraction
+
+    assert_matches_sql(dup_line_fraction(SF_DIR),
+                       entry.oracle_sql()["dup_line_fraction"])
