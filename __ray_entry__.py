@@ -741,11 +741,21 @@ def oracle_sql() -> dict[str, str]:
             df AS (
               SELECT line, COUNT(DISTINCT doc_id) AS d
               FROM l GROUP BY line)
-            SELECT l.doc_id, COUNT(*)::BIGINT AS n_lines,
-                   SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::BIGINT
-                       AS dup_lines,
-                   floor(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                         / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_line_frac
+            -- blank lines are formatting, not content: excluded from both
+            -- numerator and denominator (all-blank docs report 0/0/0.0)
+            SELECT l.doc_id,
+                   SUM(CASE WHEN line <> '' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_lines,
+                   SUM(CASE WHEN line <> '' AND df.d >= 2
+                            THEN 1 ELSE 0 END)::BIGINT AS dup_lines,
+                   CASE WHEN SUM(CASE WHEN line <> '' THEN 1 ELSE 0 END) = 0
+                        THEN 0.0
+                        ELSE floor(SUM(CASE WHEN line <> '' AND df.d >= 2
+                                            THEN 1 ELSE 0 END)::DOUBLE
+                                   / SUM(CASE WHEN line <> ''
+                                              THEN 1 ELSE 0 END)
+                                   * 1e6 + 0.5) / 1e6
+                   END AS dup_line_frac
             FROM l JOIN df USING (line)
             GROUP BY l.doc_id""",
         "exact_dup_pairs": """

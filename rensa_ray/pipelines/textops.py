@@ -9,6 +9,8 @@ Ray's builtin groupby aggregates.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,12 +34,30 @@ def _events(sf_dir: str, columns: list[str]):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
-def _content_key(batch: pa.Table, carry: tuple[str, ...]) -> pa.Table:
+# RE2's '\s' (DuckDB regexp_replace) is ASCII-only — [\t\n\v\f\r ] — while
+# python's str.split() also splits on unicode whitespace (NBSP, ideographic
+# space, …), which would silently disagree with every paired
+# `regexp_replace(..., '\s+', ' ', 'g')` oracle on real crawl text.  One
+# definition with RE2 semantics, shared by every normalization lane.
+_ASCII_WS_RE = re.compile(r"[\t\n\x0b\x0c\r ]+")
+
+
+def normalize_ws(text: str | None) -> str:
+    """Canonical normalization: lowercase + ASCII-whitespace collapse
+    (None→"").  Byte-equal to DuckDB's
+    ``trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))``."""
+    return _ASCII_WS_RE.sub(" ", ("" if text is None else text).lower()).strip(" ")
+
+
+def _content_key(batch: pa.Table, carry: tuple[str, ...],
+                 texts: list[str] | None = None) -> pa.Table:
     """(carried cols…, text_md5, __key=fxhash64(md5 hex)) — THE content key
     every exact-dup / per-source op shuffles on.  One definition so the key
     scheme (None→"" null convention, md5-hex encoding) can never silently
-    diverge between lanes."""
-    texts = ["" if t is None else t for t in batch["text"].to_pylist()]
+    diverge between lanes.  Pass ``texts`` to key on a derived form (e.g.
+    normalized text) under the same scheme."""
+    if texts is None:
+        texts = ["" if t is None else t for t in batch["text"].to_pylist()]
     md5s = md5_hex(texts)
     key = fxhash64_bytes_list([m.encode() for m in md5s])
     cols: dict = {c: batch[c] for c in carry}
@@ -67,15 +87,18 @@ def exact_dup_groups(sf_dir: str, num_parts: int = DEFAULT_PARTS):
         batch_format="pyarrow")
 
 
+def _kept_min_by_md5(g: pa.Table) -> pa.Table:
+    """Keep-first election shared by the exact-dedup kept lanes: min doc_id
+    per distinct content key."""
+    agg = pa.TableGroupBy(g, "text_md5").aggregate([("doc_id", "min")])
+    return pa.table({"doc_id": agg["doc_id_min"]})
+
+
 def exact_dedup_kept(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     """One kept doc (min doc_id) per distinct text: doc_id."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(_with_md5, batch_format="pyarrow")
 
-    def _kept(g: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(g, "text_md5").aggregate([("doc_id", "min")])
-        return pa.table({"doc_id": agg["doc_id_min"]})
-
-    return partitionwise(ds, _kept, "__key", num_parts)
+    return partitionwise(ds, _kept_min_by_md5, "__key", num_parts)
 
 
 def exact_dup_pairs(sf_dir: str, num_parts: int = DEFAULT_PARTS):
@@ -111,27 +134,21 @@ def normalized_exact_dedup_kept(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     The "fuzzy-exact" tier real web pipelines run between byte-exact and
     MinHash dedup: re-crawls that differ only in case or whitespace
     reflow collapse here at exact-dedup cost (one 16-byte-key shuffle) —
-    no shingling, no signatures.  Normalization happens batch-local; only
-    the md5 of the normalized form crosses the wire.
+    no shingling, no signatures.  Normalization (``normalize_ws``: RE2
+    ASCII-whitespace semantics, NOT str.split — NBSP and other unicode
+    whitespace are content, matching the SQL oracle) happens batch-local;
+    only the md5 of the normalized form crosses the wire under the shared
+    ``_content_key`` scheme.
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def _norm_key(batch: pa.Table) -> pa.Table:
-        norm = [" ".join(("" if t is None else t).lower().split())
-                for t in batch["text"].to_pylist()]
-        md5s = md5_hex(norm)
-        key = fxhash64_bytes_list([m.encode() for m in md5s])
-        return pa.table({"doc_id": batch["doc_id"],
-                         "norm_md5": pa.array(md5s, pa.string()),
-                         "__key": pa.array(key, pa.uint64())})
+        return _content_key(
+            batch, ("doc_id",),
+            texts=[normalize_ws(t) for t in batch["text"].to_pylist()])
 
     keyed = ds.map_batches(_norm_key, batch_format="pyarrow")
-
-    def _kept(g: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(g, "norm_md5").aggregate([("doc_id", "min")])
-        return pa.table({"doc_id": agg["doc_id_min"]})
-
-    return partitionwise(keyed, _kept, "__key", num_parts)
+    return partitionwise(keyed, _kept_min_by_md5, "__key", num_parts)
 
 
 def dup_line_fraction(sf_dir: str, num_parts: int = DEFAULT_PARTS):
@@ -139,11 +156,15 @@ def dup_line_fraction(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     dup_lines, dup_line_frac round-6).
 
     The RefinedWeb/MassiveText corpus-dedup signal that complements the
-    WITHIN-doc ``doc_repetition_stats``: a line position counts as
-    duplicated when its exact line text occurs in ≥ 2 DISTINCT documents
-    anywhere in the corpus (cross-source, unlike the per-source
-    ``strip_boilerplate_lines``).  High fractions mark boilerplate shells
-    and syndicated pages — the docs a line-level filter would gut.
+    WITHIN-doc ``doc_repetition_stats``: a NON-BLANK line position counts
+    as duplicated when its exact line text occurs in ≥ 2 DISTINCT
+    documents anywhere in the corpus (cross-source, unlike the per-source
+    ``strip_boilerplate_lines``).  Blank lines are formatting, not
+    content — they are excluded from numerator AND denominator so an
+    ordinary multi-paragraph doc isn't scored as duplicated for its
+    paragraph breaks; a doc with no non-blank lines reports (0, 0, 0.0).
+    High fractions mark boilerplate shells and syndicated pages — the
+    docs a line-level filter would gut.
 
     Two keyed shuffles, both streaming: explode to (doc_id, line) keyed on
     fxhash64(line) — distinct-doc df per line is computed with all of a
@@ -171,16 +192,21 @@ def dup_line_fraction(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     exploded = ds.map_batches(_explode, batch_format="pyarrow")
 
     def _partials(g: pa.Table) -> pa.Table:
-        # distinct-doc df per line (a doc repeating a line counts once)
+        # distinct-doc df per line (a doc repeating a line counts once);
+        # blank lines still FLOW (they keep all-blank docs present in the
+        # output) but count in neither n_part nor dup_part
         dis = pa.TableGroupBy(
             g.select(["line", "doc_id"]),
             ["line", "doc_id"]).aggregate([]).group_by(
             ["line"]).aggregate([("doc_id", "count")])
         dis = dis.rename_columns(["line", "df"])
         j = g.select(["doc_id", "line"]).join(dis, ["line"])
-        dup = pc.cast(pc.greater_equal(j["df"], 2), pa.int64())
-        per = pa.table({"doc_id": j["doc_id"], "__dup": dup}).group_by(
-            ["doc_id"]).aggregate([("__dup", "sum"), ("__dup", "count")])
+        nonblank = pc.not_equal(j["line"], "")
+        dup = pc.cast(pc.and_(pc.greater_equal(j["df"], 2), nonblank),
+                      pa.int64())
+        per = pa.table({"doc_id": j["doc_id"], "__dup": dup,
+                        "__nb": pc.cast(nonblank, pa.int64())}).group_by(
+            ["doc_id"]).aggregate([("__dup", "sum"), ("__nb", "sum")])
         return per.rename_columns(["doc_id", "dup_part", "n_part"])
 
     partial = partitionwise(exploded, _partials, "__key", num_parts)
@@ -190,7 +216,9 @@ def dup_line_fraction(sf_dir: str, num_parts: int = DEFAULT_PARTS):
             [("n_part", "sum"), ("dup_part", "sum")])
         n = np_col(agg, "n_part_sum").astype(np.float64)
         dup = np_col(agg, "dup_part_sum").astype(np.float64)
-        frac = np.floor(dup / n * 1e6 + 0.5) / 1e6
+        frac = np.zeros(len(n))
+        np.divide(dup, n, out=frac, where=n > 0)
+        frac = np.floor(frac * 1e6 + 0.5) / 1e6
         return pa.table({"doc_id": agg["doc_id"],
                          "n_lines": agg["n_part_sum"].cast(pa.int64()),
                          "dup_lines": agg["dup_part_sum"].cast(pa.int64()),
@@ -419,16 +447,16 @@ def doc_repetition_stats(sf_dir: str):
 
 
 def text_normalize(sf_dir: str):
-    """Canonical text normalization: lowercase + whitespace collapse — the
-    exact preprocessing the shingler applies (kernels/shingle.py), exposed
-    as a standalone (doc_id, norm_text) operator so downstream stages can
-    share one normalized column instead of re-normalizing per stage."""
+    """Canonical text normalization: lowercase + ASCII-whitespace collapse
+    (``normalize_ws`` — RE2 semantics, byte-equal to the SQL oracle's
+    regexp_replace; the shingler's str.split() additionally splits unicode
+    whitespace for reference parity), exposed as a standalone
+    (doc_id, norm_text) operator so downstream stages can share one
+    normalized column instead of re-normalizing per stage."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def _n(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        norm = [" ".join(("" if t is None else t).lower().split())
-                for t in texts]
+        norm = [normalize_ws(t) for t in b["text"].to_pylist()]
         return pa.table({"doc_id": b["doc_id"],
                          "norm_text": pa.array(norm, pa.string())})
 

@@ -1582,7 +1582,10 @@ def test_doc_ngram_novelty_planted(ray_session, tmp_path):
 
 def test_normalized_exact_dedup_kept_planted(ray_session, tmp_path):
     """Case/whitespace variants collapse to one kept doc (min id); docs
-    distinct after normalization all survive."""
+    distinct after normalization all survive; NBSP is CONTENT (RE2 \\s is
+    ASCII-only — the SQL-oracle semantics), not collapsible whitespace."""
+    import __ray_entry__ as entry
+
     import pyarrow.parquet as pq
 
     from rensa_ray.pipelines.textops import normalized_exact_dedup_kept
@@ -1594,6 +1597,7 @@ def test_normalized_exact_dedup_kept_planted(ray_session, tmp_path):
         "hello worlds",         # 3: distinct
         "",                     # 4: empty normalizes to ""
         "   \n  ",              # 5: whitespace-only -> "" -> dropped vs 4
+        "hello\xa0world",      # 6: NBSP is content, NOT merged with 0
     ]
     pq.write_table(pa.table({
         "doc_id": pa.array(list(range(len(texts))), pa.int64()),
@@ -1601,7 +1605,11 @@ def test_normalized_exact_dedup_kept_planted(ray_session, tmp_path):
         str(tmp_path / "documents.parquet"))
     kept = sorted(normalized_exact_dedup_kept(str(tmp_path))
                   .to_pandas()["doc_id"])
-    assert kept == [0, 3, 4]
+    assert kept == [0, 3, 4, 6]
+    # and the SQL oracle agrees on the unicode-whitespace corpus
+    assert_matches_sql(normalized_exact_dedup_kept(str(tmp_path)),
+                       entry.oracle_sql()["normalized_exact_dedup_kept"],
+                       str(tmp_path))
 
 
 def test_normalized_exact_dedup_kept_oracle(ray_session):
@@ -1614,10 +1622,13 @@ def test_normalized_exact_dedup_kept_oracle(ray_session):
 
 
 def test_dup_line_fraction_planted(ray_session, tmp_path):
-    """Hand-computed cross-doc duplicate-line fractions: a line counts as
-    duplicated only when >= 2 DISTINCT docs carry it; repeats inside one
-    doc do not make it corpus-duplicated, but every position of a
-    corpus-duplicated line counts."""
+    """Hand-computed cross-doc duplicate-line fractions: a non-blank line
+    counts as duplicated only when >= 2 DISTINCT docs carry it; repeats
+    inside one doc do not make it corpus-duplicated, but every position of
+    a corpus-duplicated line counts; blank lines (paragraph breaks, empty
+    docs) count in neither numerator nor denominator."""
+    import __ray_entry__ as entry
+
     import pyarrow.parquet as pq
 
     from rensa_ray.pipelines.textops import dup_line_fraction
@@ -1627,6 +1638,8 @@ def test_dup_line_fraction_planted(ray_session, tmp_path):
         "shared\nunique1\nshared",   # 1: both "shared" positions dup -> 2/3
         "solo\nsolo",                # 2: repeated only within-doc -> 0/2
         "unique3",                   # 3: 0/1
+        "",                          # 4: all-blank doc -> (0, 0, 0.0)
+        "para a\n\npara b\n\npara c",  # 5: paragraph breaks are not dup
     ]
     pq.write_table(pa.table({
         "doc_id": pa.array(list(range(len(texts))), pa.int64()),
@@ -1634,9 +1647,14 @@ def test_dup_line_fraction_planted(ray_session, tmp_path):
         str(tmp_path / "documents.parquet"))
     got = (dup_line_fraction(str(tmp_path)).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
-    assert got["n_lines"].tolist() == [2, 3, 2, 1]
-    assert got["dup_lines"].tolist() == [1, 2, 0, 0]
-    assert got["dup_line_frac"].tolist() == [0.5, round(2 / 3, 6), 0.0, 0.0]
+    assert got["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert got["n_lines"].tolist() == [2, 3, 2, 1, 0, 3]
+    assert got["dup_lines"].tolist() == [1, 2, 0, 0, 0, 0]
+    assert got["dup_line_frac"].tolist() == [
+        0.5, round(2 / 3, 6), 0.0, 0.0, 0.0, 0.0]
+    assert_matches_sql(dup_line_fraction(str(tmp_path)),
+                       entry.oracle_sql()["dup_line_fraction"],
+                       str(tmp_path))
 
 
 def test_dup_line_fraction_oracle(ray_session):
