@@ -243,6 +243,10 @@ def run_suite() -> dict:
         # round-5: the 100-TB-relevant similarity scale paths (VERDICT r4
         # #5) — correctness-verified since r4, now perf-tracked too
         "knn_graph_ivf", "tfidf_cosine_pairs", "lsh_query_candidates",
+        # round-5 session-3 dedup tiers: normalization-keyed exact dedup,
+        # keep-longest containment dedup, cross-doc duplicate-line signal
+        "normalized_exact_dedup_kept", "containment_dedup_kept",
+        "dup_line_fraction",
     ]
     probes = {"start": _host_probe()}
     times: dict[str, float] = {}
