@@ -375,6 +375,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngram_fraction": lambda sf: _fin(
             textops.doc_dup_ngram_fraction(sf),
             pa.schema([("doc_id", I64), ("n_grams", I64), ("dup_frac", F64)])),
+        "doc_format_gates": lambda sf: _fin(
+            textops.doc_format_gates(sf),
+            pa.schema([("doc_id", I64), ("n_words", I64),
+                       ("mean_word_len", F64), ("frac_alpha_words", F64),
+                       ("n_lines", I64), ("frac_bullet_lines", F64),
+                       ("frac_ellipsis_lines", F64)])),
         "doc_idf_rarity": lambda sf: _fin(
             textops.doc_idf_rarity(sf),
             pa.schema([("doc_id", I64), ("n_distinct_tokens", I64),
@@ -696,7 +702,10 @@ _ORACLE_DEMOTED = ("exact_dedup_kept", "substring_dup_pairs",
                    # driver rows — each demotee below holds a green
                    # CORRECTNESS_r04 row, preserving the union property
                    "embedding_centroid_distance",
-                   "dup_cluster_size_histogram", "train_val_test_split")
+                   "dup_cluster_size_histogram", "train_val_test_split",
+                   # + doc_format_gates (71st oracle lane): one more
+                   # r4-green incumbent rotates out
+                   "events_sliding_window")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -839,6 +848,41 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+        "doc_format_gates": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS ws,
+                     list_filter(string_split(coalesce(text, ''), chr(10)),
+                                 x -> trim(x, ' ') <> '') AS ls
+              FROM documents)
+            SELECT doc_id,
+                   len(ws)::BIGINT AS n_words,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE floor(list_sum(list_transform(
+                                       ws, x -> len(x)))::DOUBLE
+                                   / len(ws) * 1e6 + 0.5) / 1e6
+                   END AS mean_word_len,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE floor(len(list_filter(ws,
+                                 x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                                   / len(ws) * 1e6 + 0.5) / 1e6
+                   END AS frac_alpha_words,
+                   len(ls)::BIGINT AS n_lines,
+                   CASE WHEN len(ls) = 0 THEN 0.0
+                        ELSE floor(len(list_filter(ls,
+                                 x -> regexp_matches(ltrim(x, ' '),
+                                                     '^[-*•]')))::DOUBLE
+                                   / len(ls) * 1e6 + 0.5) / 1e6
+                   END AS frac_bullet_lines,
+                   CASE WHEN len(ls) = 0 THEN 0.0
+                        ELSE floor(len(list_filter(ls,
+                                 x -> rtrim(x, ' ') LIKE '%...'
+                                      OR rtrim(x, ' ') LIKE '%…'))::DOUBLE
+                                   / len(ls) * 1e6 + 0.5) / 1e6
+                   END AS frac_ellipsis_lines
+            FROM w""",
         "doc_dup_ngram_fraction": r"""
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

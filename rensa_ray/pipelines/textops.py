@@ -1209,6 +1209,93 @@ def doc_token_entropy(sf_dir: str):
     return ds.map_batches(_entropy, batch_format="pyarrow")
 
 
+def doc_format_gates(sf_dir: str):
+    """Gopher format-rule signals (Rae et al. 2021 §A1.1) per doc:
+    (doc_id, n_words, mean_word_len, frac_alpha_words, n_lines,
+    frac_bullet_lines, frac_ellipsis_lines), fracs round-6.
+
+    The FORMAT complement to the repetition gates
+    (``doc_repetition_stats``): machine-generated and listicle/navigation
+    pages fail on word shape (mean word length outside [3, 10], low
+    alphabetic-word fraction) or line shape (> 90% bullet lines, > 30%
+    ellipsis-ending lines) even when their n-gram repetition looks fine.
+    Thresholds are the caller's; this lane emits the raw signals so one
+    scan serves any gate combination.
+
+    Pure per-batch map (each row holds its whole doc, no shuffle), all
+    Arrow C++/numpy kernels: whitespace split + utf8_length for word
+    shape, one line split + ltrim/rtrim regex/suffix matches for line
+    shape.  ``n_lines`` counts non-blank lines (space-trim ≠ '', matching
+    the SQL oracle's trim semantics); blank lines can be neither bullets
+    nor ellipses, so they are excluded from the denominators.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _gates(b: pa.Table) -> pa.Table:
+        ids = np_col(b, "doc_id")
+        n = len(ids)
+        text = pc.fill_null(b["text"], "")
+
+        # word shape ----------------------------------------------------
+        toks = pc.utf8_split_whitespace(text)
+        tlens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_of = np.repeat(np.arange(n), tlens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, doc_of = flat.filter(pa.array(keep)), doc_of[keep]
+        n_words = np.bincount(doc_of, minlength=n).astype(np.int64)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(
+            flat, "[a-zA-Z]").to_numpy(zero_copy_only=False)
+        len_sum = np.zeros(n, np.float64)
+        alpha_ct = np.zeros(n, np.float64)
+        if len(doc_of):
+            np.add.at(len_sum, doc_of, wlen.astype(np.float64))
+            np.add.at(alpha_ct, doc_of, alpha.astype(np.float64))
+
+        # line shape ----------------------------------------------------
+        lines = pc.split_pattern(text, pattern="\n")
+        llens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        lflat = pc.list_flatten(lines)
+        ldoc = np.repeat(np.arange(n), llens)
+        nonblank = pc.not_equal(
+            pc.utf8_trim(lflat, " "), "").to_numpy(zero_copy_only=False)
+        lflat, ldoc = lflat.filter(pa.array(nonblank)), ldoc[nonblank]
+        n_lines = np.bincount(ldoc, minlength=n).astype(np.int64)
+        bullet = pc.match_substring_regex(
+            pc.utf8_ltrim(lflat, " "),
+            "^[-*•]").to_numpy(zero_copy_only=False)
+        rt = pc.utf8_rtrim(lflat, " ")
+        ellipsis = pc.or_(
+            pc.ends_with(rt, pattern="..."),
+            pc.ends_with(rt, pattern="…")).to_numpy(zero_copy_only=False)
+        bullet_ct = np.zeros(n, np.float64)
+        ell_ct = np.zeros(n, np.float64)
+        if len(ldoc):
+            np.add.at(bullet_ct, ldoc, bullet.astype(np.float64))
+            np.add.at(ell_ct, ldoc, ellipsis.astype(np.float64))
+
+        def _frac(num, den):
+            out = np.zeros(n, np.float64)
+            np.divide(num, den, out=out, where=den > 0)
+            return np.floor(out * 1e6 + 0.5) / 1e6
+
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(
+                _frac(len_sum, n_words.astype(np.float64))),
+            "frac_alpha_words": pa.array(
+                _frac(alpha_ct, n_words.astype(np.float64))),
+            "n_lines": pa.array(n_lines),
+            "frac_bullet_lines": pa.array(
+                _frac(bullet_ct, n_lines.astype(np.float64))),
+            "frac_ellipsis_lines": pa.array(
+                _frac(ell_ct, n_lines.astype(np.float64)))})
+
+    return ds.map_batches(_gates, batch_format="pyarrow")
+
+
 def doc_length_zscore_by_lang(sf_dir: str):
     """Per-language standardized length: (doc_id, lang, z round 6) with
     z = (n_chars - mean_lang) / stddev_pop_lang; single-doc / constant

@@ -1664,3 +1664,50 @@ def test_dup_line_fraction_oracle(ray_session):
 
     assert_matches_sql(dup_line_fraction(SF_DIR),
                        entry.oracle_sql()["dup_line_fraction"])
+
+
+def test_doc_format_gates_planted(ray_session, tmp_path):
+    """Hand-computed Gopher format signals: bullet/ellipsis line fractions
+    over NON-BLANK lines only, word shape over whitespace tokens; empty
+    docs report all zeros."""
+    import __ray_entry__ as entry
+
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.textops import doc_format_gates
+
+    texts = [
+        "- item one\n* item two\nprose line",   # 2/3 bullets
+        "to be continued...\nthe end",          # 1/2 ellipsis
+        "one\n\n   \ntwo…",                     # blanks excluded: 2 lines,
+                                                # 1 unicode-ellipsis end
+        "ab cde 12",                            # words: mean (2+3+2)/3
+        "",                                     # empty -> zeros
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = (doc_format_gates(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_lines"].tolist() == [3, 2, 2, 1, 0]
+    assert got["frac_bullet_lines"].tolist() == [
+        round(2 / 3, 6), 0.0, 0.0, 0.0, 0.0]
+    assert got["frac_ellipsis_lines"].tolist() == [0.0, 0.5, 0.5, 0.0, 0.0]
+    assert got["n_words"].tolist() == [8, 5, 2, 3, 0]
+    assert got.loc[3, "mean_word_len"] == round(7 / 3, 6)
+    # "12" has no alphabetic char
+    assert got.loc[3, "frac_alpha_words"] == round(2 / 3, 6)
+    assert got.loc[4, "mean_word_len"] == 0.0
+    assert_matches_sql(doc_format_gates(str(tmp_path)),
+                       entry.oracle_sql()["doc_format_gates"],
+                       str(tmp_path))
+
+
+def test_doc_format_gates_oracle(ray_session):
+    import __ray_entry__ as entry
+
+    from rensa_ray.pipelines.textops import doc_format_gates
+
+    assert_matches_sql(doc_format_gates(SF_DIR),
+                       entry.oracle_sql()["doc_format_gates"])
