@@ -138,6 +138,30 @@ def test_cmin_matrix_matches_scalar():
         assert mat[i].tolist() == S.cmin_digest_scalar(s, 16, 42)
 
 
+def test_digest_tile_boundaries_are_invisible(monkeypatch):
+    """The L2-tiled digest path must be bit-identical across tile sizes,
+    including doc-aligned splits, empty docs at tile edges, and single
+    documents larger than one tile."""
+    rng = random.Random(1234)
+    sets, flat, offsets = _random_csr(rng, 120, 60)
+    # plant empty docs and one giant doc (> the forced 1024-token min tile)
+    giant = [rng.randrange(2**64) for _ in range(3000)]
+    sets2 = sets[:40] + [[]] + [giant] + [[]] + sets[40:]
+    flat2 = np.array([h for s in sets2 for h in s], dtype=np.uint64)
+    off2 = np.zeros(len(sets2) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in sets2], out=off2[1:])
+    want_r = S.rmin_digest_matrix(flat2, off2, 32, 42)
+    want_c = S.cmin_digest_matrix(flat2, off2, 32, 42)
+    monkeypatch.setenv("RENSA_DIGEST_TILE", "1024")  # force many tiles
+    got_r = S.rmin_digest_matrix(flat2, off2, 32, 42)
+    got_c = S.cmin_digest_matrix(flat2, off2, 32, 42)
+    assert (want_r == got_r).all()
+    assert (want_c == got_c).all()
+    for i, s in enumerate(sets2):
+        assert got_r[i].tolist() == S.rmin_digest_scalar(s, 32, 42)
+        assert got_c[i].tolist() == S.cmin_digest_scalar(s, 32, 42)
+
+
 def test_empty_doc_signatures():
     mat = S.rmin_digest_matrix(np.empty(0, np.uint64), np.zeros(3, np.int64), 8, 42)
     assert (mat == 0xFFFFFFFF).all()
