@@ -323,6 +323,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_exact_dedup_kept": lambda sf: _fin(
             textops.normalized_exact_dedup_kept(sf),
             pa.schema([("doc_id", I64)])),
+        "soft_dedup_weights": lambda sf: _fin(
+            textops.soft_dedup_weights(sf),
+            pa.schema([("doc_id", I64), ("cluster_size", I64),
+                       ("weight", F64)])),
+        "paragraph_dedup_rebuilt": lambda sf: _fin(
+            __import__("rensa_ray.pipelines.curate",
+                       fromlist=["remove_duplicate_lines"])
+            .remove_duplicate_lines(
+                __import__("ray.data", fromlist=["read_parquet"])
+                .read_parquet(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"]),
+                sep="\n\n"),
+            pa.schema([("doc_id", I64), ("text", STR)])),
         # near-dup (MinHash / SimHash / set-similarity) ----------------------
         "minhash_dup_flags": minhash_dup_flags,
         "cminhash_dup_flags": cminhash_dup_flags,
@@ -705,7 +718,11 @@ _ORACLE_DEMOTED = ("exact_dedup_kept", "substring_dup_pairs",
                    "dup_cluster_size_histogram", "train_val_test_split",
                    # + doc_format_gates (71st oracle lane): one more
                    # r4-green incumbent rotates out
-                   "events_sliding_window")
+                   "events_sliding_window",
+                   # + soft_dedup_weights / paragraph_dedup_rebuilt (72nd/
+                   # 73rd oracle lanes, added late in r5): two more r4-green
+                   # incumbents rotate out so the new lanes stay in-window
+                   "filter_length_band", "pmi_bigrams")
 
 
 def _driver_window_order(q: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
@@ -742,6 +759,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY md5(trim(regexp_replace(lower(coalesce(text, '')),
                                              '\s+', ' ', 'g')))""",
+        "soft_dedup_weights": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                             '\s+', ' ', 'g'))) AS nk
+              FROM documents),
+            c AS (SELECT nk, COUNT(*) AS cs FROM n GROUP BY nk)
+            SELECT n.doc_id, c.cs::BIGINT AS cluster_size,
+                   floor(1.0 / c.cs * 1e6 + 0.5) / 1e6 AS weight
+            FROM n JOIN c USING (nk)""",
+        "paragraph_dedup_rebuilt": """
+            WITH s AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''),
+                                  chr(10) || chr(10)) AS ps
+              FROM documents),
+            l AS (
+              SELECT doc_id, unnest(ps) AS par,
+                     unnest(generate_series(1, len(ps))) AS pos
+              FROM s),
+            f AS (
+              SELECT doc_id, pos, par,
+                     row_number() OVER (PARTITION BY par
+                                        ORDER BY doc_id, pos) AS rk
+              FROM l)
+            SELECT doc_id,
+                   string_agg(par, chr(10) || chr(10) ORDER BY pos) AS text
+            FROM f WHERE rk = 1 GROUP BY doc_id""",
         "dup_line_fraction": """
             WITH s AS (
               SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls

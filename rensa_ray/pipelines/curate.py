@@ -162,11 +162,19 @@ def near_dedup_keep_best(ds, cfg: DedupConfig | None = None, scores_ds=None):
 
 
 def remove_duplicate_lines(ds, id_col: str = "doc_id", text_col: str = "text",
-                           num_parts: int = 32):
+                           num_parts: int = 32, sep: str = "\n"):
     """C4-style corpus-wide line dedup: each distinct line survives only at
     its first occurrence (ordered by (doc_id, line_no)); later occurrences
     are dropped from their documents, and documents left with zero lines
     disappear from the output.
+
+    ``sep`` selects the dedup granularity: ``"\\n"`` (default) is C4/
+    RefinedWeb line-level; ``"\\n\\n"`` is Dolma-style PARAGRAPH-level —
+    coarser units resist the over-segmentation that makes line dedup eat
+    legitimate short lines (headings, code), while still catching
+    syndicated blocks.  Splitting and reassembly are plain substring
+    operations on ``sep`` (no regex), so round-tripping a corpus with no
+    duplicates is byte-identical at any granularity.
 
     Three streaming stages: explode to (doc_id, line_no, line) — one shuffle
     keyed on the line's content hash to elect first occurrences (grouping is
@@ -181,7 +189,7 @@ def remove_duplicate_lines(ds, id_col: str = "doc_id", text_col: str = "text",
     def _explode(b: pa.Table) -> pa.Table:
         ids = np_col(b, id_col)
         texts = b[text_col].to_pylist()
-        lines_per = [("" if t is None else t).split("\n") for t in texts]
+        lines_per = [("" if t is None else t).split(sep) for t in texts]
         n_lines = np.fromiter((len(ls) for ls in lines_per), np.int64,
                               len(texts))
         flat = [ln for ls in lines_per for ln in ls]
@@ -224,7 +232,7 @@ def remove_duplicate_lines(ds, id_col: str = "doc_id", text_col: str = "text",
         newdoc[1:] = ids_s[1:] != ids_s[:-1]
         starts = np.flatnonzero(newdoc)
         bounds = np.append(starts, len(ids_s))
-        texts = ["\n".join(line_s[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
+        texts = [sep.join(line_s[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
         return pa.table({id_col: pa.array(ids_s[starts], pa.int64()),
                          text_col: pa.array(texts, pa.string())})
 

@@ -161,6 +161,51 @@ def normalized_exact_dedup_kept(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     return partitionwise(keyed, _kept_min_by_md5, "__key", num_parts)
 
 
+def soft_dedup_weights(sf_dir: str, num_parts: int = DEFAULT_PARTS):
+    """Soft deduplication: every doc survives, downweighted by its
+    duplicate-cluster multiplicity → (doc_id, cluster_size, weight) with
+    weight = round6(1 / cluster_size).
+
+    The reweight-don't-drop alternative to hard dedup (SoftDeDup-style
+    training-data reweighting): a sampler drawing docs proportional to
+    ``weight`` sees each distinct normalized form with equal total mass,
+    so boilerplate-heavy sources lose influence without discarding the
+    (possibly unique) docs that carry the duplicates.  Clusters are the
+    same normalized-text equality groups as ``normalized_exact_dedup_kept``
+    (``normalize_ws`` + shared ``_content_key`` scheme), so the two lanes
+    are consistent tiers of one policy: hard keep-first vs soft reweight.
+
+    One 16-byte-content-key shuffle; cluster sizes are computed with all
+    of a form's rows co-located and every row is emitted back out of the
+    same partition — no join, no second shuffle, no driver state.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _norm_key(batch: pa.Table) -> pa.Table:
+        return _content_key(
+            batch, ("doc_id",),
+            texts=[normalize_ws(t) for t in batch["text"].to_pylist()])
+
+    keyed = ds.map_batches(_norm_key, batch_format="pyarrow")
+
+    def _weights(g: pa.Table) -> pa.Table:
+        md5s = g["text_md5"].to_numpy(zero_copy_only=False).astype("U32")
+        ids = np_col(g, "doc_id")
+        order = np.argsort(md5s, kind="stable")
+        md5_s, ids_s = md5s[order], ids[order]
+        boundary = np.ones(len(md5_s), bool)
+        boundary[1:] = md5_s[1:] != md5_s[:-1]
+        gid = np.cumsum(boundary) - 1
+        counts = np.bincount(gid)
+        cs = counts[gid].astype(np.int64)
+        w = np.floor(1.0 / cs * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": pa.array(ids_s, pa.int64()),
+                         "cluster_size": pa.array(cs, pa.int64()),
+                         "weight": pa.array(w, pa.float64())})
+
+    return partitionwise(keyed, _weights, "__key", num_parts)
+
+
 def dup_line_fraction(sf_dir: str, num_parts: int = DEFAULT_PARTS):
     """Per-doc corpus-level duplicate-line fraction → (doc_id, n_lines,
     dup_lines, dup_line_frac round-6).
